@@ -1,0 +1,102 @@
+"""Text-analysis functions for training-data pipelines over ``documents``.
+
+All of these are pure built-in column expressions (JVM-side, whole-stage
+codegen) — the reference's scalar-function layer re-imagined
+(unit conversions and derived metrics,
+/root/reference/src/configs/parsing/edges/metrics.rs:93-175,
+/root/reference/src/network/graph/building.rs:1130-1318): cheap per-row
+derivations declared once and fused into the scan.
+
+Every expression here is written with constructs DuckDB evaluates
+identically (regexp_replace / regexp_extract_all / split / length), so the
+driver's SQL-oracle comparison can hash-match values exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# language-marker stopwords for the n-gram/lexicon language-ID heuristic;
+# the classifier role of the reference's ~200-arm highway-tag matcher
+# (/root/reference/src/defaults.rs:613-783): a fixed dictionary driving a
+# per-row categorical decision.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "pour", "dans", "que"],
+    "es": ["el", "la", "los", "es", "y", "no", "una", "por", "con", "para"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace tokens (empty string → 0)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: runs of letters, runs of digits, or single
+    punctuation — a deterministic proxy for BPE token counts."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), F.lit(1))
+    ).cast("long")
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are punctuation (of .,!?;:)."""
+    n = F.length(text)
+    p = F.length(F.regexp_replace(text, r"[^.,!?;:]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(p.cast("double") / n.cast("double"))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Fraction of whitespace tokens that are language-marker stopwords."""
+    markers = "|".join(LANG_MARKERS[lang])
+    hits = F.size(
+        F.regexp_extract_all(
+            F.lower(text), F.lit(rf"\b({markers})\b"), F.lit(1)
+        )
+    )
+    total = token_count(text)
+    return F.when(total == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / total.cast("double")
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document-quality heuristic in [0,1]:
+    length factor × (1 − punctuation excess) × stopword presence."""
+    n_tok = token_count(text)
+    len_factor = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    stop_ok = F.least(stopword_ratio(text) * 5.0, F.lit(1.0))
+    return F.round(len_factor * punct_ok * (F.lit(0.5) + F.lit(0.5) * stop_ok), 6)
+
+
+def marker_hits(text: Column, lang: str) -> Column:
+    markers = "|".join(LANG_MARKERS[lang])
+    return F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(rf"\b({markers})\b"), F.lit(1))
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax of per-language marker hits; ties break in fixed language
+    order (en, de, fr, es); no hits at all → 'unknown'."""
+    langs = list(LANG_MARKERS)
+    hits = [marker_hits(text, lg) for lg in langs]
+    best = F.greatest(*hits)
+    expr = F.lit("unknown")
+    for lg, h in reversed(list(zip(langs, hits))):
+        expr = F.when((best > 0) & (h == best), F.lit(lg)).otherwise(expr)
+    return expr
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic 64-bit document fingerprint (content-defined): xxhash64
+    of the normalized token stream — the rolling-hash fingerprint role."""
+    normalized = F.array_join(F.split(F.lower(F.trim(text)), r"\s+"), " ")
+    return F.xxhash64(normalized)

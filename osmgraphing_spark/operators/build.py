@@ -1,0 +1,231 @@
+"""Graph build: raw edges → finalized vertex/edge tables + CSR blocks.
+
+The Spark re-expression of ``GraphBuilder::finalize``
+(/root/reference/src/network/graph/building.rs:351-1459):
+
+| reference step                              | here                         |
+|---------------------------------------------|------------------------------|
+| node-id sort + dedup → dense NodeIdx        | ``assign_vertex_ids``        |
+|   (building.rs:274-276, binary-search remap  |   global range-sort +        |
+|    :387-452)                                 |   per-partition prefix sums  |
+| edge dedup at 1e-6 (building.rs:503-573)    | ``dedup_edges``              |
+| zero-metric clamp to 1e-6 (building.rs:69-88)| weight clamp in dedup        |
+| fwd sort by (src,dst) (building.rs:457-475) | repartition by hash(src) +   |
+|                                              |   sortWithinPartitions       |
+| offset-array build (building.rs:712-771)    | ``csr_blocks`` (cumsum per   |
+|                                              |   partition, applyInPandas)  |
+| CSC/bwd (building.rs:813-884)               | shuffle-by-dst when needed   |
+|                                              |   (Spark re-shuffles instead |
+|                                              |    of storing a permutation) |
+
+Scale design:
+- Vertex-ID assignment avoids any single-partition window: range-partition
+  by key, count per partition (tiny driver-side prefix sum, P integers),
+  then ``mapInPandas`` stamps ``offset[pid] + local_row_number``. This is
+  exactly the reference's offset trick, distributed.
+- The edge table's resting layout is hash(src_idx) % P — every iterative
+  algorithm joins rank-state on src, so co-partitioning is reused across
+  all supersteps (one shuffle at build time, zero per superstep on the
+  edge side).
+- CSR blocks pack each partition's edges into a handful of array rows;
+  SpMV supersteps then scan arrays instead of shuffling per-edge rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark import StorageLevel, TaskContext
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import F64_ABS
+
+CSR_SCHEMA = (
+    "block_id int, src_ids array<long>, offsets array<long>, "
+    "dst_ids array<long>, weights array<double>"
+)
+
+
+def assign_vertex_ids(raw_edges: DataFrame, num_partitions: int = 32) -> DataFrame:
+    """Distinct endpoint keys → (key, vid) with vid contiguous in [0, N).
+
+    Ordering is by key (like the reference's sorted node_ids,
+    building.rs:274-276), so vid assignment is deterministic and
+    parallelism-independent. Only vertices referenced by an edge get an id
+    (the reference drops unreferenced nodes, pbf.rs:174-199).
+    """
+    keys = (
+        raw_edges.select(F.col("src_key").alias("key"))
+        .unionAll(raw_edges.select(F.col("dst_key").alias("key")))
+        .distinct()
+    )
+    parted = keys.repartitionByRange(num_partitions, "key").sortWithinPartitions("key")
+    parted.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = {
+        r["pid"]: r["n"]
+        for r in parted.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    def stamp(batches):
+        pid = TaskContext.get().partitionId()
+        base = offsets.get(pid, 0)
+        seen = 0
+        for pdf in batches:
+            n = len(pdf)
+            pdf = pdf.copy()
+            pdf["vid"] = np.arange(base + seen, base + seen + n, dtype=np.int64)
+            seen += n
+            yield pdf
+
+    out = parted.mapInPandas(stamp, schema="key string, vid long")
+    # materialize before unpersisting the parent (ids must not be recomputed
+    # against a re-sampled range partitioning)
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    parted.unpersist()
+    return out
+
+
+def dedup_edges(raw_edges: DataFrame) -> DataFrame:
+    """Duplicate edges (same src, dst, weight within 1e-6) collapse to one.
+
+    Mirrors the reference's finalize-time dedup: equal (src, dst) AND all
+    metrics approx-equal at 1e-6 → drop (building.rs:503-573). Weights are
+    clamped to >= 1e-6 first (building.rs:69-88: iterative compute needs
+    positive weights).
+    """
+    return (
+        raw_edges.withColumn(
+            "weight",
+            F.when(F.col("weight") < F.lit(F64_ABS), F.lit(F64_ABS)).otherwise(
+                F.col("weight")
+            ),
+        )
+        .withColumn("w_grid", F.round(F.col("weight"), 6))
+        .dropDuplicates(["src_key", "dst_key", "w_grid"])
+        .drop("w_grid")
+    )
+
+
+@dataclass
+class Graph:
+    """Finalized graph: the Spark analogue of the reference's ``Graph``
+    struct (/root/reference/src/network/graph/mod.rs:78-103).
+
+    vertices: (key string, vid long)            — sorted external ids → dense
+    edges:    (src long, dst long, weight double, out_deg long, out_wsum double)
+              resting layout: hash(src) % num_blocks, sorted (src, dst)
+    num_vertices / num_edges: pinned counts (the reference pins these in
+              tests, tests/isle_of_man/parsing.rs:40-41)
+    """
+
+    vertices: DataFrame
+    edges: DataFrame
+    num_vertices: int
+    num_edges: int
+    num_blocks: int
+
+    def out_degrees(self) -> DataFrame:
+        return self.edges.groupBy("src").agg(
+            F.first("out_deg").alias("out_deg"), F.first("out_wsum").alias("out_wsum")
+        )
+
+    def csr_blocks(self) -> DataFrame:
+        return build_csr_blocks(self.edges, self.num_blocks)
+
+    def symmetrized_edges(self) -> DataFrame:
+        """Undirected view (for CC / triangles): union of both directions,
+        deduped — the analogue of the reference's direction explosion
+        (pbf.rs:110-123) for algorithms needing undirected semantics."""
+        fwd = self.edges.select("src", "dst")
+        bwd = self.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        return fwd.unionAll(bwd).where(F.col("src") != F.col("dst")).distinct()
+
+
+def build_graph(
+    raw_edges: DataFrame,
+    num_blocks: int = 32,
+    id_partitions: int = 32,
+) -> Graph:
+    """raw (src_key, dst_key, weight) → finalized Graph."""
+    edges_d = dedup_edges(raw_edges)
+    vids = assign_vertex_ids(edges_d, num_partitions=id_partitions)
+    n_vertices = vids.count()
+
+    # endpoint densification: external key → dense vid (the reference's
+    # chunked binary-search remap, building.rs:387-452). Broadcast when the
+    # vertex map is small; at 10^12 scale these are shuffled equi-joins on
+    # a unique key (no skew).
+    src_map = vids.select(F.col("key").alias("src_key"), F.col("vid").alias("src"))
+    dst_map = vids.select(F.col("key").alias("dst_key"), F.col("vid").alias("dst"))
+    e = (
+        edges_d.join(src_map, "src_key", "inner")
+        .join(dst_map, "dst_key", "inner")
+        .select("src", "dst", "weight")
+    )
+
+    # per-src degree + weight sum (for PageRank contributions), computed once
+    deg = e.groupBy("src").agg(
+        F.count("*").alias("out_deg"), F.sum("weight").alias("out_wsum")
+    )
+    e = e.join(deg, "src", "inner")
+
+    # resting layout: co-partitioned by src hash, sorted — every superstep
+    # join on src reuses this without reshuffling the (big) edge side
+    e = (
+        e.repartition(num_blocks, F.col("src"))
+        .sortWithinPartitions("src", "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_edges = e.count()
+    return Graph(
+        vertices=vids,
+        edges=e,
+        num_vertices=n_vertices,
+        num_edges=n_edges,
+        num_blocks=num_blocks,
+    )
+
+
+def build_csr_blocks(edges: DataFrame, num_blocks: int) -> DataFrame:
+    """Edge rows → per-block CSR arrays (one row per block).
+
+    The distributed analogue of the reference's offset-array construction
+    (building.rs:712-771): within a block, edges sorted by (src, dst);
+    ``offsets[i]..offsets[i+1]`` spans the out-edges of ``src_ids[i]``.
+    Only sources with out-degree > 0 appear (block-local compression).
+    """
+
+    def pack(key, pdf: pd.DataFrame):
+        bid = int(key[0])
+        pdf = pdf.sort_values(["src", "dst"], kind="mergesort")
+        src = pdf["src"].to_numpy(dtype=np.int64)
+        uniq, counts = np.unique(src, return_counts=True)
+        offs = np.zeros(len(uniq) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        return pd.DataFrame(
+            {
+                "block_id": [bid],
+                "src_ids": [uniq.tolist()],
+                "offsets": [offs.tolist()],
+                "dst_ids": [pdf["dst"].to_numpy(dtype=np.int64).tolist()],
+                "weights": [pdf["weight"].to_numpy(dtype=np.float64).tolist()],
+            }
+        )
+
+    blocked = edges.withColumn(
+        "block_id", F.pmod(F.hash(F.col("src")), F.lit(num_blocks)).cast("int")
+    )
+    return blocked.groupBy("block_id").applyInPandas(pack, schema=CSR_SCHEMA)

@@ -1,0 +1,134 @@
+"""Connected components — alternating small-star / large-star.
+
+Fills the role of the reference's whole-graph reachability knowledge (its
+route-pair generator runs Dijkstra per sampled pair purely to test "is dst
+reachable", /root/reference/src/io/writing/routing/random_or_all.rs:32-158);
+here reachability structure is computed once for all vertices, BSP-style.
+
+Algorithm (Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14), alternating two rounds until the edge set is stable:
+
+    large-star(E): for each u over its full (symmetric) neighborhood N(u):
+                   m = min(N(u) ∪ {u}); emit (v → m) for every v ∈ N(u), v > u
+    small-star(E): E is now all high→low; per u with out-neighbors V(u):
+                   m = min(V(u)); emit (v → m) for v ∈ V(u)∖{m}, plus (u → m)
+
+Each half-round is one groupBy + one join of built-in ops (whole-stage
+codegen, map-side partial min). Converges in O(log² n) rounds. At the
+fixpoint every non-root points at its component's minimum vid — labels are
+exactly deterministic (north rule: "component assignments exactly"), no
+hash-order dependence.
+
+Scale: the symmetric-neighborhood groupBy is the skew point (hub vertices);
+`min` is algebraic so map-side combine bounds reducer fan-in the same way
+salting would — no row for a hub reaches one reducer un-combined.
+Per-round state checkpoints via plans.checkpoint (resumable).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.checkpoint import CheckpointManager, SuperstepMetrics
+from .build import Graph
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    return edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    nbr = _symmetric(edges)
+    mins = (
+        nbr.unionAll(nbr.select(F.col("src"), F.col("src").alias("dst")))
+        .groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+    )
+    return (
+        nbr.join(mins, "src", "inner")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    # precondition: every edge points high → low (large-star output)
+    mins = edges.groupBy("src").agg(F.min("dst").alias("mn"))
+    linked = (
+        edges.join(mins, "src", "inner")
+        .where(F.col("dst") != F.col("mn"))
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+    )
+    self_link = mins.select(F.col("src"), F.col("mn").alias("dst"))
+    return (
+        linked.unionAll(self_link)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def run(
+    graph: Graph,
+    max_iter: int = 50,
+    checkpoint: CheckpointManager | None = None,
+    resume: bool = False,
+) -> DataFrame:
+    """→ (vid long, component long), component = min vid of the (undirected)
+    connected component."""
+    from ..plans.superstep import iterative_conf
+
+    with iterative_conf(graph.edges.sparkSession):
+        return _run_loop(graph, max_iter, checkpoint, resume)
+
+
+def _run_loop(graph, max_iter, checkpoint, resume):
+    edges = graph.symmetrized_edges().where(F.col("src") > F.col("dst")).unionAll(
+        graph.symmetrized_edges().where(F.col("src") < F.col("dst"))
+    ).distinct()
+
+    start = 0
+    if checkpoint is not None and resume:
+        latest = checkpoint.latest()
+        if latest is not None:
+            edges = checkpoint.read(latest)
+            start = latest + 1
+
+    for it in range(start, max_iter):
+        t0 = time.time()
+        new_edges = _small_star(_large_star(edges))
+        changed = (
+            new_edges.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(new_edges).limit(1).count()
+        )
+        if checkpoint is not None:
+            new_edges = checkpoint.write(
+                it,
+                new_edges,
+                SuperstepMetrics(
+                    step=it,
+                    delta=float(changed),
+                    rows=new_edges.count(),
+                    wall_ms=(time.time() - t0) * 1000,
+                ),
+            )
+        else:
+            new_edges = new_edges.localCheckpoint(eager=True)
+        edges = new_edges
+        if changed == 0:
+            break
+
+    parent = edges.groupBy("src").agg(F.min("dst").alias("component"))
+    labels = parent.select(F.col("src").alias("vid"), "component")
+    roots_and_isolated = (
+        graph.vertices.select("vid")
+        .join(labels.select("vid"), "vid", "left_anti")
+        .select("vid", F.col("vid").alias("component"))
+    )
+    return labels.unionAll(roots_and_isolated)

@@ -1,0 +1,249 @@
+"""Deduplication operators for training-data pipelines over ``documents``.
+
+The reference dedups edges by exact key + 1e-6-approx metrics at build time
+(/root/reference/src/network/graph/building.rs:503-573); a 100 TB document
+pipeline needs the same idea at several strengths:
+
+- exact            — hash-groupBy on the content digest (zero false pos.)
+- ngram Jaccard    — word-shingle inverted index → pair join → threshold
+- MinHash + LSH    — sketch per doc, band-bucket join → candidate pairs
+                     (the scale path: no all-pairs join ever materializes)
+- SimHash          — 64-bit near-dup signature, Hamming-bucket join
+
+Scale notes: every operator is shuffle-bounded by the inverted index /
+bucket join, never by a cross join. The shingle → doc index is the skew
+point (stop-shingles appear in every doc); ``max_df`` drops shingles whose
+document frequency exceeds a cap before the pair join — the same
+hot-key-removal role salting plays for PageRank hubs.
+
+MinHash uses a *portable* hash (md5 prefix as uint, computable identically
+in DuckDB SQL) so the driver's SQL oracle can verify the sketch pipeline
+value-for-value, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """→ (digest, keep_id, n_copies) for every content group with >1 copy;
+    keep_id = min id (deterministic survivor)."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col).alias("id"))
+        .groupBy("digest")
+        .agg(F.min("id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def drop_exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    keep = (
+        docs.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col).alias(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return docs.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# word n-gram shingles + Jaccard
+# ---------------------------------------------------------------------------
+
+def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """→ (id, shingle) distinct word-n-gram shingles per document.
+    Built entirely from array functions (no UDF): sliding window via
+    transform over index sequence."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # guard: docs with < n tokens produce no shingles (sequence(0, -1) would
+    # otherwise count DOWN in Spark and emit bogus indices)
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """All document pairs with shingle-set Jaccard ≥ threshold:
+    → (id_a, id_b, jaccard) with id_a < id_b.
+
+    Inverted-index join: pairs only form for docs sharing ≥1 shingle, so
+    cost is Σ_shingle df² — bounded by ``max_df`` (drop shingles more
+    frequent than the cap; a pair of near-dups still shares many rarer
+    shingles)."""
+    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col).persist()
+    if max_df is not None:
+        hot = sh.groupBy("shingle").count().where(F.col("count") > max_df).select("shingle")
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        common.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("common")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _portable_hash(col, seed: int):
+    """First 15 hex digits of md5(seed || value) as a bigint — identical in
+    DuckDB: CAST(('0x' || substr(md5(...), 1, 15)) AS BIGINT)-compatible via
+    from_hex; chosen so the SQL oracle can reproduce sketches exactly."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(str(seed) + "_"), col)), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (id, mh_0 … mh_{k-1}): per-doc minimum of k portable hash functions
+    over its shingle set. One shuffle (groupBy id), k mins computed
+    map-side in a single pass."""
+    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    aggs = [
+        F.min(_portable_hash(F.col("shingle"), seed)).alias(f"mh_{seed}")
+        for seed in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH: docs agreeing on ALL rows of ≥1 band become candidate
+    pairs → (id_a, id_b). bands=4 × rows=4 over 16 hashes ⇒ s-curve
+    threshold ≈ 0.47^(1/4) ≈ 0.72 Jaccard."""
+    sig = minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    rows_per_band = num_hashes // bands
+    buckets = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{i}").cast("string") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        buckets.append(
+            sig.select(
+                "id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    all_buckets = buckets[0]
+    for df in buckets[1:]:
+        all_buckets = all_buckets.unionAll(df)
+    a = all_buckets.select("band", "bucket", F.col("id").alias("id_a"))
+    b_ = all_buckets.select("band", "bucket", F.col("id").alias("id_b"))
+    return (
+        a.join(b_, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """→ (id, simhash): 64-bit SimHash over whitespace tokens.
+
+    Per-bit majority vote expressed as built-in aggregations: explode
+    tokens → xxhash64 → for each bit b, sum(±1) → sign bit. The 64 sums are
+    one groupBy with 64 algebraic aggregates (map-side combinable, one
+    shuffle of 64-column partials — no UDF, no per-row Python)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    sums = toks.groupBy("id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sums.select("id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Near-dup candidates by SimHash: block on 16-bit chunks (any pair
+    within Hamming distance ≤ 3 of a 64-bit key agrees on ≥1 of 4 chunks —
+    pigeonhole), verify Hamming distance on candidates.
+    → (id_a, id_b, hamming)."""
+    sig = simhash64(docs, id_col, text_col).persist()
+    chunks = None
+    for c in range(4):
+        part = sig.select(
+            "id",
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+            "simhash",
+        )
+        chunks = part if chunks is None else chunks.unionAll(part)
+    a = chunks.select("chunk", "key", F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"))
+    b = chunks.select("chunk", "key", F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"))
+    cand = (
+        a.join(b, ["chunk", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,79 @@
+"""CC / LPA / triangle golden tests — exact-match layer (north rule:
+components and labels exactly; triangle counts exact)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from osmgraphing_spark.operators import cc, lpa, triangles
+from osmgraphing_spark.plans.checkpoint import CheckpointManager
+
+from . import oracle
+from .helpers import build_fixture, stem_vids
+
+
+def _label_vec(df, n, col):
+    v = np.full(n, -1, dtype=np.int64)
+    for r in df.collect():
+        v[r["vid"]] = r[col]
+    return v
+
+
+@pytest.mark.parametrize(
+    "names", [("small",), ("twocc",), ("small", "bait", "stuttgart")]
+)
+def test_cc_vs_oracle(spark, names):
+    g, edges, _ = build_fixture(spark, names)
+    got = _label_vec(cc.run(g), g.num_vertices, "component")
+    expected = oracle.connected_components(g.num_vertices, edges)
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_twocc_components_disjoint(spark):
+    """twocc invariant (FIXTURES.md §3.4): the small component and the
+    3-cycle repo never merge without a cross-repo edge."""
+    g, edges, _ = build_fixture(spark, ("twocc",))
+    sv = stem_vids(g)
+    comp = _label_vec(cc.run(g), g.num_vertices, "component")
+    small_labels = {comp[sv[s]] for s in "abcdefgh"}
+    cycle_labels = {comp[sv[s]] for s in "xyz"}
+    assert len(small_labels) == 1 and len(cycle_labels) == 1
+    assert small_labels != cycle_labels
+
+
+def test_cc_resume(spark, tmp_ckpt):
+    g, edges, _ = build_fixture(spark, ("twocc",))
+    ck = CheckpointManager(spark, tmp_ckpt, "cc")
+    got = _label_vec(cc.run(g, checkpoint=ck), g.num_vertices, "component")
+    resumed = _label_vec(
+        cc.run(g, checkpoint=ck, resume=True), g.num_vertices, "component"
+    )
+    np.testing.assert_array_equal(got, resumed)
+    np.testing.assert_array_equal(
+        got, oracle.connected_components(g.num_vertices, edges)
+    )
+
+
+@pytest.mark.parametrize("names", [("small",), ("bait",), ("twocc",)])
+def test_lpa_vs_oracle(spark, names):
+    g, edges, _ = build_fixture(spark, names)
+    got = _label_vec(lpa.run(g, max_iter=10), g.num_vertices, "label")
+    expected = oracle.label_propagation(g.num_vertices, edges, max_iter=10)
+    np.testing.assert_array_equal(got, expected)
+
+
+@pytest.mark.parametrize(
+    "names", [("small",), ("bait",), ("twocc",), ("stuttgart",)]
+)
+def test_triangle_count_vs_oracle(spark, names):
+    g, edges, _ = build_fixture(spark, names)
+    assert triangles.count(g) == oracle.triangles(g.num_vertices, edges)
+
+
+def test_triangles_per_vertex(spark):
+    g, edges, _ = build_fixture(spark, ("small",))
+    got = _label_vec(triangles.per_vertex(g), g.num_vertices, "triangles")
+    np.testing.assert_array_equal(
+        got, oracle.triangles_per_vertex(g.num_vertices, edges)
+    )

@@ -1,0 +1,97 @@
+"""PageRank golden tests: engine (both executors) vs numpy power-iteration
+oracle, allclose atol=1e-6 (the reference's F64_ABS tolerance discipline,
+/root/reference/src/approximating.rs:168-201), plus metamorphic checks
+(DataFrame == CSR == salted) and the checkpoint-resume protocol."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from osmgraphing_spark.operators import pagerank
+from osmgraphing_spark.plans.checkpoint import CheckpointManager
+
+from . import oracle
+from .helpers import build_fixture
+
+
+def _rank_vec(result, n):
+    v = np.zeros(n)
+    for r in result.ranks.collect():
+        v[r["vid"]] = r["rank"]
+    return v
+
+
+@pytest.mark.parametrize("names", [("small",), ("bait",), ("stuttgart",)])
+def test_pagerank_vs_oracle(spark, names):
+    g, edges, _ = build_fixture(spark, names)
+    res = pagerank.run(g, mode="dataframe", check_every=8)
+    assert res.converged
+    expected = oracle.pagerank(g.num_vertices, edges)
+    np.testing.assert_allclose(_rank_vec(res, g.num_vertices), expected, atol=1e-6)
+
+
+def test_pagerank_weighted_vs_oracle(spark):
+    g, edges, weights = build_fixture(spark, ("stuttgart",))
+    res = pagerank.run(g, weighted=True, check_every=8)
+    assert res.converged
+    expected = oracle.pagerank(
+        g.num_vertices, edges, weights=weights, weighted=True
+    )
+    np.testing.assert_allclose(_rank_vec(res, g.num_vertices), expected, atol=1e-6)
+
+
+def test_csr_equals_dataframe(spark):
+    """Metamorphic: SpMV-over-CSR-blocks executor == join executor."""
+    g, _, _ = build_fixture(spark, ("small", "stuttgart"), num_blocks=4)
+    a = _rank_vec(pagerank.run(g, mode="dataframe", check_every=8), g.num_vertices)
+    b = _rank_vec(pagerank.run(g, mode="csr", check_every=8), g.num_vertices)
+    np.testing.assert_allclose(a, b, atol=1e-9)
+
+
+def test_salted_equals_unsalted(spark):
+    g, _, _ = build_fixture(spark, ("small",))
+    a = _rank_vec(pagerank.run(g, salt=0, check_every=8), g.num_vertices)
+    b = _rank_vec(pagerank.run(g, salt=4, check_every=8), g.num_vertices)
+    np.testing.assert_allclose(a, b, atol=1e-9)
+
+
+def test_checkpoint_resume_identical(spark, tmp_ckpt):
+    """North rule: kill after superstep k, restart, identical final scores."""
+    g, edges, _ = build_fixture(spark, ("stuttgart",))
+
+    ck1 = CheckpointManager(spark, tmp_ckpt, "pr_interrupted")
+    partial = pagerank.run(g, max_iter=3, checkpoint=ck1)  # 'crash' after 3
+    assert not partial.converged
+    assert ck1.latest() == 2
+
+    resumed = pagerank.run(g, checkpoint=ck1, resume=True)
+    assert resumed.converged
+    fresh = pagerank.run(g)
+    np.testing.assert_allclose(
+        _rank_vec(resumed, g.num_vertices),
+        _rank_vec(fresh, g.num_vertices),
+        atol=1e-9,
+    )
+    # metrics rows carry per-partition lineage + convergence delta
+    m = ck1.read_metrics(ck1.latest())
+    assert m["delta"] < 1e-6
+    assert m["partition_rows"] and sum(m["partition_rows"].values()) == g.num_vertices
+
+
+def test_resume_of_converged_run_is_noop(spark, tmp_ckpt):
+    g, _, _ = build_fixture(spark, ("small",))
+    ck = CheckpointManager(spark, tmp_ckpt, "pr_done")
+    first = pagerank.run(g, checkpoint=ck)
+    assert first.converged
+    again = pagerank.run(g, checkpoint=ck, resume=True)
+    assert again.converged
+    np.testing.assert_allclose(
+        _rank_vec(again, g.num_vertices), _rank_vec(first, g.num_vertices), atol=0
+    )
+
+
+def test_ranks_sum_to_one(spark):
+    g, _, _ = build_fixture(spark, ("stuttgart",))  # has dangling vertex 'dea'
+    res = pagerank.run(g, check_every=8)
+    assert abs(_rank_vec(res, g.num_vertices).sum() - 1.0) < 1e-9
