@@ -1,38 +1,735 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Maps the engine's operator surface (SURVEY.md §2) onto the driver's
+TPC-H-ish test tables, one queries() entry + DuckDB oracle per operator
+family. Graph queries derive a deterministic link graph from the relational
+tables (customer→supplier via orders⨝lineitem; nation co-region cliques)
+so the full engine pipeline — build, PageRank, CC, LPA, triangles — is
+value-checked against pure SQL oracles; document/embedding queries check
+the training-data operators (dedup, text analysis, similarity search).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from osmgraphing_spark.functions import text as X  # noqa: E402
+from osmgraphing_spark.operators import cc as cc_op  # noqa: E402
+from osmgraphing_spark.operators import dedup as dd  # noqa: E402
+from osmgraphing_spark.operators import lpa as lpa_op  # noqa: E402
+from osmgraphing_spark.operators import pagerank as pr  # noqa: E402
+from osmgraphing_spark.operators import similarity as sim  # noqa: E402
+from osmgraphing_spark.operators import triangles as tri  # noqa: E402
+from osmgraphing_spark.operators.build import build_graph  # noqa: E402
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# link graph derived from the relational tables
+# ---------------------------------------------------------------------------
+
+SUPP_OFFSET = 1_000_000  # disjoint vertex-id spaces for the bipartite graph
+
+
+def _bipartite_raw_edges(spark, sf_dir) -> DataFrame:
+    """customer → supplier reference edges (distinct), as engine raw edges
+    with zero-padded string keys so vertex-id assignment order is numeric."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    return pairs.select(
+        F.format_string("c%09d", F.col("o_custkey")).alias("src_key"),
+        F.format_string("s%09d", F.col("l_suppkey")).alias("dst_key"),
+        F.lit(1.0).alias("weight"),
+    )
+
+
+def _key_to_node_id(col):
+    return F.when(
+        F.substring(col, 1, 1) == "c", F.substring(col, 2, 9).cast("long")
+    ).otherwise(F.substring(col, 2, 9).cast("long") + SUPP_OFFSET)
+
+
+def _nation_raw_edges(spark, sf_dir) -> DataFrame:
+    """Co-region nation cliques (both directions)."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    a = n.select(F.col("n_nationkey").alias("a"), F.col("n_regionkey").alias("r"))
+    b = n.select(F.col("n_nationkey").alias("b"), F.col("n_regionkey").alias("r"))
+    e = a.join(b, "r").where(F.col("a") != F.col("b"))
+    return e.select(
+        F.format_string("n%03d", F.col("a")).alias("src_key"),
+        F.format_string("n%03d", F.col("b")).alias("dst_key"),
+        F.lit(1.0).alias("weight"),
+    )
+
+
+def _vid_to_nationkey(graph, df, cols):
+    """Map vid-space columns back to nationkey ints via the vertex table."""
+    out = df
+    for c in cols:
+        vmap = graph.vertices.select(
+            F.col("vid").alias(c),
+            F.substring("key", 2, 3).cast("int").alias(f"{c}_nk"),
+        )
+        out = out.join(vmap, c, "inner").drop(c).withColumnRenamed(f"{c}_nk", c)
+    return out
+
+
+SQL_BIPARTITE_EDGES = """
+    SELECT DISTINCT o_custkey AS src, {OFF} + l_suppkey AS dst
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+""".format(OFF=SUPP_OFFSET)
+
+SQL_NATION_EDGES = """
+    SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# graph queries
+# ---------------------------------------------------------------------------
+
+def q_link_edges(spark, sf_dir):
+    """S2/D3: edge derivation + dedup → the graph's edge table."""
+    raw = _bipartite_raw_edges(spark, sf_dir)
+    return raw.select(
+        _key_to_node_id(F.col("src_key")).alias("src"),
+        _key_to_node_id(F.col("dst_key")).alias("dst"),
+    )
+
+
+def q_link_degrees(spark, sf_dir):
+    """A1/A6-style degree aggregation over the link graph."""
+    e = q_link_edges(spark, sf_dir)
+    out_d = e.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("out_deg"))
+    in_d = e.groupBy(F.col("dst").alias("vid")).agg(F.count("*").alias("in_deg"))
+    return (
+        out_d.join(in_d, "vid", "full_outer")
+        .select(
+            "vid",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        )
+    )
+
+
+def q_pagerank5(spark, sf_dir):
+    """G7: 5 fixed PageRank supersteps through the full engine pipeline
+    (build_graph → run), mapped back to original node ids."""
+    g = build_graph(_bipartite_raw_edges(spark, sf_dir), num_blocks=8)
+    res = pr.run(g, damping=0.85, tol=0.0, max_iter=5, check_every=5)
+    return (
+        res.ranks.join(g.vertices, "vid")
+        .select(
+            _key_to_node_id(F.col("key")).alias("node_id"),
+            F.round("rank", 6).alias("rank"),
+        )
+    )
+
+
+def q_cc_nations(spark, sf_dir):
+    """G8: connected components (small-star/large-star) on nation cliques."""
+    g = build_graph(_nation_raw_edges(spark, sf_dir), num_blocks=4)
+    labels = cc_op.run(g)
+    out = _vid_to_nationkey(g, labels, ["vid", "component"])
+    return out.select(
+        F.col("vid").alias("n_nationkey"), F.col("component").alias("component")
+    )
+
+
+def q_lpa_nations(spark, sf_dir):
+    """G9: 2 synchronous LPA supersteps, min-label ties."""
+    g = build_graph(_nation_raw_edges(spark, sf_dir), num_blocks=4)
+    labels = lpa_op.run(g, max_iter=2)
+    out = _vid_to_nationkey(g, labels, ["vid", "label"])
+    return out.select(
+        F.col("vid").alias("n_nationkey"), F.col("label").alias("label")
+    )
+
+
+def q_triangles_nations(spark, sf_dir):
+    """G10: triangle count on the nation co-region graph."""
+    g = build_graph(_nation_raw_edges(spark, sf_dir), num_blocks=4)
+    n = tri.count(g)
+    return spark.createDataFrame([(n,)], "n_triangles bigint")
+
+
+# ---------------------------------------------------------------------------
+# relational operator queries (SURVEY §2.2-2.6)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """A2/A6/P2: grouped multi-aggregate with predicate."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.where(F.col("l_quantity") > 0)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_top_orders(spark, sf_dir):
+    """O7: deterministic top-k (sort + cap)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice"))
+    )
+
+
+def q_normalize_qty(spark, sf_dir):
+    """A3: normalize metric by its global mean (the reference's
+    mean-normalization, building.rs:1410-1455)."""
+    l = _t(spark, sf_dir, "lineitem")
+    mean = l.agg(F.avg("l_quantity").alias("m"))
+    return (
+        l.crossJoin(F.broadcast(mean))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_quantity") / F.col("m"), 6).alias("qty_norm"),
+        )
+    )
+
+
+def q_semi_join_customers(spark, sf_dir):
+    """J1/S3: left-semi 'keep only referenced' join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o.select("o_custkey"), c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_anti_join_customers(spark, sf_dir):
+    """J1 complement: drop referenced (unreachable-nodes analog)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o.select("o_custkey"), c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_nationkey"
+    )
+
+
+def q_dedup_pairs(spark, sf_dir):
+    """D3: distinct on a compound key."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+
+
+def q_clamped_discount(spark, sf_dir):
+    """P7/F8: 1e-6 clamp + grid rounding per group."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.greatest(F.col("l_discount"), F.lit(1e-6))), 6).alias(
+            "sum_clamped_disc"
+        )
+    )
+
+
+def q_order_ranks(spark, sf_dir):
+    """O-window: deterministic ranking within partition."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", F.row_number().over(w).alias("rn"))
+    )
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Sessionization (gap > 1800 s) via lag + running sum — the batch
+    equivalent of the streaming session-window operator."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ev = _t(spark, sf_dir, "events")
+    gaps = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(
+            (F.unix_micros(F.col("ts").cast("timestamp"))
+             - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w))
+            / F.lit(1_000_000.0)
+            > 1800,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    return gaps.select(
+        "event_id",
+        "user_id",
+        (F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))).alias(
+            "session_idx"
+        ),
+    )
+
+
+def q_hourly_events(spark, sf_dir):
+    """Time-bucketed aggregation (tumbling-window analog)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+
+
+# ---------------------------------------------------------------------------
+# documents: text analysis + dedup
+# ---------------------------------------------------------------------------
+
+def q_doc_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.token_count(F.col("text")).alias("n_ws_tokens"),
+        X.bpe_ish_token_count(F.col("text")).alias("n_sub_tokens"),
+    )
+
+
+def q_doc_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(X.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        X.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q_doc_langid(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", X.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    normalized = F.array_join(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), " ")
+    return d.select("doc_id", F.md5(normalized).alias("fp"))
+
+
+def q_doc_exact_dups(spark, sf_dir):
+    return dd.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_jaccard_pairs(spark, sf_dir):
+    return dd.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5, n=3)
+
+
+def q_doc_minhash(spark, sf_dir):
+    return dd.minhash_signatures(_t(spark, sf_dir, "documents"), num_hashes=4, n=3)
+
+
+def q_doc_lsh_candidates(spark, sf_dir):
+    """MinHash-LSH candidate pairs (bands=2 over 4 hashes)."""
+    return dd.lsh_candidate_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=4, bands=2, n=3
+    )
+
+
+def q_doc_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (no SQL oracle: 64-bit xxhash64 signatures
+    aren't reproducible in DuckDB — rows-only check)."""
+    return dd.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+def q_embed_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return sim.brute_force_topk(emb, queries, k=5).select(
+        "query_id",
+        "neighbor_id",
+        F.round("score", 4).alias("score"),
+        "rk",
+    )
+
+
+def q_embed_ann(spark, sf_dir):
+    """LSH-bucketed ANN (approximate — rows-only check; recall vs brute
+    force is asserted in pytest instead)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    queries = emb.where(F.col("vec_id") < 10)
+    return sim.ann_topk(emb, queries, dim=dim, k=5)
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full link-graph pipeline (build + 5 PageRank supersteps)."""
+    return q_pagerank5(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "link_edges": q_link_edges,
+        "link_degrees": q_link_degrees,
+        "pagerank5": q_pagerank5,
+        "cc_nations": q_cc_nations,
+        "lpa_nations": q_lpa_nations,
+        "triangles_nations": q_triangles_nations,
+        "pricing_summary": q_pricing_summary,
+        "top_orders": q_top_orders,
+        "normalize_qty": q_normalize_qty,
+        "semi_join_customers": q_semi_join_customers,
+        "anti_join_customers": q_anti_join_customers,
+        "dedup_pairs": q_dedup_pairs,
+        "clamped_discount": q_clamped_discount,
+        "order_ranks": q_order_ranks,
+        "sessionize_events": q_sessionize_events,
+        "hourly_events": q_hourly_events,
+        "doc_tokens": q_doc_tokens,
+        "doc_quality": q_doc_quality,
+        "doc_langid": q_doc_langid,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_exact_dups": q_doc_exact_dups,
+        "doc_jaccard_pairs": q_doc_jaccard_pairs,
+        "doc_minhash": q_doc_minhash,
+        "doc_lsh_candidates": q_doc_lsh_candidates,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
+        "embed_topk": q_embed_topk,
+        "embed_ann": q_embed_ann,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_PR_ITER = """
+    r{K} AS (
+        SELECT v.vid,
+               (0.15 / (SELECT n FROM n))
+               + 0.85 * ((SELECT dm FROM dm{P}) / (SELECT n FROM n))
+               + 0.85 * COALESCE(c.c, 0) AS rank
+        FROM v
+        LEFT JOIN (
+            SELECT e.dst AS vid, SUM(r{P}.rank / deg.d) AS c
+            FROM e
+            JOIN r{P} ON e.src = r{P}.vid
+            JOIN deg ON e.src = deg.src
+            GROUP BY e.dst
+        ) c ON v.vid = c.vid
+    ),
+    dm{K} AS (
+        SELECT COALESCE(SUM(r.rank), 0) AS dm
+        FROM r{K} r LEFT JOIN deg ON r.vid = deg.src
+        WHERE deg.src IS NULL
+    )"""
+
+
+def _pagerank5_sql() -> str:
+    parts = [
+        "WITH e AS (" + SQL_BIPARTITE_EDGES + "),",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e),",
+        "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),",
+        "deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY src),",
+        "r0 AS (SELECT vid, 1.0 / (SELECT n FROM n) AS rank FROM v),",
+        """dm0 AS (
+            SELECT COALESCE(SUM(r.rank), 0) AS dm
+            FROM r0 r LEFT JOIN deg ON r.vid = deg.src
+            WHERE deg.src IS NULL
+        )""",
+    ]
+    for k in range(1, 6):
+        parts.append("," + _PR_ITER.format(K=k, P=k - 1))
+    parts.append("SELECT vid AS node_id, ROUND(rank, 6) AS rank FROM r5")
+    return "\n".join(parts)
+
+
+_LPA_ITER = """
+    l{K} AS (
+        SELECT l{P}.vid, COALESCE(w.label, l{P}.label) AS label
+        FROM l{P}
+        LEFT JOIN (
+            SELECT vid, label FROM (
+                SELECT e.src AS vid, l{P}.label,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.src
+                           ORDER BY COUNT(*) DESC, l{P}.label ASC
+                       ) AS rk
+                FROM e JOIN l{P} ON e.dst = l{P}.vid
+                GROUP BY e.src, l{P}.label
+            ) WHERE rk = 1
+        ) w ON l{P}.vid = w.vid
+    )"""
+
+
+def _lpa2_sql() -> str:
+    parts = [
+        "WITH e AS (" + SQL_NATION_EDGES + "),",
+        "l0 AS (SELECT n_nationkey AS vid, n_nationkey AS label FROM nation)",
+        "," + _LPA_ITER.format(K=1, P=0),
+        "," + _LPA_ITER.format(K=2, P=1),
+        "SELECT vid AS n_nationkey, CAST(label AS INT) AS label FROM l2",
+    ]
+    return "\n".join(parts)
+
+
+_DOC_TOKS = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+)
+_DOC_STOP_HITS = (
+    r"len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|it|for|was)\b'))"
+)
+_PORTABLE_HASH = (
+    "CAST(concat('0x', substr(md5(concat('{seed}_', shingle)), 1, 15)) AS BIGINT)"
+)
+
+_SHINGLES_CTE = """
+    arr AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS ord
+        FROM arr
+    ),
+    sh3 AS (
+        SELECT doc_id,
+               t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS shingle
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+    ),
+    sh AS (SELECT DISTINCT doc_id AS id, shingle FROM sh3 WHERE shingle IS NOT NULL)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    langcases = []
+    for lg, markers in X.LANG_MARKERS.items():
+        pat = "|".join(markers)
+        langcases.append(
+            rf"len(regexp_extract_all(lower(text), '\b({pat})\b')) AS h_{lg}"
+        )
+    lang_hits = ", ".join(langcases)
+
+    return {
+        "link_edges": f"SELECT src, dst FROM ({SQL_BIPARTITE_EDGES}) t",
+        "link_degrees": f"""
+            WITH e AS ({SQL_BIPARTITE_EDGES}),
+            o AS (SELECT src AS vid, COUNT(*) AS out_deg FROM e GROUP BY src),
+            i AS (SELECT dst AS vid, COUNT(*) AS in_deg FROM e GROUP BY dst)
+            SELECT COALESCE(o.vid, i.vid) AS vid,
+                   COALESCE(out_deg, 0) AS out_deg,
+                   COALESCE(in_deg, 0) AS in_deg
+            FROM o FULL OUTER JOIN i ON o.vid = i.vid
+        """,
+        "pagerank5": _pagerank5_sql(),
+        "cc_nations": """
+            SELECT n_nationkey,
+                   MIN(n_nationkey) OVER (PARTITION BY n_regionkey) AS component
+            FROM nation
+        """,
+        "lpa_nations": _lpa2_sql(),
+        "triangles_nations": """
+            SELECT COUNT(*) AS n_triangles
+            FROM nation a
+            JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+            JOIN nation c ON b.n_regionkey = c.n_regionkey AND b.n_nationkey < c.n_nationkey
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 6) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 4) AS sum_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 6) AS avg_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem WHERE l_quantity > 0
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "normalize_qty": """
+            SELECT l_orderkey, l_linenumber,
+                   ROUND(l_quantity / (SELECT AVG(l_quantity) FROM lineitem), 6) AS qty_norm
+            FROM lineitem
+        """,
+        "semi_join_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        """,
+        "anti_join_customers": """
+            SELECT c_custkey, c_nationkey FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "dedup_pairs": "SELECT DISTINCT l_partkey, l_suppkey FROM lineitem",
+        "clamped_discount": """
+            SELECT l_returnflag,
+                   ROUND(SUM(GREATEST(l_discount, 0.000001)), 6) AS sum_clamped_disc
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "order_ranks": """
+            SELECT o_orderkey, o_custkey,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ) AS rn
+            FROM orders
+        """,
+        "sessionize_events": """
+            SELECT event_id, user_id,
+                   CAST(SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_idx
+            FROM (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ) > 1800 THEN 1 ELSE 0 END AS new_sess
+                FROM events
+            )
+        """,
+        "hourly_events": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "doc_tokens": f"""
+            SELECT doc_id,
+                   CAST({_DOC_TOKS} AS BIGINT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])')) AS BIGINT) AS n_sub_tokens
+            FROM documents
+        """,
+        "doc_quality": f"""
+            SELECT doc_id,
+                   ROUND(CASE WHEN length(text) = 0 THEN 0.0
+                         ELSE CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                              / length(text) END, 6) AS punct_ratio,
+                   ROUND(
+                       LEAST(CAST({_DOC_TOKS} AS DOUBLE) / 100.0, 1.0)
+                       * (1.0 - LEAST(
+                             (CASE WHEN length(text) = 0 THEN 0.0
+                              ELSE CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                                   / length(text) END) * 5.0, 1.0))
+                       * (0.5 + 0.5 * LEAST(
+                             (CASE WHEN {_DOC_TOKS} = 0 THEN 0.0
+                              ELSE CAST({_DOC_STOP_HITS} AS DOUBLE) / {_DOC_TOKS} END) * 5.0,
+                             1.0)),
+                   6) AS quality
+            FROM documents
+        """,
+        "doc_langid": f"""
+            WITH h AS (SELECT doc_id, {lang_hits} FROM documents)
+            SELECT doc_id,
+                   CASE WHEN GREATEST(h_en, h_de, h_fr, h_es) = 0 THEN 'unknown'
+                        WHEN h_en = GREATEST(h_en, h_de, h_fr, h_es) THEN 'en'
+                        WHEN h_de = GREATEST(h_en, h_de, h_fr, h_es) THEN 'de'
+                        WHEN h_fr = GREATEST(h_en, h_de, h_fr, h_es) THEN 'fr'
+                        ELSE 'es' END AS lang_pred
+            FROM h
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+'), ' ')) AS fp
+            FROM documents
+        """,
+        "doc_exact_dups": """
+            SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+            FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+        """,
+        "doc_jaccard_pairs": f"""
+            WITH {_SHINGLES_CTE},
+            sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+            common AS (
+                SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+                GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b,
+                   ROUND(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON common.id_a = sa.id
+            JOIN sizes sb ON common.id_b = sb.id
+            WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5
+        """,
+        "doc_minhash": f"""
+            WITH {_SHINGLES_CTE}
+            SELECT id,
+                   MIN({_PORTABLE_HASH.format(seed=0)}) AS mh_0,
+                   MIN({_PORTABLE_HASH.format(seed=1)}) AS mh_1,
+                   MIN({_PORTABLE_HASH.format(seed=2)}) AS mh_2,
+                   MIN({_PORTABLE_HASH.format(seed=3)}) AS mh_3
+            FROM sh GROUP BY id
+        """,
+        "doc_lsh_candidates": f"""
+            WITH {_SHINGLES_CTE},
+            sig AS (
+                SELECT id,
+                       MIN({_PORTABLE_HASH.format(seed=0)}) AS mh_0,
+                       MIN({_PORTABLE_HASH.format(seed=1)}) AS mh_1,
+                       MIN({_PORTABLE_HASH.format(seed=2)}) AS mh_2,
+                       MIN({_PORTABLE_HASH.format(seed=3)}) AS mh_3
+                FROM sh GROUP BY id
+            ),
+            buckets AS (
+                SELECT id, 0 AS band,
+                       md5(concat(CAST(mh_0 AS VARCHAR), '|', CAST(mh_1 AS VARCHAR))) AS bucket
+                FROM sig
+                UNION ALL
+                SELECT id, 1 AS band,
+                       md5(concat(CAST(mh_2 AS VARCHAR), '|', CAST(mh_3 AS VARCHAR))) AS bucket
+                FROM sig
+            )
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM buckets a
+            JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+        """,
+        "embed_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+            v AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+            scored AS (
+                SELECT query_id, neighbor_id,
+                       list_dot_product(CAST(qv AS DOUBLE[]), CAST(nv AS DOUBLE[]))
+                       / (sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))
+                          * sqrt(list_dot_product(CAST(nv AS DOUBLE[]), CAST(nv AS DOUBLE[])))) AS s
+                FROM v CROSS JOIN q WHERE neighbor_id <> query_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, ROUND(ROUND(s, 6), 4) AS score,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id ORDER BY ROUND(s, 6) DESC, neighbor_id ASC
+                       ) AS rk
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, score, CAST(rk AS INT) AS rk
+            FROM ranked WHERE rk <= 5
+        """,
+        # doc_simhash_pairs, embed_ann: intentionally omitted (non-SQL-
+        # reproducible hashing / approximate results) → rows-only check.
+    }

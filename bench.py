@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: ONE JSON line on stdout).
+
+Two legs:
+
+1. **Link-graph leg** (the BASELINE.json metric): deterministic power-law
+   corpus scaled to the SF → extract edges (once, cached as parquet) →
+   graph build + PageRank to 1e-6 at TWO parallelism levels —
+   ``local[8]`` and ``local[32]`` — in separate JVMs on the same input.
+   Reports edges processed/sec, supersteps/hour, and scaling efficiency
+   ``(thr_32 / thr_8) / 4`` (the sandbox stand-in for N vs 4N executors).
+
+2. **Operator leg**: headline __spark_entry__ queries timed at
+   ``$SPARK_GRAFT_SF_DIR`` on ``local[$SPARK_GRAFT_CPUS]``.
+
+Also rewrites BENCH/BASELINE.md with the measured numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
+# power-law corpus size: sf0.1 → 150k files (~580k edges)
+N_FILES = max(int(1_500_000 * SF), 2_000)
+BENCH_DATA = os.path.join(REPO, ".bench_data", f"sf{SF}")
+SKIP_SCALING = os.environ.get("SPARK_GRAFT_BENCH_NO_SCALING", "") == "1"
+
+OPERATOR_QUERIES = [
+    "pagerank5",
+    "link_degrees",
+    "pricing_summary",
+    "doc_tokens",
+    "doc_jaccard_pairs",
+    "doc_lsh_candidates",
+    "embed_topk",
+    "sessionize_events",
+]
+
+
+def ensure_corpus_edges(spark) -> str:
+    """Generate (once) the power-law corpus and its extracted raw edges."""
+    edges_path = os.path.join(BENCH_DATA, "raw_edges.parquet")
+    if os.path.exists(os.path.join(edges_path, "_SUCCESS")):
+        return edges_path
+    from osmgraphing_spark.operators.extract import extract_edges
+    from osmgraphing_spark.sources.synth import powerlaw_corpus, reference_hashes
+
+    corpus = powerlaw_corpus(spark, N_FILES, m=4).persist()
+    ref = reference_hashes(corpus)
+    raw = extract_edges(corpus, ref, verify=True)
+    raw.write.mode("overwrite").parquet(edges_path)
+    corpus.unpersist()
+    return edges_path
+
+
+def run_scaling_leg(edges_path: str) -> dict:
+    out = {}
+    for master, cores in (("local[8]", 8), ("local[32]", 32)):
+        cmd = [
+            sys.executable, "-m", "osmgraphing_spark.bench_job",
+            "--master", master,
+            "--edges", edges_path,
+            "--mode", "dataframe",
+            "--shuffle-partitions", str(cores),
+            "--num-blocks", str(cores),
+        ]
+        r = subprocess.run(
+            cmd, capture_output=True, text=True, cwd=REPO, timeout=3600
+        )
+        line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+        if not line:
+            raise RuntimeError(f"bench_job {master} failed: {r.stderr[-2000:]}")
+        out[master] = json.loads(line[-1])
+    thr8 = out["local[8]"]["edges_per_sec"]
+    thr32 = out["local[32]"]["edges_per_sec"]
+    out["scaling_efficiency"] = round((thr32 / thr8) / 4.0, 3)
+    return out
+
+
+def run_operator_leg(spark) -> dict:
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    times = {}
+    for name in OPERATOR_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        times[name] = round(time.time() - t0, 2)
+    return times
+
+
+def write_baseline_md(scaling: dict, times: dict, total: float) -> None:
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    j8 = scaling.get("local[8]", {})
+    j32 = scaling.get("local[32]", {})
+    lines = [
+        "# BENCH/BASELINE.md — measured numbers (this sandbox)",
+        "",
+        f"Corpus: deterministic power-law, {N_FILES} files, m=4, seed 42 "
+        f"(`osmgraphing_spark.sources.synth.powerlaw_corpus`).",
+        "",
+        "## Link-graph leg: PageRank to max|Δ| < 1e-6",
+        "",
+        "| master | vertices | edges | iterations | build s | pagerank s | edges/s | supersteps/h |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for m, j in (("local[8]", j8), ("local[32]", j32)):
+        if j:
+            lines.append(
+                f"| {m} | {j['vertices']} | {j['edges']} | {j['iterations']} "
+                f"| {j['build_sec']} | {j['pagerank_sec']} | {j['edges_per_sec']} "
+                f"| {j['supersteps_per_hour']} |"
+            )
+    if "scaling_efficiency" in scaling:
+        lines += [
+            "",
+            f"**Scaling efficiency (local[8] → local[32], 4× cores): "
+            f"{scaling['scaling_efficiency']}** "
+            "(= (thr_32/thr_8)/4; the sandbox evidence for the north rule's "
+            "N → 4N executor criterion — same job, same input, two parallelism levels).",
+        ]
+    lines += [
+        "",
+        f"## Operator leg ({SF_DIR}, local[{CPUS}])",
+        "",
+        "| query | seconds |",
+        "|---|---|",
+    ]
+    for k, v in times.items():
+        lines.append(f"| {k} | {v} |")
+    lines += ["", f"Total bench wall: {round(total, 1)} s"]
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def main() -> None:
+    t_start = time.time()
+    from osmgraphing_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    edges_path = ensure_corpus_edges(spark)
+    times = run_operator_leg(spark)
+    spark.stop()
+
+    scaling = {}
+    if not SKIP_SCALING:
+        scaling = run_scaling_leg(edges_path)
+
+    total = time.time() - t_start
+    queries = dict(times)
+    if scaling:
+        queries["pagerank_full_local8"] = scaling["local[8]"]["pagerank_sec"]
+        queries["pagerank_full_local32"] = scaling["local[32]"]["pagerank_sec"]
+        queries["graph_build_local32"] = scaling["local[32]"]["build_sec"]
+
+    write_baseline_md(scaling, times, total)
+
+    out = {
+        "metric": "pagerank_edges_per_sec_local32",
+        "value": scaling.get("local[32]", {}).get("edges_per_sec", 0.0)
+        if scaling
+        else round(total, 2),
+        "unit": "edges/sec" if scaling else "sec",
+        "queries": queries,
+        "sf": SF,
+        "scaling_efficiency": scaling.get("scaling_efficiency"),
+        "supersteps_per_hour_local32": scaling.get("local[32]", {}).get(
+            "supersteps_per_hour"
+        ),
+        "total_sec": round(total, 2),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
