@@ -93,8 +93,12 @@ def image_features(
                 if row.kind != "image":
                     continue
                 meta = row.meta
+                # Arrow → pandas widens nullable struct ints to float; coerce
                 img = _decode_image_impl(
-                    bytes(row.data), meta["width"], meta["height"], meta["channels"]
+                    bytes(row.data),
+                    int(meta["width"]),
+                    int(meta["height"]),
+                    int(meta["channels"]),
                 )
                 small = _resize_impl(img, out_w, out_h)
                 feats.append(small.mean(axis=2).astype(np.float32).ravel())

@@ -1,0 +1,170 @@
+"""Unit tests for the training-data operators: dedup suite, similarity
+search, text functions, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osmgraphing_spark.functions import multimodal as mm
+from osmgraphing_spark.functions import text as X
+from osmgraphing_spark.operators import dedup as dd
+from osmgraphing_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),     # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat", "en"),     # near dup of 0
+        (3, "der schnelle braune fuchs springt und ist nicht faul", "de"),
+        (4, "completely unrelated text about spark engines and data", "en"),
+        (5, "", "en"),
+        (6, "une phrase pour le test est dans la ligne", "fr"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_duplicates(spark, docs):
+    dups = dd.exact_duplicates(docs).collect()
+    assert len(dups) == 1
+    assert dups[0]["keep_id"] == 0 and dups[0]["n_copies"] == 2
+    kept = dd.drop_exact_duplicates(docs)
+    assert kept.count() == 6
+    assert kept.where(F.col("doc_id") == 1).count() == 0
+
+
+def test_shingles_short_doc_empty(spark):
+    d = spark.createDataFrame([(0, "one two"), (1, "a b c d")], "doc_id long, text string")
+    sh = dd.shingles(d, n=3).collect()
+    ids = {r["id"] for r in sh}
+    assert ids == {1}  # doc 0 has < 3 tokens → no shingles
+    assert {r["shingle"] for r in sh} == {"a b c", "b c d"}
+
+
+def test_jaccard_pairs_finds_near_dup(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dd.jaccard_pairs(docs, 0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert all(a in (0, 1, 2) and b in (0, 1, 2) for a, b in pairs)
+
+
+def test_minhash_lsh_agrees_with_jaccard(spark, docs):
+    """LSH candidates must include every high-Jaccard pair (recall side of
+    the s-curve) on this tiny corpus."""
+    true_pairs = {
+        (r["id_a"], r["id_b"]) for r in dd.jaccard_pairs(docs, 0.8).collect()
+    }
+    cand = {(r["id_a"], r["id_b"]) for r in dd.lsh_candidate_pairs(docs, 16, 4).collect()}
+    assert true_pairs <= cand
+
+
+def test_simhash_exact_dup_distance_zero(spark, docs):
+    sigs = {r["id"]: r["simhash"] for r in dd.simhash64(docs).collect()}
+    assert sigs[0] == sigs[1]
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in dd.simhash_near_pairs(docs, 10).collect()}
+    assert pairs.get((0, 1)) == 0
+
+
+def test_text_functions(spark, docs):
+    out = docs.select(
+        "doc_id",
+        X.token_count(F.col("text")).alias("n"),
+        X.lang_id(F.col("text")).alias("lg"),
+        X.quality_score(F.col("text")).alias("q"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["n"] == 9
+    assert by_id[5]["n"] == 0
+    assert by_id[0]["lg"] == "en"
+    assert by_id[3]["lg"] == "de"
+    assert by_id[6]["lg"] == "fr"
+    assert by_id[5]["lg"] == "unknown"
+    assert 0.0 <= by_id[0]["q"] <= 1.0
+
+
+def _random_vectors(spark, n=60, dim=16, seed=7):
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((n, dim)).astype(np.float32)
+    rows = [(i, mat[i].tolist(), 0) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int"),
+        mat,
+    )
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    df, mat = _random_vectors(spark)
+    queries = df.where(F.col("vec_id") < 3)
+    got = sim.brute_force_topk(df, queries, k=4).collect()
+    m = mat.astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = m @ m.T
+    for q in range(3):
+        order = [
+            i for i in np.lexsort((np.arange(len(m)), -cos[q])) if i != q
+        ][:4]
+        got_q = sorted(
+            [r for r in got if r["query_id"] == q], key=lambda r: r["rk"]
+        )
+        assert [r["neighbor_id"] for r in got_q] == order
+
+
+def test_ann_recall_reasonable(spark):
+    df, mat = _random_vectors(spark, n=120, dim=16)
+    queries = df.where(F.col("vec_id") < 10)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.brute_force_topk(df, queries, k=3).collect()
+    }
+    ann = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.ann_topk(df, queries, dim=16, k=3, n_planes=6, n_tables=8).collect()
+    }
+    recall = len(brute & ann) / len(brute)
+    assert recall >= 0.5, f"ANN recall too low: {recall}"
+
+
+def test_ivf_assign_covers_all(spark):
+    df, _ = _random_vectors(spark, n=80, dim=8)
+    assigned, centroids = sim.ivf_assign(df, n_cells=4)
+    rows = assigned.collect()
+    assert len(rows) == 80
+    assert {r["cell"] for r in rows} <= set(range(4))
+    assert centroids.shape == (4, 8)
+
+
+def test_multimodal_image_features(spark):
+    media = mm.synth_media(spark, n=12)
+    feats = mm.image_features(media, out_w=4, out_h=4).collect()
+    assert len(feats) == 4  # every 3rd row is an image
+    for r in feats:
+        assert len(r["feature"]) == 16
+    # deterministic: same input → same features
+    again = mm.image_features(mm.synth_media(spark, n=12), out_w=4, out_h=4).collect()
+    assert sorted((r["media_id"], tuple(r["feature"])) for r in feats) == sorted(
+        (r["media_id"], tuple(r["feature"])) for r in again
+    )
+
+
+def test_multimodal_strict_mode_raises(spark):
+    media = mm.synth_media(spark, n=3)
+    mm.STRICT = True
+    try:
+        with pytest.raises(Exception):
+            mm.image_features(media).collect()
+    finally:
+        mm.STRICT = False
+
+
+def test_frame_sample(spark):
+    media = mm.synth_media(spark, n=9)
+    frames = mm.frame_sample(media, every_n=25).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    for mid, idxs in by_media.items():
+        assert idxs == sorted(idxs)
+        assert idxs[0] == 0 and all(i % 25 == 0 for i in idxs)
