@@ -30,9 +30,11 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SF = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
-# power-law corpus size: sf0.1 → 150k files (~580k edges)
-N_FILES = max(int(1_500_000 * SF), 2_000)
-BENCH_DATA = os.path.join(REPO, ".bench_data", f"sf{SF}")
+# power-law corpus size: sf0.1 → 2M files (~8M edges). Sized so a superstep
+# is COMPUTE-bound, not scheduler-bound — the scaling-efficiency evidence is
+# meaningless when per-superstep fixed overhead dominates.
+N_FILES = max(int(20_000_000 * SF), 5_000)
+BENCH_DATA = os.path.join(REPO, ".bench_data", f"sf{SF}_n{N_FILES}")
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_BENCH_NO_SCALING", "") == "1"
 
 OPERATOR_QUERIES = [

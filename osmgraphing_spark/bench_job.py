@@ -26,7 +26,7 @@ def main() -> None:
     ap.add_argument("--mode", default="dataframe", choices=["dataframe", "csr"])
     ap.add_argument("--max-iter", type=int, default=50)
     ap.add_argument("--tol", type=float, default=1e-6)
-    ap.add_argument("--check-every", type=int, default=5)
+    ap.add_argument("--check-every", type=int, default=10)
     ap.add_argument("--num-blocks", type=int, default=32)
     ap.add_argument("--shuffle-partitions", type=int, default=32)
     args = ap.parse_args()

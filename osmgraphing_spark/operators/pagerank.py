@@ -119,6 +119,9 @@ def _run_loop(
     # dangling flag (the 'dea' sink in simple_stuttgart,
     # /root/reference/resources/simple_stuttgart/graph.fmi) carried on the
     # vertex dimension so dangling mass is a plain in-plan aggregate
+    # pre-shuffled into the loop's own hash(vid) layout + sorted, so every
+    # superstep's joins against this static side reuse partitioning and
+    # ordering (zero exchange for vflag across all supersteps)
     vflag = (
         graph.vertices.select("vid")
         .join(
@@ -129,6 +132,8 @@ def _run_loop(
             "left",
         )
         .select("vid", F.coalesce("has_out", F.lit(False)).alias("has_out"))
+        .repartition(graph.num_blocks, F.col("vid"))
+        .sortWithinPartitions("vid")
         .persist()
     )
     vflag.count()

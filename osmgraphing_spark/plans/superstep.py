@@ -1,18 +1,24 @@
 """Shared plumbing for BSP superstep loops.
 
-AQE is a net loss *inside* an iterative loop: every superstep's shuffles
-get re-optimized and staged sequentially, which costs multiple scheduler
-round-trips per iteration while the data volumes are already known and
-stable after the first superstep (measured locally: ~18 s/superstep with
-AQE vs ~1.5 s without, on a tiny graph — pure overhead). Build-phase jobs
-keep AQE; loops run under ``iterative_conf``.
+Two measured rules for iterative jobs (both verified on this sandbox with
+the power-law bench corpus, 150k vertices / 600k edges):
 
-``maybe_broadcast``: rank/label state is one slim row per vertex — up to a
-few million vertices it fits comfortably under a broadcast and turns the
-per-superstep join against the (huge, co-partitioned) edge table into a
-map-side hash join with zero shuffle of the edge side. Past the threshold
-the state joins shuffle — against an edge table already at rest in
-hash(src) layout, so only the small state side moves.
+1. **AQE off inside the loop.** Every superstep's shuffles get re-optimized
+   and staged sequentially — multiple scheduler round-trips per iteration
+   for data volumes that are known and stable after the first superstep
+   (~18 s/superstep with AQE vs ~1.5 s without, on a tiny graph). Build
+   -phase jobs keep AQE; loops run under ``iterative_conf``.
+
+2. **No broadcast joins inside the loop.** A broadcast of the rank state is
+   rebuilt ON EVERY ACTION (broadcast variables aren't reused across jobs),
+   serializing through the driver each superstep: measured 9.5 s/superstep
+   with broadcasts vs 1.4 s with shuffle joins at local[32]. Shuffle joins
+   also compose: a whole ``check_every`` stride of lazily-chained
+   supersteps pipelines as ONE multi-stage job. The big edge side rests in
+   hash(src) layout, so only the slim per-vertex state shuffles.
+   ``autoBroadcastJoinThreshold=-1`` here prevents Catalyst from sneaking
+   broadcasts back in. (On a real cluster the same logic holds — executor-
+   count × per-action broadcast build cost — only the constants change.)
 """
 
 from __future__ import annotations
@@ -22,12 +28,13 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# ~24 bytes/row state → 4M vertices ≈ 100 MB broadcast: fine on executors
-# with multi-GB heaps; beyond this the state side shuffles instead.
-BROADCAST_VERTEX_LIMIT = 4_000_000
+# broadcast of per-vertex state inside loops is disabled by default (see
+# module docstring, rule 2); raise explicitly for experiments only.
+BROADCAST_VERTEX_LIMIT = 0
 
 _ITER_CONF = {
     "spark.sql.adaptive.enabled": "false",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
 }
 
 
@@ -49,4 +56,6 @@ def iterative_conf(spark: SparkSession):
 
 
 def maybe_broadcast(df: DataFrame, n_rows: int) -> DataFrame:
-    return F.broadcast(df) if n_rows <= BROADCAST_VERTEX_LIMIT else df
+    if BROADCAST_VERTEX_LIMIT and n_rows <= BROADCAST_VERTEX_LIMIT:
+        return F.broadcast(df)
+    return df
