@@ -22,7 +22,8 @@ import time
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--master", required=True)
-    ap.add_argument("--edges", required=True, help="raw_edges parquet dir")
+    ap.add_argument("--edges", help="raw_edges parquet dir (runs the full build)")
+    ap.add_argument("--prebuilt", help="prebuilt graph dir (skips the build)")
     ap.add_argument("--mode", default="dataframe", choices=["dataframe", "csr"])
     ap.add_argument("--max-iter", type=int, default=50)
     ap.add_argument("--tol", type=float, default=1e-6)
@@ -34,6 +35,7 @@ def main() -> None:
     from .operators import pagerank
     from .operators.build import build_graph
     from .session import get_spark
+    from .sources.readers import load_prebuilt_graph
 
     spark = get_spark(
         app_name=f"bench-{args.master}",
@@ -42,9 +44,13 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    raw = spark.read.parquet(args.edges)
     t0 = time.time()
-    g = build_graph(raw, num_blocks=args.num_blocks)
+    if args.prebuilt:
+        g = load_prebuilt_graph(spark, args.prebuilt, num_blocks=args.num_blocks)
+    else:
+        g = build_graph(
+            spark.read.parquet(args.edges), num_blocks=args.num_blocks
+        )
     build_sec = time.time() - t0
 
     res = pagerank.run(

@@ -106,55 +106,57 @@ def _run_loop(
         # durable per-superstep metrics require an action per superstep
         check_every = 1
 
+    # Dangling handling via a VIRTUAL SINK: every vertex with no out-edges
+    # (the 'dea' sink in simple_stuttgart,
+    # /root/reference/resources/simple_stuttgart/graph.fmi) gets one synthetic
+    # edge to vid = -1 with contribution factor 1.0. The dangling mass then
+    # falls out of the SAME shuffle as the regular contributions (the row at
+    # dst = -1), instead of costing a separate filter+aggregate branch per
+    # superstep. Semantics identical: dm/N is redistributed to every vertex.
+    VSINK = -1
+    dangling = graph.vertices.select("vid").join(
+        graph.edges.select(F.col("src").alias("vid")).distinct(), "vid", "left_anti"
+    )
+    sink_edges = dangling.select(
+        F.col("vid").alias("src"), F.lit(VSINK).cast("long").alias("dst"),
+        F.lit(1.0).alias("cfac"),
+    )
+
     csr = None
     cedges = None
     if mode == "csr":
-        csr = _csr_contrib_blocks(graph, weighted)
+        csr = _csr_contrib_blocks(graph, weighted, sink_edges)
         csr.persist()
         csr.count()
     else:
-        cedges = _contrib_edges(graph, weighted).persist()
+        cedges = (
+            _contrib_edges(graph, weighted)
+            .unionByName(sink_edges)
+            .repartition(graph.num_blocks, F.col("src"))
+            .sortWithinPartitions("src", "dst")
+            .persist()
+        )
         cedges.count()
 
-    # dangling flag (the 'dea' sink in simple_stuttgart,
-    # /root/reference/resources/simple_stuttgart/graph.fmi) carried on the
-    # vertex dimension so dangling mass is a plain in-plan aggregate
-    # pre-shuffled into the loop's own hash(vid) layout + sorted, so every
-    # superstep's joins against this static side reuse partitioning and
-    # ordering (zero exchange for vflag across all supersteps)
-    vflag = (
+    # static vertex dimension, pre-shuffled into the loop's hash(vid) layout
+    # + sorted: zero exchange for this side across all supersteps
+    verts = (
         graph.vertices.select("vid")
-        .join(
-            graph.edges.select(F.col("src").alias("vid"))
-            .distinct()
-            .withColumn("has_out", F.lit(True)),
-            "vid",
-            "left",
-        )
-        .select("vid", F.coalesce("has_out", F.lit(False)).alias("has_out"))
         .repartition(graph.num_blocks, F.col("vid"))
         .sortWithinPartitions("vid")
         .persist()
     )
-    vflag.count()
+    verts.count()
 
-    def with_flag(ranks: DataFrame) -> DataFrame:
-        return maybe_broadcast(ranks, n).join(vflag, "vid").select(
-            "vid", "rank", "has_out"
-        )
+    cached_summed: list[DataFrame] = []
 
     def superstep(state: DataFrame) -> DataFrame:
-        """state (vid, rank, has_out) → next state; fully lazy."""
-        dm = state.where(~F.col("has_out")).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
-        )
+        """state (vid, rank) → next state; fully lazy."""
         if mode == "csr":
-            contribs = _spmv_superstep(state.select("vid", "rank"), csr, graph.num_blocks)
+            contribs = _spmv_superstep(state, csr, graph.num_blocks)
         else:
             contribs = cedges.join(
-                maybe_broadcast(
-                    state.select(F.col("vid").alias("src"), "rank"), n
-                ),
+                maybe_broadcast(state.select(F.col("vid").alias("src"), "rank"), n),
                 "src",
                 "inner",
             ).select("dst", (F.col("rank") * F.col("cfac")).alias("c"))
@@ -162,9 +164,20 @@ def _run_loop(
             summed = _salted_sum(contribs, salt)
         else:
             summed = contribs.groupBy("dst").agg(F.sum("c").alias("c"))
+        # lazy persist: summed is referenced twice (dm row + main join); the
+        # cache prevents the broadcast branch from re-executing the whole
+        # upstream plan (which compounds exponentially across a stride)
+        summed = summed.persist()
+        cached_summed.append(summed)
+        dm = summed.where(F.col("dst") == VSINK).select(
+            F.coalesce(F.sum("c"), F.lit(0.0)).alias("dm")
+        )
         return (
-            vflag.join(
-                maybe_broadcast(summed.withColumnRenamed("dst", "vid"), n),
+            verts.join(
+                maybe_broadcast(
+                    summed.where(F.col("dst") != VSINK).withColumnRenamed("dst", "vid"),
+                    n,
+                ),
                 "vid",
                 "left",
             )
@@ -176,19 +189,23 @@ def _run_loop(
                     + F.lit(d) * F.col("dm") / F.lit(float(n))
                     + F.lit(d) * F.coalesce(F.col("c"), F.lit(0.0))
                 ).alias("rank"),
-                "has_out",
             )
         )
 
+    def _drain_cache():
+        for df in cached_summed:
+            df.unpersist()
+        cached_summed.clear()
+
     start_step = 0
     deltas: list[float] = []
-    state = with_flag(
-        graph.vertices.select("vid", (F.lit(1.0) / F.lit(float(n))).alias("rank"))
+    state = graph.vertices.select(
+        "vid", (F.lit(1.0) / F.lit(float(n))).alias("rank")
     )
     if checkpoint is not None and resume:
         latest = checkpoint.latest()
         if latest is not None:
-            state = with_flag(checkpoint.read(latest))
+            state = checkpoint.read(latest)
             start_step = latest + 1
             m = checkpoint.read_metrics(latest)
             deltas = m.get("deltas_so_far", [])
@@ -222,6 +239,8 @@ def _run_loop(
         deltas.append(delta)
         it += stride
         converged = delta < tol
+        # new_state materialized during the delta action; block caches done
+        _drain_cache()
 
         if checkpoint is not None and (
             (it - 1) % checkpoint_every == 0 or converged or it >= max_iter
@@ -237,7 +256,7 @@ def _run_loop(
                     extra={"deltas_so_far": deltas, "mode": mode},
                 ),
             )
-            new_state = with_flag(ckpt_state)
+            new_state = ckpt_state
         state = new_state
 
     wall = time.time() - t_start
@@ -264,13 +283,18 @@ def _salted_sum(contribs: DataFrame, salt: int) -> DataFrame:
 # CSR SpMV fast path
 # ---------------------------------------------------------------------------
 
-def _csr_contrib_blocks(graph: Graph, weighted: bool) -> DataFrame:
+def _csr_contrib_blocks(
+    graph: Graph, weighted: bool, sink_edges: DataFrame | None = None
+) -> DataFrame:
     """CSR blocks whose weights array already holds the contribution factor
-    (1/out_deg or weight/out_wsum)."""
+    (1/out_deg or weight/out_wsum); includes the virtual-sink edges so the
+    SpMV emits the dangling-mass row at dst = -1 like the join executor."""
     from .build import build_csr_blocks
 
-    cedges = _contrib_edges(graph, weighted).withColumnRenamed("cfac", "weight")
-    return build_csr_blocks(cedges, graph.num_blocks)
+    cedges = _contrib_edges(graph, weighted)
+    if sink_edges is not None:
+        cedges = cedges.unionByName(sink_edges)
+    return build_csr_blocks(cedges.withColumnRenamed("cfac", "weight"), graph.num_blocks)
 
 
 def _spmv_superstep(ranks: DataFrame, csr: DataFrame, num_blocks: int) -> DataFrame:
