@@ -70,6 +70,13 @@ def test_query_matches_oracle(spark, name):
     assert _rowset(spark_rows) == _rowset(duck_rows), f"{name}: value mismatch"
 
 
+def test_entry_smoke(spark):
+    """The driver's smoke check: entry(spark) runs and yields rows."""
+    df = entry.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"node_id", "rank"}
+
+
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_oracle_less_query_runs(spark, name):
     """Rows-only check for non-SQL-expressible queries (mirrors the driver's
