@@ -55,18 +55,27 @@ def test_superstep_reuses_edge_layout(spark):
         ).groupBy("dst").agg(F.sum("rank").alias("c"))
         plan = _plan(joined)
         cedges.unpersist()
-    # exactly two exchanges: the state side into hash(src), and the groupBy
-    # by dst — the edge side must contribute none
-    assert plan.count("Exchange hashpartitioning") == 2, plan
-    assert "BroadcastExchange" not in plan
-    # the edge-side InMemoryTableScan feeds the SMJ without an extra Sort:
-    # the only Sorts in the plan sort the *state* side (rank column present)
-    scan_section = plan.split("InMemoryRelation")[0]
-    edge_sorts = [
-        ln for ln in scan_section.splitlines()
-        if "Sort [src" in ln and "rank" not in ln and "ASC NULLS FIRST, dst" in ln
-    ]
-    assert not edge_sorts, f"edge side re-sorted:\n{plan}"
+    lines = plan.splitlines()
+    # the streaming prefix: everything above the first cached relation
+    # (deeper lines replay the InMemoryRelation's already-run build lineage)
+    prefix_end = next(
+        i for i, ln in enumerate(lines) if "InMemoryRelation" in ln
+    )
+    prefix = lines[:prefix_end]
+    # the edge side: between the SortMergeJoin and its InMemoryTableScan
+    # there must be NO Sort and NO Exchange — the cached layout is consumed
+    # as-is (this is the whole point of the resting hash(src) layout)
+    smj = next(i for i, ln in enumerate(prefix) if "SortMergeJoin" in ln)
+    scan = next(
+        i for i, ln in enumerate(prefix) if "InMemoryTableScan" in ln and i > smj
+    )
+    between = prefix[smj + 1 : scan]
+    assert not any(
+        "Sort" in ln or "Exchange" in ln for ln in between
+    ), f"edge side re-shuffled/re-sorted:\n" + "\n".join(prefix)
+    # exactly one exchange above the join: the groupBy(dst); and no broadcast
+    assert sum("Exchange hashpartitioning" in ln for ln in prefix[:smj]) == 1, plan
+    assert not any("BroadcastExchange" in ln for ln in prefix), plan
 
 
 def test_no_broadcast_inside_loop(spark):
@@ -88,4 +97,5 @@ def test_wholestage_codegen_on_relational_path(spark):
         .groupBy("l_returnflag")
         .agg(F.sum("l_extendedprice").alias("s"))
     )
-    assert "WholeStageCodegen" in _plan(q)
+    q.collect()  # finalize AQE stages so codegen annotations materialize
+    assert "WholeStageCodegen" in _plan(q) or "*(" in _plan(q)
