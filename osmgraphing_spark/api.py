@@ -1,0 +1,122 @@
+"""Library façade — the engine's equivalent of the reference's library API
+(/root/reference/examples/dijkstra.rs:20-74: Config → parse_and_finalize →
+compute), so "a user of the reference switches" with three lines:
+
+    from osmgraphing_spark.api import LinkGraph
+    g = LinkGraph.from_corpus(spark, corpus_df, reference_df)
+    scores = g.pagerank()                    # (vid, rank) DataFrame
+
+All heavy lifting stays in the operator modules; this is orchestration +
+defaults only.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import cc as _cc
+from .operators import lpa as _lpa
+from .operators import pagerank as _pagerank
+from .operators import triangles as _triangles
+from .operators.build import Graph, build_graph
+from .operators.extract import extract_edges
+from .plans.checkpoint import CheckpointManager
+from .session import F64_ABS
+
+
+@dataclass
+class LinkGraph:
+    graph: Graph
+    checkpoint_root: str | None = None
+    _managers: dict = field(default_factory=dict)
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def from_corpus(
+        cls,
+        spark: SparkSession,
+        corpus: DataFrame,
+        reference_hashes: DataFrame | None = None,
+        num_blocks: int = 32,
+        checkpoint_root: str | None = None,
+    ) -> "LinkGraph":
+        """(repo, path, commit, lang, content) → built graph. Verifies the
+        per-row sha256 invariant when a reference table is supplied."""
+        raw = extract_edges(corpus, reference_hashes, verify=reference_hashes is not None)
+        return cls(build_graph(raw, num_blocks=num_blocks), checkpoint_root)
+
+    @classmethod
+    def from_edges(
+        cls, raw_edges: DataFrame, num_blocks: int = 32, checkpoint_root: str | None = None
+    ) -> "LinkGraph":
+        """(src_key, dst_key, weight) → built graph."""
+        return cls(build_graph(raw_edges, num_blocks=num_blocks), checkpoint_root)
+
+    @classmethod
+    def load(cls, spark: SparkSession, base_dir: str, num_blocks: int = 32) -> "LinkGraph":
+        from .sources.readers import load_prebuilt_graph
+
+        return cls(load_prebuilt_graph(spark, base_dir, num_blocks))
+
+    def save(self, base_dir: str) -> None:
+        from .sources.writers import write_graph_tables
+
+        write_graph_tables(self.graph, base_dir)
+
+    # -- compute ------------------------------------------------------------
+
+    def _ckpt(self, job: str) -> CheckpointManager | None:
+        if self.checkpoint_root is None:
+            return None
+        if job not in self._managers:
+            self._managers[job] = CheckpointManager(
+                self.graph.edges.sparkSession, self.checkpoint_root, job
+            )
+        return self._managers[job]
+
+    def pagerank(
+        self,
+        damping: float = 0.85,
+        tol: float = F64_ABS,
+        max_iter: int = 200,
+        weighted: bool = False,
+        mode: str = "dataframe",
+        resume: bool = False,
+        **kw,
+    ) -> DataFrame:
+        res = _pagerank.run(
+            self.graph,
+            damping=damping,
+            tol=tol,
+            max_iter=max_iter,
+            weighted=weighted,
+            mode=mode,
+            checkpoint=self._ckpt("pagerank"),
+            resume=resume,
+            **kw,
+        )
+        return res.ranks
+
+    def connected_components(self, resume: bool = False) -> DataFrame:
+        return _cc.run(self.graph, checkpoint=self._ckpt("cc"), resume=resume)
+
+    def label_propagation(self, max_iter: int = 20, resume: bool = False) -> DataFrame:
+        return _lpa.run(
+            self.graph, max_iter=max_iter, checkpoint=self._ckpt("lpa"), resume=resume
+        )
+
+    def triangle_count(self) -> int:
+        return _triangles.count(self.graph)
+
+    def triangles_per_vertex(self) -> DataFrame:
+        return _triangles.per_vertex(self.graph)
+
+    def degrees(self) -> DataFrame:
+        return self.graph.out_degrees()
+
+    def with_keys(self, df: DataFrame) -> DataFrame:
+        """Attach the external vertex key to any (vid, ...) result."""
+        return df.join(self.graph.vertices, "vid")

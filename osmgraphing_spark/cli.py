@@ -1,0 +1,110 @@
+"""Job CLI — the engine's `osmgraphing --config cfg.yaml` equivalent
+(/root/reference/src/bin/osmgraphing/mod.rs:39-57: config-driven batch run).
+
+Config is a JSON file (the Raw→Proto→Config discipline collapsed to one
+validated dataclass — stdlib-only since the sandbox has no yaml):
+
+    {
+      "corpus": "/path/corpus.parquet",          # (repo,path,commit,lang,content)
+      "reference_hashes": "/path/ref.parquet",   # optional sha256 sidecar
+      "algorithms": ["pagerank", "cc", "lpa", "triangles"],
+      "output": "/path/results",
+      "checkpoint_root": "/path/ckpt",           # optional; enables resume
+      "num_blocks": 32,
+      "pagerank": {"damping": 0.85, "tol": 1e-6, "max_iter": 200}
+    }
+
+Run locally or on a cluster (north rule):
+
+    spark-submit --py-files osmgraphing_spark.zip -m ... , or simply
+    python -m osmgraphing_spark.cli --config job.json [--resume]
+
+`scripts/make_pyfiles_zip.py` builds the --py-files artifact.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass
+class JobConfig:
+    corpus: str
+    output: str
+    algorithms: list[str] = field(default_factory=lambda: ["pagerank"])
+    reference_hashes: str | None = None
+    checkpoint_root: str | None = None
+    num_blocks: int = 32
+    master: str | None = None
+    pagerank: dict = field(default_factory=dict)
+    lpa: dict = field(default_factory=dict)
+
+    VALID_ALGOS = ("pagerank", "cc", "lpa", "triangles", "degrees")
+
+    @classmethod
+    def from_file(cls, path: str) -> "JobConfig":
+        with open(path) as f:
+            raw = json.load(f)
+        unknown = set(raw) - set(cls.__dataclass_fields__)
+        if unknown:
+            raise ValueError(f"unknown config keys: {sorted(unknown)}")
+        cfg = cls(**raw)
+        missing = [a for a in cfg.algorithms if a not in cls.VALID_ALGOS]
+        if missing:
+            raise ValueError(f"unknown algorithms: {missing} (valid: {cls.VALID_ALGOS})")
+        return cfg
+
+
+def run(cfg: JobConfig, resume: bool = False) -> dict:
+    from .api import LinkGraph
+    from .session import get_spark
+
+    spark = get_spark(app_name="osmgraphing-spark-job", master=cfg.master)
+    corpus = spark.read.parquet(cfg.corpus)
+    ref = (
+        spark.read.parquet(cfg.reference_hashes) if cfg.reference_hashes else None
+    )
+    lg = LinkGraph.from_corpus(
+        spark, corpus, ref, num_blocks=cfg.num_blocks,
+        checkpoint_root=cfg.checkpoint_root,
+    )
+    summary = {
+        "vertices": lg.graph.num_vertices,
+        "edges": lg.graph.num_edges,
+        "outputs": {},
+    }
+    os.makedirs(cfg.output, exist_ok=True)
+    for algo in cfg.algorithms:
+        out_path = os.path.join(cfg.output, algo)
+        if algo == "pagerank":
+            df = lg.with_keys(lg.pagerank(resume=resume, **cfg.pagerank))
+        elif algo == "cc":
+            df = lg.with_keys(lg.connected_components(resume=resume))
+        elif algo == "lpa":
+            df = lg.with_keys(lg.label_propagation(resume=resume, **cfg.lpa))
+        elif algo == "degrees":
+            df = lg.with_keys(lg.degrees().withColumnRenamed("src", "vid"))
+        elif algo == "triangles":
+            n = lg.triangle_count()
+            df = spark.createDataFrame([(n,)], "n_triangles bigint")
+        df.write.mode("overwrite").parquet(out_path)
+        summary["outputs"][algo] = out_path
+    with open(os.path.join(cfg.output, "summary.json"), "w") as f:
+        json.dump(summary, f)
+    return summary
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(prog="osmgraphing_spark")
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args()
+    summary = run(JobConfig.from_file(args.config), resume=args.resume)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

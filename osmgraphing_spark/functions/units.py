@@ -35,8 +35,8 @@ def conversion_factor(src: str, dst: str) -> float:
     converts to 'f64' (drop the unit, keep the number)."""
     if src not in _BASE_FACTOR or dst not in _BASE_FACTOR:
         raise UnitConversionError(f"unknown unit: {src!r} or {dst!r}")
-    if dst == "f64" or src == dst:
-        return 1.0 if src == dst or dst == "f64" else 1.0
+    if src == dst or dst == "f64":  # f64 = drop the unit, keep the number
+        return 1.0
     sdim, sfac = _BASE_FACTOR[src]
     ddim, dfac = _BASE_FACTOR[dst]
     if sdim != ddim:

@@ -100,28 +100,50 @@ def _run_loop(graph, max_iter, checkpoint, resume):
             edges = checkpoint.read(latest)
             start = latest + 1
 
+    def _signature(df: DataFrame) -> tuple[int, int]:
+        """(row count, order-free content hash) — ONE cheap aggregate
+        instead of two exceptAll scans per round. Wrap-around sum of
+        per-row xxhash64 is order/partitioning independent; a collision
+        on non-adversarial data is ~2^-64 per round."""
+        r = df.agg(
+            F.count("*").alias("n"),
+            # decimal(38,0) accumulator: immune to ANSI long-overflow up to
+            # ~1e19 rows while staying order/partitioning independent
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return int(r["n"]), int(r["h"] or 0)
+
+    sig = _signature(edges)
     for it in range(start, max_iter):
         t0 = time.time()
         new_edges = _small_star(_large_star(edges))
-        changed = (
-            new_edges.exceptAll(edges).limit(1).count()
-            + edges.exceptAll(new_edges).limit(1).count()
-        )
         if checkpoint is not None:
             new_edges = checkpoint.write(
                 it,
                 new_edges,
                 SuperstepMetrics(
                     step=it,
-                    delta=float(changed),
-                    rows=new_edges.count(),
+                    delta=-1.0,
+                    rows=-1,
                     wall_ms=(time.time() - t0) * 1000,
                 ),
             )
         else:
             new_edges = new_edges.localCheckpoint(eager=True)
-        edges = new_edges
-        if changed == 0:
+        new_sig = _signature(new_edges)
+        changed = new_sig != sig
+        if checkpoint is not None:
+            checkpoint.amend_metrics(
+                it,
+                SuperstepMetrics(
+                    step=it,
+                    delta=float(changed),
+                    rows=new_sig[0],
+                    wall_ms=(time.time() - t0) * 1000,
+                ),
+            )
+        edges, sig = new_edges, new_sig
+        if not changed:
             break
 
     parent = edges.groupBy("src").agg(F.min("dst").alias("component"))

@@ -1,0 +1,97 @@
+"""Library façade + config-driven CLI (the reference's two entry surfaces:
+examples/dijkstra.rs library use and the osmgraphing binary's
+--config runs)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import zipfile
+
+import numpy as np
+import pytest
+
+from osmgraphing_spark.api import LinkGraph
+from osmgraphing_spark.cli import JobConfig, run as cli_run
+from osmgraphing_spark.sources import synth
+
+from . import oracle
+from .helpers import build_fixture
+
+
+def test_api_end_to_end(spark, tmp_path):
+    corpus = synth.fixture_corpus(spark, ("small",))
+    ref = synth.reference_hashes(corpus)
+    lg = LinkGraph.from_corpus(
+        spark, corpus, ref, num_blocks=4, checkpoint_root=str(tmp_path / "ck")
+    )
+    assert lg.graph.num_vertices == 8 and lg.graph.num_edges == 16
+
+    ranks = {r["vid"]: r["rank"] for r in lg.pagerank().collect()}
+    edges = [
+        (r["src"], r["dst"]) for r in lg.graph.edges.select("src", "dst").collect()
+    ]
+    expected = oracle.pagerank(8, edges)
+    for vid, rank in ranks.items():
+        assert abs(rank - expected[vid]) < 1e-6
+
+    assert lg.triangle_count() == oracle.triangles(8, edges)
+    comps = lg.with_keys(lg.connected_components())
+    assert {c["component"] for c in comps.collect()} == {0}
+
+    # save / load roundtrip preserves counts
+    lg.save(str(tmp_path / "g"))
+    lg2 = LinkGraph.load(spark, str(tmp_path / "g"), num_blocks=4)
+    assert lg2.graph.num_edges == 16
+
+
+def test_cli_config_validation(tmp_path):
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"corpus": "x", "output": "y", "algorithms": ["dijkstra"]}))
+    with pytest.raises(ValueError, match="unknown algorithms"):
+        JobConfig.from_file(str(bad))
+    bad2 = tmp_path / "bad2.json"
+    bad2.write_text(json.dumps({"corpus": "x", "output": "y", "wat": 1}))
+    with pytest.raises(ValueError, match="unknown config keys"):
+        JobConfig.from_file(str(bad2))
+
+
+def test_cli_job_runs(spark, tmp_path):
+    corpus_path = str(tmp_path / "corpus.parquet")
+    ref_path = str(tmp_path / "ref.parquet")
+    corpus = synth.fixture_corpus(spark, ("twocc",))
+    corpus.write.parquet(corpus_path)
+    synth.reference_hashes(corpus).write.parquet(ref_path)
+
+    cfg = JobConfig(
+        corpus=corpus_path,
+        reference_hashes=ref_path,
+        output=str(tmp_path / "out"),
+        algorithms=["pagerank", "cc", "triangles"],
+        checkpoint_root=str(tmp_path / "ck"),
+        num_blocks=4,
+        master="local[4]",
+    )
+    summary = cli_run(cfg)
+    assert summary["vertices"] == 11 and summary["edges"] == 19
+    pr = spark.read.parquet(summary["outputs"]["pagerank"])
+    assert pr.count() == 11 and "key" in pr.columns
+    tri = spark.read.parquet(summary["outputs"]["triangles"]).collect()[0]
+    # twocc = small (1 triangle? oracle says) ∪ 3-cycle (1 triangle)
+    g, edges, _ = build_fixture(spark, ("twocc",))
+    assert tri["n_triangles"] == oracle.triangles(g.num_vertices, edges)
+
+
+def test_make_pyfiles_zip(tmp_path):
+    out = str(tmp_path / "pkg.zip")
+    r = subprocess.run(
+        [sys.executable, "scripts/make_pyfiles_zip.py", out],
+        capture_output=True, text=True, cwd=os.path.dirname(os.path.dirname(__file__)),
+    )
+    assert r.returncode == 0, r.stderr
+    names = zipfile.ZipFile(out).namelist()
+    assert "osmgraphing_spark/api.py" in names
+    assert "osmgraphing_spark/operators/pagerank.py" in names
+    assert not any("__pycache__" in n or "tests/" in n for n in names)
