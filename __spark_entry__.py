@@ -143,6 +143,45 @@ def q_pagerank5(spark, sf_dir):
     )
 
 
+def _bipartite_weighted_raw_edges(spark, sf_dir):
+    """Same bipartite graph but weight = reference multiplicity (how many
+    lineitems link the customer to the supplier)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count("*").alias("w"))
+    )
+    return pairs.select(
+        F.format_string("c%09d", F.col("o_custkey")).alias("src_key"),
+        F.format_string("s%09d", F.col("l_suppkey")).alias("dst_key"),
+        F.col("w").cast("double").alias("weight"),
+    )
+
+
+def q_pagerank5_weighted(spark, sf_dir):
+    """G7 weighted: contributions ∝ edge weight / Σ out-weights."""
+    g = build_graph(_bipartite_weighted_raw_edges(spark, sf_dir), num_blocks=8)
+    res = pr.run(g, damping=0.85, tol=0.0, max_iter=5, check_every=5, weighted=True)
+    return (
+        res.ranks.join(g.vertices, "vid")
+        .select(
+            _key_to_node_id(F.col("key")).alias("node_id"),
+            F.round("rank", 6).alias("rank"),
+        )
+    )
+
+
+def q_triangles_per_vertex_nations(spark, sf_dir):
+    """G10 per-vertex variant on the nation co-region graph."""
+    g = build_graph(_nation_raw_edges(spark, sf_dir), num_blocks=4)
+    out = _vid_to_nationkey(g, tri.per_vertex(g), ["vid"])
+    return out.select(
+        F.col("vid").alias("n_nationkey"), F.col("triangles").alias("triangles")
+    )
+
+
 def q_cc_nations(spark, sf_dir):
     """G8: connected components (small-star/large-star) on nation cliques."""
     g = build_graph(_nation_raw_edges(spark, sf_dir), num_blocks=4)
@@ -400,6 +439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_nations": q_cc_nations,
         "lpa_nations": q_lpa_nations,
         "triangles_nations": q_triangles_nations,
+        "pagerank5_weighted": q_pagerank5_weighted,
+        "triangles_per_vertex_nations": q_triangles_per_vertex_nations,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
         "normalize_qty": q_normalize_qty,
@@ -487,6 +528,54 @@ _LPA_ITER = """
     )"""
 
 
+_PR_W_ITER = """
+    r{K} AS (
+        SELECT v.vid,
+               (0.15 / (SELECT n FROM n))
+               + 0.85 * ((SELECT dm FROM dm{P}) / (SELECT n FROM n))
+               + 0.85 * COALESCE(c.c, 0) AS rank
+        FROM v
+        LEFT JOIN (
+            SELECT e.dst AS vid, SUM(r{P}.rank * e.w / deg.d) AS c
+            FROM e
+            JOIN r{P} ON e.src = r{P}.vid
+            JOIN deg ON e.src = deg.src
+            GROUP BY e.dst
+        ) c ON v.vid = c.vid
+    ),
+    dm{K} AS (
+        SELECT COALESCE(SUM(r.rank), 0) AS dm
+        FROM r{K} r LEFT JOIN deg ON r.vid = deg.src
+        WHERE deg.src IS NULL
+    )"""
+
+SQL_BIPARTITE_WEIGHTED_EDGES = """
+    SELECT o_custkey AS src, {OFF} + l_suppkey AS dst,
+           CAST(COUNT(*) AS DOUBLE) AS w
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1, 2
+""".format(OFF=SUPP_OFFSET)
+
+
+def _pagerank5_weighted_sql() -> str:
+    parts = [
+        "WITH e AS (" + SQL_BIPARTITE_WEIGHTED_EDGES + "),",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e),",
+        "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),",
+        "deg AS (SELECT src, SUM(w) AS d FROM e GROUP BY src),",
+        "r0 AS (SELECT vid, 1.0 / (SELECT n FROM n) AS rank FROM v),",
+        """dm0 AS (
+            SELECT COALESCE(SUM(r.rank), 0) AS dm
+            FROM r0 r LEFT JOIN deg ON r.vid = deg.src
+            WHERE deg.src IS NULL
+        )""",
+    ]
+    for k in range(1, 6):
+        parts.append("," + _PR_W_ITER.format(K=k, P=k - 1))
+    parts.append("SELECT vid AS node_id, ROUND(rank, 6) AS rank FROM r5")
+    return "\n".join(parts)
+
+
 def _lpa2_sql() -> str:
     parts = [
         "WITH e AS (" + SQL_NATION_EDGES + "),",
@@ -548,6 +637,17 @@ def oracle_sql() -> dict[str, str]:
             FROM o FULL OUTER JOIN i ON o.vid = i.vid
         """,
         "pagerank5": _pagerank5_sql(),
+        "pagerank5_weighted": _pagerank5_weighted_sql(),
+        "triangles_per_vertex_nations": """
+            SELECT a.n_nationkey, CAST(COUNT(*) AS BIGINT) AS triangles
+            FROM nation a
+            JOIN nation b ON a.n_regionkey = b.n_regionkey
+                         AND b.n_nationkey <> a.n_nationkey
+            JOIN nation c ON b.n_regionkey = c.n_regionkey
+                         AND c.n_nationkey > b.n_nationkey
+                         AND c.n_nationkey <> a.n_nationkey
+            GROUP BY a.n_nationkey
+        """,
         "cc_nations": """
             SELECT n_nationkey,
                    MIN(n_nationkey) OVER (PARTITION BY n_regionkey) AS component

@@ -55,6 +55,18 @@ def test_cc_resume(spark, tmp_ckpt):
     )
 
 
+def test_lpa_resume(spark, tmp_ckpt):
+    g, edges, _ = build_fixture(spark, ("small",))
+    ck = CheckpointManager(spark, tmp_ckpt, "lpa")
+    partial = lpa.run(g, max_iter=2, checkpoint=ck)  # 'crash' after 2 rounds
+    assert ck.latest() == 1
+    resumed = _label_vec(
+        lpa.run(g, max_iter=10, checkpoint=ck, resume=True), g.num_vertices, "label"
+    )
+    fresh = _label_vec(lpa.run(g, max_iter=10), g.num_vertices, "label")
+    np.testing.assert_array_equal(resumed, fresh)
+
+
 @pytest.mark.parametrize("names", [("small",), ("bait",), ("twocc",)])
 def test_lpa_vs_oracle(spark, names):
     g, edges, _ = build_fixture(spark, names)
