@@ -38,7 +38,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # link graph derived from the relational tables
 # ---------------------------------------------------------------------------
 
-SUPP_OFFSET = 1_000_000  # disjoint vertex-id spaces for the bipartite graph
+# disjoint vertex-id spaces for the bipartite graph: 1e10 is safely above
+# any o_custkey at any TPC-H scale factor (1e6 collided from sf≈7 upward)
+SUPP_OFFSET = 10_000_000_000
 
 
 def _bipartite_raw_edges(spark, sf_dir) -> DataFrame:
@@ -377,8 +379,13 @@ def q_doc_exact_dups(spark, sf_dir):
     return dd.exact_duplicates(_t(spark, sf_dir, "documents"))
 
 
+JACCARD_MAX_DF = 100  # hot-shingle cut: the df² pair-join term is the 100 TB killer
+
+
 def q_doc_jaccard_pairs(spark, sf_dir):
-    return dd.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5, n=3)
+    return dd.jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, n=3, max_df=JACCARD_MAX_DF
+    )
 
 
 def q_doc_minhash(spark, sf_dir):
@@ -392,10 +399,17 @@ def q_doc_lsh_candidates(spark, sf_dir):
     )
 
 
+SIMHASH_MAX_HAMMING = 3  # 4 chunks × 16 bits: the scale-sane blocking width
+
+
 def q_doc_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (no SQL oracle: 64-bit xxhash64 signatures
-    aren't reproducible in DuckDB — rows-only check)."""
-    return dd.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+    """SimHash near-dup pairs. Portable md5-derived token hashes + the
+    signature carried as two 32-bit halves make the WHOLE pipeline —
+    signatures, chunk blocking, Hamming verify — reproducible in DuckDB,
+    so this is now value-checked (round 1 was rows-only)."""
+    return dd.simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=SIMHASH_MAX_HAMMING
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -413,13 +427,17 @@ def q_embed_topk(spark, sf_dir):
     )
 
 
+ANN_DIM = 64  # embeddings.embedding width in the driver test tables
+
+
 def q_embed_ann(spark, sf_dir):
-    """LSH-bucketed ANN (approximate — rows-only check; recall vs brute
-    force is asserted in pytest instead)."""
+    """LSH-bucketed ANN via the portable integer-quantized hyperplanes: the
+    candidate set (and hence the exact top-k) is SQL-reproducible, so this
+    is value-checked end to end (round 1's float-hyperplane variant was
+    rows-only; it remains as sim.ann_topk with a pytest recall gate)."""
     emb = _t(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
     queries = emb.where(F.col("vec_id") < 10)
-    return sim.ann_topk(emb, queries, dim=dim, k=5)
+    return sim.ann_topk_portable(emb, queries, dim=ANN_DIM, k=5)
 
 
 # ---------------------------------------------------------------------------
@@ -616,6 +634,132 @@ _SHINGLES_CTE = """
 """
 
 
+def _simhash_pairs_sql(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
+    """DuckDB replica of dedup.simhash64 + simhash_near_pairs: identical md5
+    hash slices, identical per-bit majority, identical chunk spans. Every
+    intermediate stays < 2^32 (DuckDB errors on 64-bit shift overflow)."""
+    from osmgraphing_spark.operators.dedup import _chunk_spans
+
+    n_chunks = max_hamming + 1
+    sums = []
+    for b in range(64):
+        src, off = ("h_lo", b) if b < 32 else ("h_hi", b - 32)
+        sums.append(
+            f"SUM(CASE WHEN (({src} >> {off}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}"
+        )
+
+    def half(bits):
+        return " | ".join(
+            f"(CASE WHEN b{b} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+            for i, b in enumerate(bits)
+        )
+
+    chunk_selects = []
+    for c, (start, width) in enumerate(_chunk_spans(n_chunks)):
+        mask = (1 << width) - 1
+        if start >= 32:
+            key = f"((sig_hi >> {start - 32}) & {mask})"
+        elif start + width <= 32:
+            key = f"((sig_lo >> {start}) & {mask})"
+        else:
+            low_w = 32 - start
+            key = (
+                f"(((sig_lo >> {start}) & {(1 << low_w) - 1}) | "
+                f"((sig_hi & {(1 << (width - low_w)) - 1}) << {low_w}))"
+            )
+        chunk_selects.append(
+            f"SELECT id, {c} AS chunk, {key} AS key, sig_hi, sig_lo FROM sig"
+        )
+
+    return f"""
+        WITH tok AS (
+            SELECT doc_id AS id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+            FROM documents
+        ),
+        h AS (
+            SELECT id,
+                   CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h_hi,
+                   CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS h_lo
+            FROM tok
+        ),
+        sums AS (SELECT id, {", ".join(sums)} FROM h GROUP BY id),
+        sig AS (
+            SELECT id, {half(range(32, 64))} AS sig_hi, {half(range(32))} AS sig_lo
+            FROM sums
+        ),
+        chunks AS ({" UNION ALL ".join(chunk_selects)}),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                   a.sig_hi AS hi_a, a.sig_lo AS lo_a,
+                   b.sig_hi AS hi_b, b.sig_lo AS lo_b
+            FROM chunks a
+            JOIN chunks b ON a.chunk = b.chunk AND a.key = b.key AND a.id < b.id
+        )
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= {max_hamming}
+    """
+
+
+def _embed_ann_sql(dim: int = ANN_DIM, k: int = 5, n_planes: int = 8, n_tables: int = 4) -> str:
+    """DuckDB replica of similarity.ann_topk_portable: the seeded integer
+    hyperplanes are inlined as literal arrays; quantized projections are
+    exact integers in double arithmetic, so the candidate buckets (and thus
+    the exact top-k) match Spark's bit-for-bit."""
+    from osmgraphing_spark.operators.similarity import int_hyperplanes
+
+    planes = int_hyperplanes(dim, n_planes, n_tables)
+    buck_selects = []
+    for t in range(n_tables):
+        terms = []
+        for p in range(n_planes):
+            lit = "[" + ", ".join(str(v) for v in planes[t][p]) + "]::DOUBLE[]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(q, {lit}) > 0 THEN {1 << p} ELSE 0 END)"
+            )
+        buck_selects.append(
+            f"SELECT vec_id, {t} AS tbl, {' + '.join(terms)} AS bucket FROM qv"
+        )
+    return f"""
+        WITH qv AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1024, 0)) AS q
+            FROM embeddings
+        ),
+        buck AS ({" UNION ALL ".join(buck_selects)}),
+        cand AS (
+            SELECT DISTINCT qq.vec_id AS query_id, vv.vec_id AS neighbor_id
+            FROM buck vv
+            JOIN buck qq ON vv.tbl = qq.tbl AND vv.bucket = qq.bucket
+            WHERE qq.vec_id < 10 AND vv.vec_id <> qq.vec_id
+        ),
+        q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+            FROM embeddings WHERE vec_id < 10
+        ),
+        v AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS nvec FROM embeddings),
+        scored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   list_dot_product(qvec, nvec)
+                   / (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(nvec, nvec))) AS s
+            FROM cand c
+            JOIN q ON c.query_id = q.query_id
+            JOIN v ON c.neighbor_id = v.neighbor_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, ROUND(s, 6) AS score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY ROUND(s, 6) DESC, neighbor_id ASC
+                   ) AS rk
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, score, CAST(rk AS INT) AS rk
+        FROM ranked WHERE rk <= {k}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     langcases = []
     for lg, markers in X.LANG_MARKERS.items():
@@ -765,10 +909,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_jaccard_pairs": f"""
             WITH {_SHINGLES_CTE},
-            sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+            keep AS (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING COUNT(*) <= {JACCARD_MAX_DF}
+            ),
+            shf AS (SELECT sh.id, sh.shingle FROM sh JOIN keep USING (shingle)),
+            sizes AS (SELECT id, COUNT(*) AS sz FROM shf GROUP BY id),
             common AS (
                 SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
-                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+                FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.id < b.id
                 GROUP BY a.id, b.id
             )
             SELECT id_a, id_b,
@@ -830,6 +979,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, score, CAST(rk AS INT) AS rk
             FROM ranked WHERE rk <= 5
         """,
-        # doc_simhash_pairs, embed_ann: intentionally omitted (non-SQL-
-        # reproducible hashing / approximate results) → rows-only check.
+        "doc_simhash_pairs": _simhash_pairs_sql(),
+        "embed_ann": _embed_ann_sql(),
     }

@@ -90,10 +90,14 @@ def assign_vertex_ids(raw_edges: DataFrame, num_partitions: int = 32) -> DataFra
             yield pdf
 
     out = parted.mapInPandas(stamp, schema="key string, vid long")
-    # materialize before unpersisting the parent (ids must not be recomputed
-    # against a re-sampled range partitioning)
-    out = out.persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
+    # pin the assignment through a parquet round-trip, NOT a persist: a
+    # persisted block lost to executor death would be recomputed against a
+    # RE-SAMPLED range partitioning — silently remapping vertex ids mid-job
+    # (observed: cc labels changed after total block loss). File-backed ids
+    # are recompute-proof and leave no executor-storage blocks behind.
+    from ..plans.checkpoint import EphemeralTruncator
+
+    out = EphemeralTruncator(raw_edges.sparkSession, "vids").truncate(out)
     parted.unpersist()
     return out
 
@@ -119,14 +123,42 @@ def dedup_edges(raw_edges: DataFrame) -> DataFrame:
     )
 
 
+def dedup_edges_multi(raw_edges: DataFrame) -> DataFrame:
+    """Multi-metric variant: ``metrics array<double>`` column; every
+    component is clamped to >= 1e-6, and duplicates collapse when (src, dst)
+    match AND EVERY metric agrees on the 1e-6 grid — the reference's
+    finalize-time rule over its edge × metric matrix
+    (/root/reference/src/network/graph/building.rs:503-573; matrix store
+    mod.rs:95-96)."""
+    clamped = raw_edges.withColumn(
+        "metrics",
+        F.transform(
+            F.col("metrics"),
+            lambda m: F.when(m < F.lit(F64_ABS), F.lit(F64_ABS)).otherwise(m),
+        ),
+    )
+    return (
+        clamped.withColumn(
+            "m_grid", F.transform(F.col("metrics"), lambda m: F.round(m, 6))
+        )
+        .dropDuplicates(["src_key", "dst_key", "m_grid"])
+        .drop("m_grid")
+    )
+
+
 @dataclass
 class Graph:
     """Finalized graph: the Spark analogue of the reference's ``Graph``
     struct (/root/reference/src/network/graph/mod.rs:78-103).
 
     vertices: (key string, vid long)            — sorted external ids → dense
-    edges:    (src long, dst long, weight double, out_deg long, out_wsum double)
+    edges:    (src long, dst long, weight double, out_deg long, out_wsum double
+               [, metrics array<double>])
               resting layout: hash(src) % num_blocks, sorted (src, dst)
+    metric_names: config-declared metric vocabulary when the graph carries a
+              per-edge metric VECTOR (the reference's edge × metric matrix,
+              mod.rs:95-96; width declared in resources/blueprint.yaml:20-117);
+              ``weight`` is then an alias of ``metrics[0]``.
     num_vertices / num_edges: pinned counts (the reference pins these in
               tests, tests/isle_of_man/parsing.rs:40-41)
     """
@@ -136,11 +168,54 @@ class Graph:
     num_vertices: int
     num_edges: int
     num_blocks: int
+    metric_names: list[str] | None = None
 
     def out_degrees(self) -> DataFrame:
+        # out_deg/out_wsum are constant per src by construction; max is the
+        # self-documentingly safe pick (F.first depended on that invariant)
         return self.edges.groupBy("src").agg(
-            F.first("out_deg").alias("out_deg"), F.first("out_wsum").alias("out_wsum")
+            F.max("out_deg").alias("out_deg"), F.max("out_wsum").alias("out_wsum")
         )
+
+    def metric_index(self, name: str) -> int:
+        if not self.metric_names or name not in self.metric_names:
+            raise KeyError(f"unknown metric {name!r} (have {self.metric_names})")
+        return self.metric_names.index(name)
+
+    def metric_col(self, name: str):
+        """Column expression for one named metric of the vector."""
+        return F.element_at(F.col("metrics"), self.metric_index(name) + 1)
+
+    def metric_means(self) -> dict[str, float]:
+        """Per-metric global mean — ONE pass, k algebraic aggregates (the
+        reference recomputes per-metric means at finalize,
+        building.rs:1410-1455)."""
+        if not self.metric_names:
+            return {"weight": self.edges.agg(F.avg("weight")).collect()[0][0]}
+        aggs = [
+            F.avg(F.element_at(F.col("metrics"), i + 1)).alias(n)
+            for i, n in enumerate(self.metric_names)
+        ]
+        row = self.edges.agg(*aggs).collect()[0]
+        return {n: float(row[n]) for n in self.metric_names}
+
+    def normalized_metrics(self) -> DataFrame:
+        """Edges with every metric divided by its global mean (the
+        reference's mean-normalization applied to the whole vector) —
+        → (src, dst, metrics array<double>)."""
+        means = self.metric_means()
+        if not self.metric_names:
+            m = means["weight"]
+            return self.edges.select(
+                "src", "dst", F.array(F.col("weight") / F.lit(m)).alias("metrics")
+            )
+        arr = F.array(
+            *[
+                F.element_at(F.col("metrics"), i + 1) / F.lit(means[n])
+                for i, n in enumerate(self.metric_names)
+            ]
+        )
+        return self.edges.select("src", "dst", arr.alias("metrics"))
 
     def csr_blocks(self) -> DataFrame:
         return build_csr_blocks(self.edges, self.num_blocks)
@@ -158,9 +233,22 @@ def build_graph(
     raw_edges: DataFrame,
     num_blocks: int = 32,
     id_partitions: int = 32,
+    metric_names: list[str] | None = None,
 ) -> Graph:
-    """raw (src_key, dst_key, weight) → finalized Graph."""
-    edges_d = dedup_edges(raw_edges)
+    """raw (src_key, dst_key, weight) → finalized Graph.
+
+    With ``metric_names``, raw edges carry ``metrics array<double>`` of that
+    width instead of ``weight``: dedup/clamp act on the whole vector and
+    ``weight`` becomes an alias of ``metrics[0]`` (so every algorithm's
+    weighted mode keeps working)."""
+    if metric_names:
+        edges_d = dedup_edges_multi(raw_edges).withColumn(
+            "weight", F.element_at(F.col("metrics"), 1)
+        )
+        carry = ["src", "dst", "weight", "metrics"]
+    else:
+        edges_d = dedup_edges(raw_edges)
+        carry = ["src", "dst", "weight"]
     vids = assign_vertex_ids(edges_d, num_partitions=id_partitions)
     n_vertices = vids.count()
 
@@ -173,7 +261,7 @@ def build_graph(
     e = (
         edges_d.join(src_map, "src_key", "inner")
         .join(dst_map, "dst_key", "inner")
-        .select("src", "dst", "weight")
+        .select(*carry)
     )
 
     # per-src degree + weight sum (for PageRank contributions), computed once
@@ -196,6 +284,7 @@ def build_graph(
         num_vertices=n_vertices,
         num_edges=n_edges,
         num_blocks=num_blocks,
+        metric_names=list(metric_names) if metric_names else None,
     )
 
 

@@ -32,7 +32,8 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.checkpoint import CheckpointManager, SuperstepMetrics
+from ..plans.checkpoint import CheckpointManager, EphemeralTruncator, SuperstepMetrics
+from ..plans.superstep import BlockScope
 from .build import Graph
 
 
@@ -89,9 +90,11 @@ def run(
 
 
 def _run_loop(graph, max_iter, checkpoint, resume):
-    edges = graph.symmetrized_edges().where(F.col("src") > F.col("dst")).unionAll(
-        graph.symmetrized_edges().where(F.col("src") < F.col("dst"))
-    ).distinct()
+    # symmetrized_edges() is already self-loop-free and distinct — one scan
+    edges = graph.symmetrized_edges()
+    spark = graph.edges.sparkSession
+    scope = BlockScope(spark)
+    trunc = EphemeralTruncator(spark, "cc") if checkpoint is None else None
 
     start = 0
     if checkpoint is not None and resume:
@@ -129,7 +132,11 @@ def _run_loop(graph, max_iter, checkpoint, resume):
                 ),
             )
         else:
-            new_edges = new_edges.localCheckpoint(eager=True)
+            # reliable per-round truncation (a round's output is the whole
+            # state — the MapReduce formulation materializes it anyway);
+            # then release every block the round pinned in executor storage
+            new_edges = trunc.truncate(new_edges)
+            scope.release_new()
         new_sig = _signature(new_edges)
         changed = new_sig != sig
         if checkpoint is not None:

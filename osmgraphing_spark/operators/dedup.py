@@ -26,6 +26,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.checkpoint import EphemeralTruncator
+
+
+def _materialize(df: DataFrame, tag: str) -> DataFrame:
+    """Parquet round-trip for a frame consumed by several downstream scans:
+    same reuse as persist() but leaves no executor-storage blocks behind
+    (loop-scoped persists leaked blocks across long sessions — ADVICE r1)."""
+    return EphemeralTruncator(df.sparkSession, tag).truncate(df)
+
 # ---------------------------------------------------------------------------
 # exact
 # ---------------------------------------------------------------------------
@@ -90,7 +99,7 @@ def jaccard_pairs(
     cost is Σ_shingle df² — bounded by ``max_df`` (drop shingles more
     frequent than the cap; a pair of near-dups still shares many rarer
     shingles)."""
-    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col).persist()
+    sh = _materialize(shingles(docs, n=n, id_col=id_col, text_col=text_col), "jaccard")
     if max_df is not None:
         hot = sh.groupBy("shingle").count().where(F.col("count") > max_df).select("shingle")
         sh = sh.join(hot, "shingle", "left_anti")
@@ -188,60 +197,129 @@ def lsh_candidate_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
+def _chunk_spans(n_chunks: int) -> list[tuple[int, int]]:
+    """Split the 64 signature bits into n contiguous (start, width) spans,
+    widths as even as possible."""
+    base, rem = divmod(64, n_chunks)
+    spans, s = [], 0
+    for i in range(n_chunks):
+        w = base + (1 if i < rem else 0)
+        spans.append((s, w))
+        s += w
+    return spans
+
+
+def _extract_span(hi, lo, start: int, width: int):
+    """Bits [start, start+width) of the 64-bit (hi:32 | lo:32) signature —
+    every intermediate stays < 2^32, so the SAME arithmetic runs in DuckDB
+    (which errors on 64-bit shift overflow) for the SQL oracle."""
+    mask = (1 << width) - 1
+    if start >= 32:
+        return F.shiftright(hi, start - 32).bitwiseAND(F.lit(mask))
+    if start + width <= 32:
+        return F.shiftright(lo, start).bitwiseAND(F.lit(mask))
+    low_w = 32 - start
+    low_part = F.shiftright(lo, start).bitwiseAND(F.lit((1 << low_w) - 1))
+    high_part = hi.bitwiseAND(F.lit((1 << (width - low_w)) - 1))
+    return low_part.bitwiseOR(F.shiftleft(high_part, low_w))
+
+
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """→ (id, simhash): 64-bit SimHash over whitespace tokens.
+    """→ (id, sig_hi, sig_lo, simhash): 64-bit SimHash over whitespace
+    tokens, carried as two 32-bit halves plus the combined long.
 
     Per-bit majority vote expressed as built-in aggregations: explode
-    tokens → xxhash64 → for each bit b, sum(±1) → sign bit. The 64 sums are
-    one groupBy with 64 algebraic aggregates (map-side combinable, one
+    tokens → *portable* md5-derived 64-bit hash (two 32-bit hex slices —
+    reproducible bit-for-bit in DuckDB, so the driver's SQL oracle verifies
+    signatures by value) → for each bit b, sum(±1) → sign bit. The 64 sums
+    are one groupBy with 64 algebraic aggregates (map-side combinable, one
     shuffle of 64-column partials — no UDF, no per-row Python)."""
-    toks = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(64)
-    ]
-    sums = toks.groupBy("id").agg(*aggs)
-    sig = F.lit(0).cast("long")
-    for b in range(64):
-        sig = sig.bitwiseOR(
-            F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                F.lit(0).cast("long")
-            )
+    toks = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
         )
-    return sums.select("id", sig.alias("simhash"))
+        .withColumn("md5", F.md5("tok"))
+        .withColumn("h_hi", F.conv(F.substring("md5", 1, 8), 16, 10).cast("long"))
+        .withColumn("h_lo", F.conv(F.substring("md5", 9, 8), 16, 10).cast("long"))
+    )
+    aggs = []
+    for b in range(64):
+        src, off = ("h_lo", b) if b < 32 else ("h_hi", b - 32)
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(src), off).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{b}")
+        )
+    sums = toks.groupBy("id").agg(*aggs)
+
+    def _half(bit_range):
+        sig = F.lit(0).cast("long")
+        for i, b in enumerate(bit_range):
+            sig = sig.bitwiseOR(
+                F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+        return sig
+
+    sig_lo = _half(range(32))
+    sig_hi = _half(range(32, 64))
+    return sums.select(
+        "id",
+        sig_hi.alias("sig_hi"),
+        sig_lo.alias("sig_lo"),
+        (F.shiftleft(sig_hi, 32).bitwiseOR(sig_lo)).alias("simhash"),
+    )
 
 
 def simhash_near_pairs(
-    docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
 ) -> DataFrame:
-    """Near-dup candidates by SimHash: block on 16-bit chunks (any pair
-    within Hamming distance ≤ 3 of a 64-bit key agrees on ≥1 of 4 chunks —
-    pigeonhole), verify Hamming distance on candidates.
-    → (id_a, id_b, hamming)."""
-    sig = simhash64(docs, id_col, text_col).persist()
+    """Near-dup candidates by SimHash: block on ``max_hamming + 1``
+    contiguous bit chunks — by pigeonhole ANY pair within Hamming distance
+    ≤ max_hamming agrees exactly on ≥1 chunk (round-1 used a fixed 4 chunks,
+    silently dropping pairs when max_hamming > 3) — then verify the exact
+    Hamming distance on candidates. → (id_a, id_b, hamming).
+
+    Scale note: chunk width is 64/(max_hamming+1) bits; wider max_hamming ⇒
+    narrower chunks ⇒ exponentially bigger buckets. Keep max_hamming ≤ 3
+    (16-bit chunks) on web-scale corpora; the verify step keeps precision
+    exact either way."""
+    n_chunks = max_hamming + 1
+    sig = _materialize(simhash64(docs, id_col, text_col), "simhash")
     chunks = None
-    for c in range(4):
+    for c, (start, width) in enumerate(_chunk_spans(n_chunks)):
         part = sig.select(
             "id",
             F.lit(c).alias("chunk"),
-            F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
-            "simhash",
+            _extract_span(F.col("sig_hi"), F.col("sig_lo"), start, width).alias("key"),
+            "sig_hi",
+            "sig_lo",
         )
         chunks = part if chunks is None else chunks.unionAll(part)
-    a = chunks.select("chunk", "key", F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"))
-    b = chunks.select("chunk", "key", F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"))
+    a = chunks.select(
+        "chunk", "key", F.col("id").alias("id_a"),
+        F.col("sig_hi").alias("hi_a"), F.col("sig_lo").alias("lo_a"),
+    )
+    b = chunks.select(
+        "chunk", "key", F.col("id").alias("id_b"),
+        F.col("sig_hi").alias("hi_b"), F.col("sig_lo").alias("lo_b"),
+    )
     cand = (
         a.join(b, ["chunk", "key"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
         .distinct()
     )
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    ham = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    )
     return (
         cand.withColumn("hamming", ham)
         .where(F.col("hamming") <= max_hamming)

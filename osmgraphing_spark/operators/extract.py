@@ -6,7 +6,11 @@ nodes referenced by edges only, pbf.rs:174-199):
 
 1. **per-row invariant** — recompute ``sha2(content, 256)`` and verify it
    equals the sidecar reference hash for every row (fail the job on any
-   mismatch, *before* the graph is polluted);
+   mismatch, *before* the graph is polluted). The check is FUSED into the
+   extraction projection (``assert_true`` guarding the ref-extraction
+   expression), so the 100 TB ``content`` column is scanned exactly ONCE —
+   hashing and parsing happen in the same stage, and the first corrupt row
+   aborts the job from inside it;
 2. **vectorized extraction** — ONE Arrow-batched pandas UDF over
    (lang, content) pulls the list of ``(target_stem, weight)`` references
    per file (regex per language; python ``import X  # w=F`` and
@@ -96,11 +100,11 @@ class Sha256MismatchError(RuntimeError):
 
 
 def verify_content_hashes(corpus: DataFrame, reference: DataFrame) -> None:
-    """Per-row invariant: engine sha2(content,256) == reference parse hash.
-
-    Checked *inside* the extraction stage so a corrupted row fails the job
-    before any edge derived from it reaches the graph (SURVEY §7 risk list).
-    Raises on: hash mismatch, or corpus rows missing from the reference table.
+    """Standalone audit variant of the per-row invariant (one EXTRA full
+    scan of ``content`` — use only to audit a corpus without extracting;
+    ``extract_edges(verify=True)`` fuses the same check into its single
+    extraction scan instead). Raises on: hash mismatch, or corpus rows
+    missing from the reference table.
     """
     joined = (
         corpus.select(
@@ -137,15 +141,47 @@ def extract_edges(
     reference: DataFrame | None = None,
     verify: bool = True,
 ) -> DataFrame:
-    """corpus (repo,path,commit,lang,content) → raw edges (src_key, dst_key, weight)."""
+    """corpus (repo,path,commit,lang,content) → raw edges (src_key, dst_key, weight).
+
+    With ``verify=True`` and a reference table, the sha256 per-row invariant
+    is checked INSIDE the extraction projection: ``assert_true`` guards the
+    ref-extraction expression, so hashing and parsing share one scan of the
+    (huge) ``content`` column and any mismatch (or row missing from the
+    reference) aborts the job at that row. The check fires when the edges
+    are materialized (Spark is lazy) — the graph can never be built from a
+    corrupted corpus. The reference join is an equi-join on
+    (repo, path, commit): unique keys on both sides, no skew.
+    """
+    parse_src = corpus
+    guarded_refs = extract_refs(F.col("lang"), F.col("content"))
     if verify and reference is not None:
-        verify_content_hashes(corpus, reference)
+        parse_src = corpus.join(
+            reference.select(
+                "repo", "path", "commit", F.col("content_sha256").alias("_ref_sha")
+            ),
+            ["repo", "path", "commit"],
+            "left",
+        )
+        chk = F.assert_true(
+            F.col("_ref_sha").isNotNull()
+            & (F.col("_ref_sha") == F.sha2(F.col("content"), 256)),
+            F.concat(
+                F.lit("content sha256 invariant violated at "),
+                F.col("repo"),
+                F.lit("/"),
+                F.col("path"),
+            ),
+        )
+        # chk is NULL (and side-effect-checked) for every valid row; the
+        # when() makes the assertion part of the SAME projection as the
+        # extraction UDF — one pass over content, no second scan
+        guarded_refs = F.when(chk.isNull(), guarded_refs)
 
     refs = (
-        corpus.select(
+        parse_src.select(
             "repo",
             "path",
-            extract_refs(F.col("lang"), F.col("content")).alias("refs"),
+            guarded_refs.alias("refs"),
         )
         .where(F.size("refs") > 0)
         .select("repo", "path", F.explode("refs").alias("ref"))

@@ -14,17 +14,24 @@ any parallelism.
 
 Each superstep: one join (labels ⨝ edges on src — the edge table's resting
 hash(src) layout) + one groupBy(dst, label) count (map-side combinable)
-+ one tiny window per dst. Checkpoint/resume like every iterative op.
++ one groupBy(dst) max-struct decode. The winner-per-dst is an ALGEBRAIC
+aggregate — ``max(struct(cnt, -label))`` encodes (count DESC, label ASC) —
+not a window: both aggregations pre-combine map-side and there is no
+per-hub sort, so a power-law hub costs O(distinct labels), not O(deg log
+deg). Checkpoint/resume like every iterative op; per-round state goes
+through a reliable parquet truncation and the round's executor blocks are
+released (see plans.checkpoint docstring).
 """
 
 from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.checkpoint import CheckpointManager, SuperstepMetrics
+from ..plans.checkpoint import CheckpointManager, EphemeralTruncator, SuperstepMetrics
+from ..plans.superstep import BlockScope
 from .build import Graph
 
 
@@ -41,10 +48,35 @@ def run(
         return _run_loop(graph, max_iter, checkpoint, resume)
 
 
+def superstep(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous LPA round: (vid, label) → (vid, label).
+
+    Winner per dst = algebraic max over struct(cnt, -label): maximizing the
+    struct lexicographically maximizes cnt then MINIMIZES label — the
+    deterministic (count DESC, label ASC) tie-break with no window sort.
+    """
+    votes = (
+        edges.join(labels.withColumnRenamed("vid", "src"), "src", "inner")
+        .groupBy("dst", "label")
+        .agg(F.count("*").alias("cnt"))
+    )
+    winners = (
+        votes.groupBy("dst")
+        .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("w"))
+        .select(F.col("dst").alias("vid"), (-F.col("w.nl")).alias("new_label"))
+    )
+    return labels.join(winners, "vid", "left").select(
+        "vid", F.coalesce("new_label", "label").alias("label")
+    )
+
+
 def _run_loop(graph, max_iter, checkpoint, resume):
     edges = graph.symmetrized_edges()  # undirected neighbor relation
     edges = edges.persist()
     edges.count()
+    spark = graph.edges.sparkSession
+    scope = BlockScope(spark)
+    trunc = EphemeralTruncator(spark, "lpa") if checkpoint is None else None
 
     labels = graph.vertices.select("vid", F.col("vid").alias("label"))
     start = 0
@@ -54,23 +86,9 @@ def _run_loop(graph, max_iter, checkpoint, resume):
             labels = checkpoint.read(latest)
             start = latest + 1
 
-    w = Window.partitionBy("dst").orderBy(F.col("cnt").desc(), F.col("label").asc())
     for it in range(start, max_iter):
         t0 = time.time()
-        votes = (
-            edges.join(labels.withColumnRenamed("vid", "src"), "src", "inner")
-            .groupBy("dst", "label")
-            .agg(F.count("*").alias("cnt"))
-        )
-        winners = (
-            votes.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") == 1)
-            .select(F.col("dst").alias("vid"), F.col("label").alias("new_label"))
-        )
-        new_labels = (
-            labels.join(winners, "vid", "left")
-            .select("vid", F.coalesce("new_label", "label").alias("label"))
-        )
+        new_labels = superstep(edges, labels)
         changed_df = new_labels.join(
             labels.withColumnRenamed("label", "old_label"), "vid", "inner"
         ).where(F.col("label") != F.col("old_label"))
@@ -88,8 +106,10 @@ def _run_loop(graph, max_iter, checkpoint, resume):
                 ),
             )
         else:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = trunc.truncate(new_labels)
+            scope.release_new()
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
     return labels

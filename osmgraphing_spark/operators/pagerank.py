@@ -33,8 +33,20 @@ E/salt on top of map-side partial aggregation.
 
 Durable checkpoints (state + convergence metrics + per-partition lineage)
 go through ``plans.checkpoint`` every ``checkpoint_every`` supersteps;
-``resume=True`` restarts from the latest committed superstep. In-memory
-lineage is truncated every superstep with a lazy ``localCheckpoint``.
+``resume=True`` restarts from the latest committed superstep.
+
+Lineage discipline (two tiers, both required at scale):
+
+- WITHIN a stride, each superstep's plan is truncated with a lazy
+  ``localCheckpoint`` (pure plan-size control — Catalyst would otherwise
+  re-traverse an exponentially-shared subtree per extra superstep).
+- AT stride boundaries the state goes through a RELIABLE parquet
+  round-trip (user ``CheckpointManager`` if given, else an internal
+  ``EphemeralTruncator``), after which every block the stride pinned in
+  executor storage is released via ``BlockScope``. ``localCheckpoint``
+  blocks are non-recoverable — accumulating them across a long run is a
+  deterministic out-of-memory/executor-loss job killer; after the parquet
+  round-trip nothing ever re-reads them, so releasing is safe.
 """
 
 from __future__ import annotations
@@ -47,8 +59,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.checkpoint import CheckpointManager, SuperstepMetrics
-from ..plans.superstep import iterative_conf, maybe_broadcast
+from ..plans.checkpoint import CheckpointManager, EphemeralTruncator, SuperstepMetrics
+from ..plans.superstep import BlockScope, iterative_conf, maybe_broadcast
 from ..session import F64_ABS
 from .build import Graph
 
@@ -148,6 +160,11 @@ def _run_loop(
     )
     verts.count()
 
+    # everything persisted/local-checkpointed from here on is stride-scoped
+    # and released at each boundary (after the reliable truncation)
+    scope = BlockScope(spark)
+    trunc = EphemeralTruncator(spark, "pagerank") if checkpoint is None else None
+
     cached_summed: list[DataFrame] = []
 
     def superstep(state: DataFrame) -> DataFrame:
@@ -210,6 +227,9 @@ def _run_loop(
             m = checkpoint.read_metrics(latest)
             deltas = m.get("deltas_so_far", [])
             if m["delta"] < tol:
+                for df in (cedges, csr, verts):
+                    if df is not None:
+                        df.unpersist()
                 return PageRankResult(
                     state.select("vid", "rank"), latest + 1, True, deltas,
                     graph.num_edges * (latest + 1), 0.0,
@@ -239,13 +259,13 @@ def _run_loop(
         deltas.append(delta)
         it += stride
         converged = delta < tol
-        # new_state materialized during the delta action; block caches done
-        _drain_cache()
 
+        # reliable boundary truncation: the state leaves executor storage
+        # for parquet BEFORE the stride's blocks are released below
         if checkpoint is not None and (
             (it - 1) % checkpoint_every == 0 or converged or it >= max_iter
         ):
-            ckpt_state = checkpoint.write(
+            new_state = checkpoint.write(
                 it - 1,
                 new_state.select("vid", "rank"),
                 SuperstepMetrics(
@@ -256,10 +276,21 @@ def _run_loop(
                     extra={"deltas_so_far": deltas, "mode": mode},
                 ),
             )
-            new_state = ckpt_state
+        elif trunc is not None:
+            new_state = trunc.truncate(new_state.select("vid", "rank"))
+
+        # the stride's summed caches + local checkpoints are now dead weight
+        _drain_cache()
+        scope.release_new()
         state = new_state
 
     wall = time.time() - t_start
+    # state is parquet-backed (truncated at the last boundary): the loop's
+    # static caches can be dropped before returning — a long-lived session
+    # keeps zero blocks per completed run
+    for df in (cedges, csr, verts):
+        if df is not None:
+            df.unpersist()
     return PageRankResult(
         ranks=state.select("vid", "rank"),
         iterations=it,

@@ -169,6 +169,117 @@ def ann_topk(
 
 
 # ---------------------------------------------------------------------------
+# portable (oracle-verifiable) integer-LSH ANN
+# ---------------------------------------------------------------------------
+
+Q_SCALE = 1024  # power of two: float32 * 1024 is EXACT in double
+
+
+def int_hyperplanes(
+    dim: int, n_planes: int = 8, n_tables: int = 4, seed: int = SEED
+) -> list[list[list[int]]]:
+    """Integer hyperplanes in [-1000, 1000] — same LSH family as gaussian
+    hyperplanes (direction-uniform enough for bucketing), but the projection
+    sign becomes an EXACT integer comparison, reproducible bit-for-bit in
+    any engine: quantized vector (round(x·1024)) · integer plane stays far
+    below 2^53, so even a double-based SQL engine computes it exactly."""
+    rng = np.random.default_rng(seed)
+    return rng.integers(-1000, 1001, size=(n_tables, n_planes, dim)).tolist()
+
+
+def _quantized(vec_col):
+    return F.transform(
+        vec_col, lambda x: F.round(x.cast("double") * F.lit(float(Q_SCALE)), 0).cast("long")
+    )
+
+
+def portable_bucket_ids(
+    df: DataFrame,
+    planes: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (id, table, bucket) like ``lsh_bucket_ids`` but via built-in column
+    expressions over integer-quantized projections: JVM whole-stage codegen
+    (no Python at all), and exactly reproducible in the DuckDB oracle."""
+    qv = _quantized(F.col(vec_col))
+    parts = []
+    for t, tplanes in enumerate(planes):
+        bucket = F.lit(0).cast("long")
+        for p, plane in enumerate(tplanes):
+            lit = F.array(*[F.lit(int(v)).cast("long") for v in plane])
+            proj = F.aggregate(
+                F.zip_with(qv, lit, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            bucket = bucket.bitwiseOR(
+                F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+        parts.append(
+            df.select(
+                F.col(id_col).alias("id"), F.lit(t).alias("table"), bucket.alias("bucket")
+            )
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionAll(x)
+    return out
+
+
+def ann_topk_portable(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = SEED,
+) -> DataFrame:
+    """ann_topk with the portable integer-LSH bucketing: the candidate set
+    (and hence the exact result) is SQL-reproducible, so the driver oracle
+    value-checks the whole ANN pipeline. Same plan shape as ann_topk:
+    bucket join replaces the V×Q cross join; exact rescoring + window top-k
+    on candidates only."""
+    planes = int_hyperplanes(dim, n_planes, n_tables, seed)
+    vb = portable_bucket_ids(vectors, planes, id_col, vec_col)
+    qb = portable_bucket_ids(queries, planes, id_col, vec_col)
+    cand = (
+        vb.select("table", "bucket", F.col("id").alias("neighbor_id"))
+        .join(
+            F.broadcast(qb.select("table", "bucket", F.col("id").alias("query_id"))),
+            ["table", "bucket"],
+        )
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(v, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "score", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF-style coarse quantization
 # ---------------------------------------------------------------------------
 

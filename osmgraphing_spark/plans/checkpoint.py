@@ -24,18 +24,77 @@ metrics ... so runs resume mid-iteration"):
 Checkpointing doubles as **lineage truncation**: re-reading the parquet
 breaks the 50-superstep join chain that would otherwise blow up Catalyst
 planning (SURVEY §7 risk list).
+
+All marker/metrics/listing I/O goes through the Hadoop FileSystem API of
+the checkpoint root (not the driver's local os/shutil), so the same
+protocol works when the root is hdfs:///... or s3a://... on a cluster —
+the deployment the north rule describes.
+
+``EphemeralTruncator`` is the no-user-checkpoint path: iterative operators
+route their in-loop state through a RELIABLE parquet round-trip at stride
+boundaries even when the caller asked for no durable checkpoints.
+``localCheckpoint`` alone is NOT enough at scale: its blocks live only in
+executor storage, so one lost executor (or long-session memory pressure —
+the round-1 flaky pytest failure at stage 17323) kills the job with an
+unrecoverable block-fetch error mid-run. A parquet round-trip of the slim
+per-vertex state is the cheap, recoverable alternative.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import shutil
+import tempfile
 import time
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class _Hdfs:
+    """Thin Hadoop FileSystem wrapper (py4j) so checkpoint metadata works on
+    hdfs:///s3a:// roots, not just the driver's local disk."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.jvm = spark.sparkContext._jvm
+        self.jpath = self.jvm.org.apache.hadoop.fs.Path(root)
+        self.fs = self.jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+
+    def path(self, p: str):
+        return self.jvm.org.apache.hadoop.fs.Path(p)
+
+    def exists(self, p: str) -> bool:
+        return self.fs.exists(self.path(p))
+
+    def mkdirs(self, p: str) -> None:
+        self.fs.mkdirs(self.path(p))
+
+    def delete(self, p: str) -> None:
+        self.fs.delete(self.path(p), True)
+
+    def listdir(self, p: str) -> list[str]:
+        if not self.exists(p):
+            return []
+        return [s.getPath().getName() for s in self.fs.listStatus(self.path(p))]
+
+    def write_text(self, p: str, text: str) -> None:
+        out = self.fs.create(self.path(p), True)
+        try:
+            out.write(bytearray(text, "utf-8"))
+        finally:
+            out.close()
+
+    def read_text(self, p: str) -> str:
+        stream = self.fs.open(self.path(p))
+        try:
+            return self.jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
 
 
 @dataclass
@@ -63,20 +122,19 @@ class SuperstepMetrics:
 class CheckpointManager:
     def __init__(self, spark: SparkSession, root: str, job: str):
         self.spark = spark
-        self.dir = os.path.join(root, job)
-        os.makedirs(self.dir, exist_ok=True)
+        self.dir = root.rstrip("/") + "/" + job
+        self._fs = _Hdfs(spark, self.dir)
+        self._fs.mkdirs(self.dir)
 
     def _step_dir(self, step: int) -> str:
-        return os.path.join(self.dir, f"step={step}")
+        return f"{self.dir}/step={step}"
 
     def committed_steps(self) -> list[int]:
         steps = []
-        if not os.path.isdir(self.dir):
-            return steps
-        for name in os.listdir(self.dir):
+        for name in self._fs.listdir(self.dir):
             if name.startswith("step="):
                 k = int(name.split("=", 1)[1])
-                if os.path.exists(os.path.join(self.dir, name, "_COMMITTED")):
+                if self._fs.exists(f"{self.dir}/{name}/_COMMITTED"):
                     steps.append(k)
         return sorted(steps)
 
@@ -88,8 +146,8 @@ class CheckpointManager:
         """Persist state + metrics atomically; returns the re-read state
         (lineage truncated)."""
         sdir = self._step_dir(step)
-        if os.path.isdir(sdir):  # aborted previous attempt
-            shutil.rmtree(sdir)
+        if self._fs.exists(sdir):  # aborted previous attempt
+            self._fs.delete(sdir)
         t0 = time.time()
         state.write.mode("overwrite").parquet(os.path.join(sdir, "state"))
         # per-partition lineage: rows written per file/partition of the state
@@ -104,10 +162,8 @@ class CheckpointManager:
         }
         metrics.partition_rows = part_rows
         metrics.extra.setdefault("checkpoint_ms", round((time.time() - t0) * 1000, 1))
-        with open(os.path.join(sdir, "metrics.json"), "w") as f:
-            f.write(metrics.to_json())
-        with open(os.path.join(sdir, "_COMMITTED"), "w") as f:
-            f.write("ok")
+        self._fs.write_text(os.path.join(sdir, "metrics.json"), metrics.to_json())
+        self._fs.write_text(os.path.join(sdir, "_COMMITTED"), "ok")
         return self.spark.read.parquet(os.path.join(sdir, "state"))
 
     def amend_metrics(self, step: int, metrics: SuperstepMetrics) -> None:
@@ -117,23 +173,60 @@ class CheckpointManager:
         while still recording delta per step)."""
         sdir = self._step_dir(step)
         old = {}
-        try:
-            with open(os.path.join(sdir, "metrics.json")) as f:
-                old = json.load(f)
-        except FileNotFoundError:
-            pass
+        mpath = os.path.join(sdir, "metrics.json")
+        if self._fs.exists(mpath):
+            old = json.loads(self._fs.read_text(mpath))
         metrics.partition_rows = metrics.partition_rows or old.get("partition_rows", {})
-        with open(os.path.join(sdir, "metrics.json"), "w") as f:
-            f.write(metrics.to_json())
+        self._fs.write_text(mpath, metrics.to_json())
 
     def read(self, step: int) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self._step_dir(step), "state"))
 
     def read_metrics(self, step: int) -> dict:
-        with open(os.path.join(self._step_dir(step), "metrics.json")) as f:
-            return json.load(f)
+        return json.loads(self._fs.read_text(os.path.join(self._step_dir(step), "metrics.json")))
 
     def clean(self) -> None:
-        if os.path.isdir(self.dir):
-            shutil.rmtree(self.dir)
-        os.makedirs(self.dir, exist_ok=True)
+        if self._fs.exists(self.dir):
+            self._fs.delete(self.dir)
+        self._fs.mkdirs(self.dir)
+
+
+class EphemeralTruncator:
+    """Reliable in-loop lineage truncation when no durable CheckpointManager
+    was supplied: ``truncate(df)`` round-trips the (slim) state through
+    parquet and returns the re-read frame — a plan whose only input is a
+    file scan, recoverable after ANY block/executor loss. Older steps are
+    deleted as soon as the next one lands, so disk stays O(|state|).
+
+    Root resolution (first hit wins): ``spark.osmgraphing.truncateDir``
+    session conf → ``$SPARK_GRAFT_TRUNC_DIR`` → the driver's tempdir. On a
+    multi-executor cluster set the conf/env to a shared path (hdfs/s3a);
+    in local mode the tempdir is visible to every executor thread already.
+    The final step's files are kept alive (the returned DataFrame reads
+    them); they live under an app-scoped directory the OS tempdir reaper
+    (or the configured root's retention) cleans up.
+    """
+
+    def __init__(self, spark: SparkSession, tag: str):
+        root = None
+        try:
+            root = spark.conf.get("spark.osmgraphing.truncateDir")
+        except Exception:
+            root = None
+        root = root or os.environ.get("SPARK_GRAFT_TRUNC_DIR") or tempfile.gettempdir()
+        app_id = spark.sparkContext.applicationId
+        self.dir = f"{root.rstrip('/')}/osmg-trunc-{app_id}/{tag}-{uuid.uuid4().hex[:8]}"
+        self.spark = spark
+        self._fs = _Hdfs(spark, self.dir)
+        self._step = 0
+        self._prev_dir: str | None = None
+
+    def truncate(self, df: DataFrame) -> DataFrame:
+        sdir = f"{self.dir}/step-{self._step}"
+        df.write.mode("overwrite").parquet(sdir)
+        out = self.spark.read.parquet(sdir)
+        if self._prev_dir is not None:
+            self._fs.delete(self._prev_dir)
+        self._prev_dir = sdir
+        self._step += 1
+        return out

@@ -59,3 +59,35 @@ def maybe_broadcast(df: DataFrame, n_rows: int) -> DataFrame:
     if BROADCAST_VERTEX_LIMIT and n_rows <= BROADCAST_VERTEX_LIMIT:
         return F.broadcast(df)
     return df
+
+
+class BlockScope:
+    """Frees executor-storage blocks created inside a loop stride.
+
+    ``localCheckpoint`` (and lazy persists) register RDDs in the context's
+    persistent-RDD map but nothing ever unpersists them — in a long-lived
+    session the blocks accumulate until executors die (the round-1 flaky
+    pytest failure at stage 17323). The scope snapshots the persistent-RDD
+    ids at construction; ``release_new()`` unpersists every id added since,
+    which is safe once the stride's output has been reliably truncated
+    (parquet round-trip) — nothing re-reads the dropped blocks.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.baseline = self._ids()
+
+    def _jmap(self):
+        return self.spark.sparkContext._jsc.getPersistentRDDs()
+
+    def _ids(self) -> set[int]:
+        return {int(k) for k in self._jmap().keySet().toArray()}
+
+    def release_new(self) -> int:
+        jmap = self._jmap()
+        released = 0
+        for k in jmap.keySet().toArray():
+            if int(k) not in self.baseline:
+                jmap.get(k).unpersist(False)
+                released += 1
+        return released

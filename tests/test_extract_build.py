@@ -46,6 +46,50 @@ def test_sha256_invariant_detects_corruption(spark):
         ex.verify_content_hashes(corrupted, ref)
 
 
+def test_fused_verify_detects_corruption_at_scan(spark):
+    """extract_edges(verify=True) aborts the job from INSIDE the extraction
+    scan when a row's content no longer matches the reference hash."""
+    corpus = synth.fixture_corpus(spark, ("small",))
+    ref = synth.reference_hashes(corpus)
+    corrupted = corpus.withColumn(
+        "content",
+        F.when(F.col("path") == "src/b.py", F.concat(F.col("content"), F.lit("x")))
+        .otherwise(F.col("content")),
+    )
+    edges = ex.extract_edges(corrupted, ref, verify=True)
+    with pytest.raises(Exception) as ei:
+        edges.count()
+    assert "sha256 invariant" in str(ei.value)
+
+
+def test_fused_verify_detects_missing_reference_row(spark):
+    corpus = synth.fixture_corpus(spark, ("small",))
+    ref = synth.reference_hashes(corpus).where(F.col("path") != "src/b.py")
+    edges = ex.extract_edges(corpus, ref, verify=True)
+    with pytest.raises(Exception) as ei:
+        edges.count()
+    assert "sha256 invariant" in str(ei.value)
+
+
+def test_fused_verify_single_content_scan(spark, tmp_path):
+    """The sha256 check shares the extraction's ONE scan of `content`
+    (the standalone verify_content_hashes costs a second full corpus scan;
+    the fused path must not)."""
+    import re
+
+    corpus = synth.fixture_corpus(spark, ("small",))
+    corpus.write.parquet(str(tmp_path / "corpus"))
+    synth.reference_hashes(corpus).write.parquet(str(tmp_path / "ref"))
+    c = spark.read.parquet(str(tmp_path / "corpus"))
+    r = spark.read.parquet(str(tmp_path / "ref"))
+    edges = ex.extract_edges(c, r, verify=True)
+    assert edges.count() == 19  # same result as the unfused path
+    plan = edges._jdf.queryExecution().executedPlan().toString()
+    # exactly one scan reads the `content` column (content_sha256 on the
+    # reference side does not match the regex)
+    assert len(re.findall(r"content:string", plan)) == 1, plan
+
+
 def test_small_golden_edge_set(spark):
     """19 raw edges → 16 after dedup, exact set (reference fixture counts,
     /root/reference/tests/small/parsing.rs:139-141 and resources/small/graph.fmi)."""
