@@ -75,6 +75,9 @@ class _Hdfs:
     def delete(self, p: str) -> None:
         self.fs.delete(self.path(p), True)
 
+    def rename(self, src: str, dst: str) -> bool:
+        return self.fs.rename(self.path(src), self.path(dst))
+
     def listdir(self, p: str) -> list[str]:
         if not self.exists(p):
             return []
@@ -220,13 +223,27 @@ class EphemeralTruncator:
         self._fs = _Hdfs(spark, self.dir)
         self._step = 0
         self._prev_dir: str | None = None
+        self._pending: list[str] = []
 
-    def truncate(self, df: DataFrame) -> DataFrame:
+    def truncate(self, df: DataFrame, reap: bool = True) -> DataFrame:
+        """``reap=False`` defers deleting the previous step until ``reap()``
+        — required when a loop keeps MULTIPLE interdependent truncated
+        frames (e.g. SSSP state + frontier): frame B's not-yet-written plan
+        may still scan frame A's previous step, so neither previous step may
+        be deleted until every frame of the iteration has been written."""
         sdir = f"{self.dir}/step-{self._step}"
         df.write.mode("overwrite").parquet(sdir)
         out = self.spark.read.parquet(sdir)
         if self._prev_dir is not None:
-            self._fs.delete(self._prev_dir)
+            if reap:
+                self._fs.delete(self._prev_dir)
+            else:
+                self._pending.append(self._prev_dir)
         self._prev_dir = sdir
         self._step += 1
         return out
+
+    def reap(self) -> None:
+        for d in self._pending:
+            self._fs.delete(d)
+        self._pending = []

@@ -1,0 +1,123 @@
+"""SSSP golden tests — the reference's routing correctness layer.
+
+The bidirectional-bait fixture is the reference's adversarial routing test
+(/root/reference/resources/bidirectional_bait/graph.fmi:16-31, asserted in
+tests/bidirectional_bait/routing/fastest.rs): the BOTTOM route ll→bb→rr has
+fewer hops (2 × w=5 → cost 10) but the TOP route ll→tl→tr→rr is cheaper
+(3 × w=3 → cost 9). A cost-correct engine must pick 9."""
+
+from __future__ import annotations
+
+import pytest
+
+from osmgraphing_spark.operators import sssp
+
+from .helpers import build_fixture, stem_vids
+
+
+def _dists(res, source_vid):
+    return {
+        r["vid"]: r["dist"] for r in res.collect() if r["source"] == source_vid
+    }
+
+
+def test_bait_long_hop_path_wins(spark):
+    g, _, _ = build_fixture(spark, ("bait",))
+    sv = stem_vids(g)
+    res = sssp.run(g, sources=[sv["ll"]], weighted=True)
+    d = _dists(res, sv["ll"])
+    assert d[sv["ll"]] == 0.0
+    assert d[sv["bb"]] == 5.0
+    assert d[sv["tl"]] == 3.0
+    assert d[sv["tr"]] == 6.0
+    assert d[sv["rr"]] == 9.0  # NOT 10: the 3-hop top route beats the 2-hop bottom
+
+
+def test_bait_hop_count_mode(spark):
+    """weighted=False counts hops: bb route wins at 2."""
+    g, _, _ = build_fixture(spark, ("bait",))
+    sv = stem_vids(g)
+    d = _dists(sssp.run(g, sources=[sv["ll"]], weighted=False), sv["ll"])
+    assert d[sv["rr"]] == 2.0
+
+
+def test_multi_source_and_unreachable(spark):
+    """twocc: two disjoint components; distances never cross components and
+    unreachable pairs are ABSENT (the reference generator drops path-less
+    pairs, random_or_all.rs:32-158)."""
+    g, _, _ = build_fixture(spark, ("twocc",))
+    sv = stem_vids(g)
+    res = sssp.run(g, sources=[sv["a"], sv["x"]], weighted=True)
+    rows = {(r["source"], r["vid"]): r["dist"] for r in res.collect()}
+    comp_small = {sv[s] for s in "abcdefgh"}
+    comp_cycle = {sv[s] for s in "xyz"}
+    # 'a' has no out-edges in the small fixture: only its own row
+    assert {v for (s, v) in rows if s == sv["a"]} == {sv["a"]}
+    reach_x = {v for (s, v) in rows if s == sv["x"]}
+    assert reach_x == comp_cycle  # x→y→z cycle, never into the other repo
+    assert rows[(sv["x"], sv["y"])] == 1.0
+    assert rows[(sv["x"], sv["z"])] == 2.0
+    assert comp_small & reach_x == set()
+
+
+def test_route_costs_only_real_paths(spark):
+    g, _, _ = build_fixture(spark, ("twocc",))
+    sv = stem_vids(g)
+    pairs = spark.createDataFrame(
+        [(sv["x"], sv["z"]), (sv["x"], sv["b"]), (sv["h"], sv["a"])],
+        "src long, dst long",
+    )
+    got = {(r["src"], r["dst"]): r["cost"] for r in sssp.route_costs(g, pairs).collect()}
+    assert got == {
+        (sv["x"], sv["z"]): 2.0,          # real path, real cost
+        (sv["h"], sv["a"]): pytest.approx(3.0),  # h→d(1)→b(1)→a(1) beats h→c(4)→a(1)
+    }  # (x, b) crosses components → dropped
+
+
+def test_sssp_matches_oracle_on_random_graph(spark):
+    """Floyd-Warshall oracle on a seeded random weighted digraph."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    n = 30
+    edges = {}
+    for _ in range(120):
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges[(a, b)] = float(rng.randint(1, 9))
+    INF = float("inf")
+    dist = [[INF] * n for _ in range(n)]
+    for i in range(n):
+        dist[i][i] = 0.0
+    for (a, b), w in edges.items():
+        dist[a][b] = min(dist[a][b], w)
+    for k, i, j in itertools.product(range(n), repeat=3):
+        if dist[i][k] + dist[k][j] < dist[i][j]:
+            dist[i][j] = dist[i][k] + dist[k][j]
+
+    from osmgraphing_spark.operators.build import build_graph
+
+    raw = spark.createDataFrame(
+        [(f"v{a:03d}", f"v{b:03d}", w) for (a, b), w in edges.items()],
+        "src_key string, dst_key string, weight double",
+    )
+    g = build_graph(raw, num_blocks=4, id_partitions=2)
+    key_vid = {r["key"]: r["vid"] for r in g.vertices.collect()}
+    srcs = [0, 5, 11]
+    src_vids = [key_vid[f"v{s:03d}"] for s in srcs if f"v{s:03d}" in key_vid]
+    res = sssp.run(g, sources=src_vids, weighted=True)
+    got = {(r["source"], r["vid"]): r["dist"] for r in res.collect()}
+    vid_node = {v: int(k[1:]) for k, v in key_vid.items()}
+    for (svid, vvid), dd in got.items():
+        assert dist[vid_node[svid]][vid_node[vvid]] == pytest.approx(dd)
+    # completeness: every finite oracle distance from a tested source appears
+    for s in srcs:
+        if f"v{s:03d}" not in key_vid:
+            continue
+        svid = key_vid[f"v{s:03d}"]
+        finite = {
+            j for j in range(n)
+            if dist[s][j] < INF and f"v{j:03d}" in key_vid
+        }
+        assert {vid_node[v] for (sv, v) in got if sv == svid} == finite
