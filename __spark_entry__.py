@@ -20,8 +20,10 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from osmgraphing_spark.functions import generating as gen  # noqa: E402
 from osmgraphing_spark.functions import text as X  # noqa: E402
 from osmgraphing_spark.operators import cc as cc_op  # noqa: E402
+from osmgraphing_spark.operators import sssp as sssp_op  # noqa: E402
 from osmgraphing_spark.operators import dedup as dd  # noqa: E402
 from osmgraphing_spark.operators import lpa as lpa_op  # noqa: E402
 from osmgraphing_spark.operators import pagerank as pr  # noqa: E402
@@ -441,6 +443,131 @@ def q_embed_ann(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# SSSP + multi-metric queries
+# ---------------------------------------------------------------------------
+
+SSSP_SOURCES = (0, 7, 13)
+
+
+def _nation_weighted_raw_edges(spark, sf_dir):
+    """Co-region nation digraph with deterministic non-uniform weights
+    w = 1 + ((7a + b) mod 5): weighted shortest paths are genuinely
+    multi-hop inside each region clique (a direct w=5 edge loses to a
+    two-hop w=1+1 detour), so the relax loop is actually exercised."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    a = n.select(F.col("n_nationkey").alias("a"), F.col("n_regionkey").alias("r"))
+    b = n.select(F.col("n_nationkey").alias("b"), F.col("n_regionkey").alias("r"))
+    e = a.join(b, "r").where(F.col("a") != F.col("b"))
+    return e.select(
+        F.format_string("n%03d", F.col("a")).alias("src_key"),
+        F.format_string("n%03d", F.col("b")).alias("dst_key"),
+        (F.lit(1.0) + (F.col("a") * 7 + F.col("b")) % 5).cast("double").alias("weight"),
+    )
+
+
+def q_sssp_nations(spark, sf_dir):
+    """O6/G1 capability analogue: multi-source BSP Bellman-Ford shortest
+    paths (operators/sssp.py) on the weighted nation digraph; unreachable
+    pairs absent."""
+    g = build_graph(_nation_weighted_raw_edges(spark, sf_dir), num_blocks=4)
+    keys = [f"n{s:03d}" for s in SSSP_SOURCES]
+    vids = {
+        r["key"]: r["vid"]
+        for r in g.vertices.where(F.col("key").isin(keys)).collect()
+    }
+    res = sssp_op.run(g, sources=[vids[k] for k in keys if k in vids], weighted=True)
+    out = _vid_to_nationkey(g, res, ["source", "vid"])
+    return out.select(
+        F.col("source").cast("int").alias("source"),
+        F.col("vid").cast("int").alias("n_nationkey"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
+def _bipartite_metric_raw_edges(spark, sf_dir):
+    """Bipartite link graph with a per-edge metric VECTOR: [lineitem count,
+    total quantity] — the reference's edge × metric matrix shape."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(
+            F.count("*").cast("double").alias("cnt"),
+            F.sum("l_quantity").cast("double").alias("qty"),
+        )
+        .select(
+            F.format_string("c%09d", F.col("o_custkey")).alias("src_key"),
+            F.format_string("s%09d", F.col("l_suppkey")).alias("dst_key"),
+            F.array("cnt", "qty").alias("metrics"),
+        )
+    )
+
+
+def _edges_with_node_ids(g, cols):
+    """Join the vid-space edge endpoints back to original node ids."""
+    out = g.edges
+    for c in ("src", "dst"):
+        vmap = g.vertices.select(
+            F.col("vid").alias(c), _key_to_node_id(F.col("key")).alias(f"{c}_id")
+        )
+        out = out.join(vmap, c)
+    return out.select(
+        F.col("src_id").alias("src"), F.col("dst_id").alias("dst"), *cols
+    )
+
+
+def q_multi_metric_edges(spark, sf_dir):
+    """Multi-metric edge state (build_graph(metric_names=...)) plus a
+    config-declared `generating` derived column (calc quotient) — the
+    reference's blueprint.yaml generating: vocabulary."""
+    g = build_graph(
+        _bipartite_metric_raw_edges(spark, sf_dir),
+        num_blocks=8,
+        metric_names=["cnt", "qty"],
+    )
+    g = gen.apply_generating(
+        g,
+        [{"op": "calc", "name": "avg_qty", "a": "qty", "b": "cnt", "kind": "quotient"}],
+    )
+    return _edges_with_node_ids(
+        g,
+        [
+            F.round(g.metric_col("cnt"), 6).alias("m_cnt"),
+            F.round(g.metric_col("qty"), 6).alias("m_qty"),
+            F.round(g.metric_col("avg_qty"), 6).alias("avg_qty"),
+        ],
+    )
+
+
+def q_normalize_metrics(spark, sf_dir):
+    """Per-metric mean normalization over the metric vector (A2/A3 on the
+    edge × metric matrix; the reference recomputes per-metric means at
+    finalize)."""
+    g = build_graph(
+        _bipartite_metric_raw_edges(spark, sf_dir),
+        num_blocks=8,
+        metric_names=["cnt", "qty"],
+    )
+    nm = g.normalized_metrics()
+    g2 = type(g)(
+        vertices=g.vertices,
+        edges=nm,
+        num_vertices=g.num_vertices,
+        num_edges=g.num_edges,
+        num_blocks=g.num_blocks,
+        metric_names=g.metric_names,
+    )
+    return _edges_with_node_ids(
+        g2,
+        [
+            F.round(F.element_at(F.col("metrics"), 1), 6).alias("cnt_n"),
+            F.round(F.element_at(F.col("metrics"), 2), 6).alias("qty_n"),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -480,6 +607,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "embed_topk": q_embed_topk,
         "embed_ann": q_embed_ann,
+        "sssp_nations": q_sssp_nations,
+        "multi_metric_edges": q_multi_metric_edges,
+        "normalize_metrics": q_normalize_metrics,
     }
 
 
@@ -981,4 +1111,52 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_simhash_pairs": _simhash_pairs_sql(),
         "embed_ann": _embed_ann_sql(),
+        "sssp_nations": f"""
+            WITH RECURSIVE e AS (
+                SELECT a.n_nationkey AS src, b.n_nationkey AS dst,
+                       1.0 + ((a.n_nationkey * 7 + b.n_nationkey) % 5) AS w
+                FROM nation a JOIN nation b
+                  ON a.n_regionkey = b.n_regionkey
+                 AND a.n_nationkey <> b.n_nationkey
+            ),
+            walk(source, vid, dist, hops) AS (
+                SELECT s.v, s.v, CAST(0 AS DOUBLE), 0
+                FROM (VALUES {", ".join(f"({s})" for s in SSSP_SOURCES)}) s(v)
+                WHERE s.v IN (SELECT n_nationkey FROM nation)
+                UNION ALL
+                SELECT p.source, e.dst, p.dist + e.w, p.hops + 1
+                FROM walk p JOIN e ON e.src = p.vid
+                WHERE p.hops < 6
+            )
+            SELECT CAST(source AS INTEGER) AS source,
+                   CAST(vid AS INTEGER) AS n_nationkey,
+                   ROUND(MIN(dist), 6) AS dist
+            FROM walk GROUP BY source, vid
+        """,
+        "multi_metric_edges": f"""
+            WITH m AS (
+                SELECT o_custkey, l_suppkey,
+                       CAST(COUNT(*) AS DOUBLE) AS cnt,
+                       CAST(SUM(l_quantity) AS DOUBLE) AS qty
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                GROUP BY o_custkey, l_suppkey
+            )
+            SELECT o_custkey AS src, {SUPP_OFFSET} + l_suppkey AS dst,
+                   ROUND(cnt, 6) AS m_cnt, ROUND(qty, 6) AS m_qty,
+                   ROUND(qty / cnt, 6) AS avg_qty
+            FROM m
+        """,
+        "normalize_metrics": f"""
+            WITH m AS (
+                SELECT o_custkey, l_suppkey,
+                       CAST(COUNT(*) AS DOUBLE) AS cnt,
+                       CAST(SUM(l_quantity) AS DOUBLE) AS qty
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                GROUP BY o_custkey, l_suppkey
+            )
+            SELECT o_custkey AS src, {SUPP_OFFSET} + l_suppkey AS dst,
+                   ROUND(cnt / AVG(cnt) OVER (), 6) AS cnt_n,
+                   ROUND(qty / AVG(qty) OVER (), 6) AS qty_n
+            FROM m
+        """,
     }

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .operators import cc as _cc
 from .operators import lpa as _lpa
 from .operators import pagerank as _pagerank
+from .operators import sssp as _sssp
 from .operators import triangles as _triangles
 from .operators.build import Graph, build_graph
 from .operators.extract import extract_edges
@@ -107,6 +108,45 @@ class LinkGraph:
         return _lpa.run(
             self.graph, max_iter=max_iter, checkpoint=self._ckpt("lpa"), resume=resume
         )
+
+    def sssp(
+        self,
+        source_keys: list[str],
+        weighted: bool = True,
+        max_iter: int = 100,
+        resume: bool = False,
+    ) -> DataFrame:
+        """Multi-source shortest-path costs from the given external keys —
+        the batched answer to the reference's point-to-point route queries.
+        → (source, vid, dist); unreachable pairs absent."""
+        vids = [
+            r["vid"]
+            for r in self.graph.vertices.where(
+                self.graph.vertices["key"].isin(list(source_keys))
+            ).collect()
+        ]
+        if not vids:
+            raise ValueError(f"no vertices match source keys {source_keys!r}")
+        return _sssp.run(
+            self.graph, sources=vids, weighted=weighted, max_iter=max_iter,
+            checkpoint=self._ckpt("sssp"), resume=resume,
+        )
+
+    def route_costs(self, pairs: DataFrame, weighted: bool = True) -> DataFrame:
+        """(src, dst) vid pairs → (src, dst, cost), path-less pairs dropped
+        (the reference route-generator's contract)."""
+        return _sssp.route_costs(self.graph, pairs, weighted=weighted)
+
+    def generate_metrics(self, specs: list[dict]) -> "LinkGraph":
+        """Apply a config-declared `generating:` list (copy / constant /
+        convert / unit-aware calc) to the metric vector; a single-weight
+        graph is vectorized to metrics=[weight] first."""
+        from dataclasses import replace as _replace
+
+        from .functions.generating import apply_generating
+
+        g = apply_generating(self.graph.with_metric_vector(), specs)
+        return _replace(self, graph=g)
 
     def triangle_count(self) -> int:
         return _triangles.count(self.graph)

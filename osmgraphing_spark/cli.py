@@ -11,7 +11,14 @@ validated dataclass — stdlib-only since the sandbox has no yaml):
       "output": "/path/results",
       "checkpoint_root": "/path/ckpt",           # optional; enables resume
       "num_blocks": 32,
-      "pagerank": {"damping": 0.85, "tol": 1e-6, "max_iter": 200}
+      "pagerank": {"damping": 0.85, "tol": 1e-6, "max_iter": 200},
+      "sssp": {"sources": ["repo/src/a.py"], "weighted": true},
+      "generating": [                           # blueprint.yaml generating:
+        {"op": "constant", "name": "kmph", "value": 30.0},
+        {"op": "calc", "name": "s", "a": "weight", "b": "kmph",
+         "a_unit": "meters", "b_unit": "kilometers_per_hour",
+         "out_unit": "seconds"}
+      ]
     }
 
 Run locally or on a cluster (north rule):
@@ -41,8 +48,10 @@ class JobConfig:
     master: str | None = None
     pagerank: dict = field(default_factory=dict)
     lpa: dict = field(default_factory=dict)
+    sssp: dict = field(default_factory=dict)
+    generating: list = field(default_factory=list)
 
-    VALID_ALGOS = ("pagerank", "cc", "lpa", "triangles", "degrees")
+    VALID_ALGOS = ("pagerank", "cc", "lpa", "triangles", "degrees", "sssp", "metrics")
 
     @classmethod
     def from_file(cls, path: str) -> "JobConfig":
@@ -55,6 +64,8 @@ class JobConfig:
         missing = [a for a in cfg.algorithms if a not in cls.VALID_ALGOS]
         if missing:
             raise ValueError(f"unknown algorithms: {missing} (valid: {cls.VALID_ALGOS})")
+        if "sssp" in cfg.algorithms and not cfg.sssp.get("sources"):
+            raise ValueError('algorithm "sssp" requires sssp.sources: [vertex keys]')
         return cfg
 
 
@@ -71,6 +82,8 @@ def run(cfg: JobConfig, resume: bool = False) -> dict:
         spark, corpus, ref, num_blocks=cfg.num_blocks,
         checkpoint_root=cfg.checkpoint_root,
     )
+    if cfg.generating:
+        lg = lg.generate_metrics(cfg.generating)
     summary = {
         "vertices": lg.graph.num_vertices,
         "edges": lg.graph.num_edges,
@@ -90,6 +103,20 @@ def run(cfg: JobConfig, resume: bool = False) -> dict:
         elif algo == "triangles":
             n = lg.triangle_count()
             df = spark.createDataFrame([(n,)], "n_triangles bigint")
+        elif algo == "sssp":
+            opts = dict(cfg.sssp)
+            opts["source_keys"] = opts.pop("sources")
+            res = lg.sssp(resume=resume, **opts)
+            df = res.join(lg.graph.vertices, "vid")
+        elif algo == "metrics":
+            from pyspark.sql import functions as F
+
+            g = lg.graph.with_metric_vector()
+            cols = [
+                F.element_at(F.col("metrics"), i + 1).alias(n_)
+                for i, n_ in enumerate(g.metric_names)
+            ]
+            df = g.edges.select("src", "dst", *cols)
         df.write.mode("overwrite").parquet(out_path)
         summary["outputs"][algo] = out_path
     with open(os.path.join(cfg.output, "summary.json"), "w") as f:

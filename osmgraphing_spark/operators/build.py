@@ -217,6 +217,24 @@ class Graph:
         )
         return self.edges.select("src", "dst", arr.alias("metrics"))
 
+    def with_metric_vector(self, names: list[str] | None = None) -> "Graph":
+        """Single-weight graph → multi-metric view (metrics = [weight]) so
+        the `generating` vocabulary can run on graphs built without a
+        declared metric config. No-op (returns self) when already
+        multi-metric."""
+        if self.metric_names:
+            return self
+        from dataclasses import replace
+
+        names = list(names or ["weight"])
+        if len(names) != 1:
+            raise ValueError("a single-weight graph vectorizes to exactly 1 metric")
+        return replace(
+            self,
+            edges=self.edges.withColumn("metrics", F.array(F.col("weight"))),
+            metric_names=names,
+        )
+
     def csr_blocks(self) -> DataFrame:
         return build_csr_blocks(self.edges, self.num_blocks)
 

@@ -47,6 +47,45 @@ def test_api_end_to_end(spark, tmp_path):
     assert lg2.graph.num_edges == 16
 
 
+def test_cli_sssp_and_generating(spark, tmp_path):
+    """Config round-trip of the `generating:` vocabulary + sssp algorithm —
+    the reference user's blueprint.yaml migration path (building.rs:890-1395
+    derived columns; routing via the route generator)."""
+    corpus_path = str(tmp_path / "corpus.parquet")
+    corpus = synth.fixture_corpus(spark, ("bait",))
+    corpus.write.parquet(corpus_path)
+
+    cfg_path = tmp_path / "job.json"
+    cfg_path.write_text(json.dumps({
+        "corpus": corpus_path,
+        "output": str(tmp_path / "out"),
+        "algorithms": ["sssp", "metrics"],
+        "num_blocks": 4,
+        "master": "local[4]",
+        "sssp": {"sources": ["fixtures/bait::src/ll.py"], "weighted": True},
+        "generating": [
+            {"op": "constant", "name": "kmph", "value": 30.0},
+            {"op": "calc", "name": "s", "a": "weight", "b": "kmph",
+             "a_unit": "meters", "b_unit": "kilometers_per_hour",
+             "out_unit": "seconds"},
+        ],
+    }))
+    cfg = JobConfig.from_file(str(cfg_path))
+    summary = cli_run(cfg)
+
+    # sssp output reproduces the bait golden: top 3-hop route (9) wins
+    ss = spark.read.parquet(summary["outputs"]["sssp"])
+    dist = {r["key"].rsplit("/", 1)[-1]: r["dist"] for r in ss.collect()}
+    assert dist["rr.py"] == pytest.approx(9.0)
+    assert dist["bb.py"] == pytest.approx(5.0)
+
+    # metrics output carries the derived (weight, kmph, s) triple
+    mt = spark.read.parquet(summary["outputs"]["metrics"])
+    assert set(mt.columns) == {"src", "dst", "weight", "kmph", "s"}
+    row = mt.where(mt["weight"] == 3.0).first()
+    assert row["kmph"] == 30.0 and row["s"] == pytest.approx(0.36)
+
+
 def test_cli_config_validation(tmp_path):
     bad = tmp_path / "bad.json"
     bad.write_text(json.dumps({"corpus": "x", "output": "y", "algorithms": ["dijkstra"]}))
