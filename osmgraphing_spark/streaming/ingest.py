@@ -58,32 +58,53 @@ def run_ingest(
     ``output_dir/raw_refs`` and maintain ``output_dir/out_degrees``.
     Returns the finished StreamingQuery (after awaitTermination when
     available_now)."""
+    from ..plans.checkpoint import _Hdfs
+
     refs = _extract_refs_stream(stream_corpus(spark, input_dir))
+    fs = _Hdfs(spark, output_dir)
 
     def upsert(batch_df: DataFrame, batch_id: int):
+        """Exactly-once per micro-batch, retry-safe:
+
+        - raw_refs land in a PER-BATCH subdirectory written with overwrite —
+          a retried batch rewrites the same directory instead of appending
+          duplicate rows;
+        - the running degree table carries the id of the last batch folded
+          into it (`_APPLIED_BATCH`, written into the staged directory so the
+          atomic rename publishes data + marker together); a retry of an
+          already-applied batch is detected and skipped instead of
+          double-counted.
+
+        All marker/swap I/O goes through the Hadoop FileSystem API so an
+        hdfs:///s3a:// output root works (production is Iceberg MERGE INTO).
+        """
+        deg_path = os.path.join(output_dir, "out_degrees")
+        marker = f"{deg_path}/_APPLIED_BATCH"
+        applied = int(fs.read_text(marker)) if fs.exists(marker) else -1
+        if batch_id <= applied:
+            return  # retry of a fully-committed batch: nothing to do
+
         batch_df.persist()
-        batch_df.write.mode("append").parquet(os.path.join(output_dir, "raw_refs"))
-        # incremental out-degree: merge batch counts into the running table
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(output_dir, "raw_refs", f"batch_id={batch_id}")
+        )
         batch_deg = batch_df.groupBy("repo", "path").agg(
             F.count("*").alias("out_refs")
         )
-        deg_path = os.path.join(output_dir, "out_degrees")
-        try:
+        if applied >= 0:
             old = spark.read.parquet(deg_path)
             merged = (
                 old.unionByName(batch_deg)
                 .groupBy("repo", "path")
                 .agg(F.sum("out_refs").alias("out_refs"))
             )
-        except Exception:
+        else:
             merged = batch_deg
-        merged.write.mode("overwrite").parquet(deg_path + "_next")
-        # atomic swap via rename (Iceberg MERGE INTO in production)
-        import shutil
-
-        if os.path.exists(deg_path):
-            shutil.rmtree(deg_path)
-        os.rename(deg_path + "_next", deg_path)
+        staged = f"{deg_path}_stage_b{batch_id}"
+        merged.write.mode("overwrite").parquet(staged)
+        fs.write_text(f"{staged}/_APPLIED_BATCH", str(batch_id))
+        fs.delete(deg_path)
+        fs.rename(staged, deg_path)
         batch_df.unpersist()
 
     writer = (
