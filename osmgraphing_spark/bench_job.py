@@ -30,6 +30,22 @@ def main() -> None:
     ap.add_argument("--check-every", type=int, default=10)
     ap.add_argument("--num-blocks", type=int, default=32)
     ap.add_argument("--shuffle-partitions", type=int, default=32)
+    ap.add_argument(
+        "--warmup-iters", type=int, default=0,
+        help="untimed PageRank supersteps run first (JIT/page-cache warmup); "
+        "the timed run starts from fresh uniform ranks afterwards",
+    )
+    ap.add_argument(
+        "--driver-mem", default=None,
+        help="JVM heap; the scaling legs hold memory PER CORE constant "
+        "(executors bring their own memory, so total memory scales with N)",
+    )
+    ap.add_argument(
+        "--local-dir", default=None,
+        help="spark.local.dir for shuffle spill; the scaling legs point this "
+        "at tmpfs so per-leg shuffle bandwidth is not bottlenecked by one "
+        "shared container disk (executors bring their own SSDs)",
+    )
     args = ap.parse_args()
 
     from .operators import pagerank
@@ -37,10 +53,18 @@ def main() -> None:
     from .session import get_spark
     from .sources.readers import load_prebuilt_graph
 
+    extra = {}
+    if args.local_dir:
+        extra["spark.local.dir"] = args.local_dir
+    if args.driver_mem:
+        import os
+
+        os.environ["SPARK_GRAFT_DRIVER_MEM"] = args.driver_mem
     spark = get_spark(
         app_name=f"bench-{args.master}",
         master=args.master,
         shuffle_partitions=args.shuffle_partitions,
+        extra_conf=extra or None,
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -52,6 +76,15 @@ def main() -> None:
             spark.read.parquet(args.edges), num_blocks=args.num_blocks
         )
     build_sec = time.time() - t0
+
+    if args.warmup_iters > 0:
+        pagerank.run(
+            g,
+            mode=args.mode,
+            tol=0.0,
+            max_iter=args.warmup_iters,
+            check_every=args.warmup_iters,
+        )
 
     res = pagerank.run(
         g,
