@@ -137,6 +137,17 @@ class LinkGraph:
         (the reference route-generator's contract)."""
         return _sssp.route_costs(self.graph, pairs, weighted=weighted)
 
+    def shortest_paths(self, pairs: DataFrame, weighted: bool = True) -> DataFrame:
+        """(src, dst) vid pairs → (src, dst, cost, nodes array<long>): one
+        shortest path's full node sequence per pair."""
+        return _sssp.shortest_paths(self.graph, pairs, weighted=weighted)
+
+    def write_smarts(self, pairs: DataFrame, path: str, weighted: bool = True) -> None:
+        """Shortest paths for the pairs → SMARTS simulator XML route file."""
+        from .sources.writers import write_smarts
+
+        write_smarts(self.shortest_paths(pairs, weighted=weighted), path)
+
     def generate_metrics(self, specs: list[dict]) -> "LinkGraph":
         """Apply a config-declared `generating:` list (copy / constant /
         convert / unit-aware calc) to the metric vector; a single-weight

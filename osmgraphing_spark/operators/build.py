@@ -313,10 +313,23 @@ def build_csr_blocks(edges: DataFrame, num_blocks: int) -> DataFrame:
     (building.rs:712-771): within a block, edges sorted by (src, dst);
     ``offsets[i]..offsets[i+1]`` spans the out-edges of ``src_ids[i]``.
     Only sources with out-degree > 0 appear (block-local compression).
+
+    Scale guard: a block is ONE row of arrays, so ``num_blocks`` must grow
+    with |E| — the pack stage enforces a hard per-block cap (100M edges ≈
+    2.4 GB of array cells, safely inside Arrow/JVM single-row limits) and
+    fails with the required num_blocks instead of producing a corrupt or
+    OOM-ing row.
     """
+    MAX_EDGES_PER_BLOCK = 100_000_000
 
     def pack(key, pdf: pd.DataFrame):
         bid = int(key[0])
+        if len(pdf) > MAX_EDGES_PER_BLOCK:
+            raise ValueError(
+                f"CSR block {bid} holds {len(pdf)} edges > "
+                f"{MAX_EDGES_PER_BLOCK}; raise num_blocks (currently "
+                f"{num_blocks}) so each block fits one Arrow row"
+            )
         pdf = pdf.sort_values(["src", "dst"], kind="mergesort")
         src = pdf["src"].to_numpy(dtype=np.int64)
         uniq, counts = np.unique(src, return_counts=True)

@@ -49,15 +49,23 @@ def run(
     max_iter: int = 100,
     checkpoint: CheckpointManager | None = None,
     resume: bool = False,
+    track_paths: bool = False,
 ) -> DataFrame:
-    """→ (source long, vid long, dist double): shortest-path cost from each
-    source to every REACHABLE vertex (unreachable pairs are absent, like the
-    reference's generator dropping path-less pairs)."""
+    """→ (source long, vid long, dist double[, pred long]): shortest-path
+    cost from each source to every REACHABLE vertex (unreachable pairs are
+    absent, like the reference's generator dropping path-less pairs).
+
+    ``track_paths`` adds a predecessor column (pred = -1 on the source row;
+    ties broken by min pred, deterministically) — the shortest-path TREE,
+    from which ``shortest_paths`` reconstructs node sequences (the
+    reference's path flatten, G3)."""
     with iterative_conf(graph.edges.sparkSession):
-        return _run_loop(graph, sources, weighted, max_iter, checkpoint, resume)
+        return _run_loop(
+            graph, sources, weighted, max_iter, checkpoint, resume, track_paths
+        )
 
 
-def _run_loop(graph, sources, weighted, max_iter, checkpoint, resume):
+def _run_loop(graph, sources, weighted, max_iter, checkpoint, resume, track_paths):
     spark = graph.edges.sparkSession
     w_col = F.col("weight") if weighted else F.lit(1.0)
     edges = graph.edges.select(
@@ -69,7 +77,8 @@ def _run_loop(graph, sources, weighted, max_iter, checkpoint, resume):
     trunc_front = EphemeralTruncator(spark, "sssp-frontier")
 
     state = spark.createDataFrame(
-        [(int(s), int(s), 0.0) for s in sources], "source long, vid long, dist double"
+        [(int(s), int(s), 0.0, -1) for s in sources],
+        "source long, vid long, dist double, pred long",
     )
     frontier = state
     start = 0
@@ -80,21 +89,30 @@ def _run_loop(graph, sources, weighted, max_iter, checkpoint, resume):
             frontier = state  # conservative re-frontier: one extra no-op round
             start = latest + 1
 
+    # min over (dist, pred) structs: dist decides, pred is the deterministic
+    # tie-break; every (dist, pred) pair comes from one actual relaxation,
+    # so the winning pred is always a valid shortest-path-tree parent
+    def _min_merge(df):
+        return (
+            df.groupBy("source", "vid")
+            .agg(F.min(F.struct("dist", "pred")).alias("m"))
+            .select("source", "vid", F.col("m.dist").alias("dist"),
+                    F.col("m.pred").alias("pred"))
+        )
+
     import time
 
     for it in range(start, max_iter):
         t0 = time.time()
-        relaxed = (
-            frontier.join(edges, "vid")
-            .select("source", F.col("to").alias("vid"), (F.col("dist") + F.col("w")).alias("dist"))
-            .groupBy("source", "vid")
-            .agg(F.min("dist").alias("dist"))
+        relaxed = _min_merge(
+            frontier.join(edges, "vid").select(
+                "source",
+                F.col("to").alias("vid"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+                F.col("vid").alias("pred"),
+            )
         )
-        merged = (
-            state.unionByName(relaxed)
-            .groupBy("source", "vid")
-            .agg(F.min("dist").alias("dist"))
-        )
+        merged = _min_merge(state.unionByName(relaxed))
         new_frontier = (
             merged.join(
                 state.select("source", "vid", F.col("dist").alias("old")),
@@ -102,7 +120,7 @@ def _run_loop(graph, sources, weighted, max_iter, checkpoint, resume):
                 "left",
             )
             .where(F.col("old").isNull() | (F.col("dist") < F.col("old")))
-            .select("source", "vid", "dist")
+            .select("source", "vid", "dist", "pred")
         )
         # Both loop frames are written BEFORE either's previous step is
         # reaped: new_frontier's plan scans the previous state step and
@@ -136,7 +154,61 @@ def _run_loop(graph, sources, weighted, max_iter, checkpoint, resume):
         state, frontier = merged, new_frontier
         if n_front == 0:
             break
+    if not track_paths:
+        return state.select("source", "vid", "dist")
     return state
+
+
+def shortest_paths(
+    graph: Graph,
+    pairs: DataFrame,
+    weighted: bool = True,
+    max_hops: int = 200,
+) -> DataFrame:
+    """(src, dst) pairs → (src, dst, cost, nodes array<long>): the full node
+    sequence of one shortest path per pair (min-pred tie-break), path-less
+    pairs dropped — the reference's path flatten (G3,
+    /root/reference/src/routing/paths.rs flatten) batched over the
+    shortest-path tree from ONE multi-source BSP run.
+
+    Reconstruction walks predecessors backwards: per hop, one equi-join of
+    the still-active pairs against the tree — row count stays at #pairs, so
+    the loop costs O(path length) joins, not O(|V|)."""
+    spark = graph.edges.sparkSession
+    sources = [r["src"] for r in pairs.select("src").distinct().collect()]
+    tree = run(graph, sources, weighted=weighted, track_paths=True)
+    trunc = EphemeralTruncator(spark, "sssp-paths")
+
+    tree_j = tree.select(
+        F.col("source").alias("src"), F.col("vid").alias("cur"),
+        "dist", "pred",
+    )
+    walk = (
+        pairs.join(
+            tree_j.select("src", F.col("cur").alias("dst"), F.col("dist").alias("cost")),
+            ["src", "dst"], "inner",
+        )
+        .select(
+            "src", "dst", "cost",
+            F.col("dst").alias("cur"),
+            F.array(F.col("dst")).alias("nodes"),
+        )
+    )
+    for _ in range(max_hops):
+        walk = trunc.truncate(
+            walk.join(tree_j.select("src", "cur", "pred"), ["src", "cur"], "left")
+            .select(
+                "src", "dst", "cost",
+                F.when(F.col("cur") == F.col("src"), F.col("cur"))
+                .otherwise(F.col("pred")).alias("cur"),
+                F.when(
+                    F.col("cur") == F.col("src"), F.col("nodes")
+                ).otherwise(F.concat(F.array(F.col("pred")), F.col("nodes"))).alias("nodes"),
+            )
+        )
+        if walk.where(F.col("cur") != F.col("src")).limit(1).count() == 0:
+            break
+    return walk.select("src", "dst", "cost", "nodes")
 
 
 def route_costs(graph: Graph, pairs: DataFrame, weighted: bool = True) -> DataFrame:

@@ -65,3 +65,48 @@ def export_edges_csv(
 def write_external_values(values: DataFrame, path: str) -> None:
     """(edge or vertex id, value) CSV — the per-edge workloads sink (K3)."""
     values.write.mode("overwrite").option("header", "true").csv(path)
+
+
+# SMARTS route-file defaults (the reference's defaults::smarts::route_file_format,
+# /root/reference/src/defaults.rs:63-74; format from the SMARTS simulator docs)
+SMARTS_VERSION = "1.0"
+SMARTS_VEHICLE_TYPE = "CAR"
+SMARTS_START_TIME = "0.4"
+SMARTS_DRIVER_PROFILE = "NORMAL"
+
+
+def write_smarts(routes: DataFrame, path: str) -> None:
+    """SMARTS simulator route-file sink (K5): routes (src, dst, nodes
+    array<long>) → one XML file of <vehicle> records
+    (/root/reference/src/io/writing/smarts.rs:32-71 writes the same records
+    from driver-chosen paths).
+
+    The vehicle records are FORMATTED DISTRIBUTED (one string column, pure
+    JVM concat over the nodes array); only the final byte-stream concat is
+    driver-side, streamed partition-by-partition via toLocalIterator — a
+    route file is bounded by the query workload, not the graph, and the
+    format demands a single document."""
+    body = routes.select(
+        F.concat(
+            F.lit('<vehicle id="'), F.col("src").cast("string"),
+            F.lit("->"), F.col("dst").cast("string"),
+            F.lit(f'" type="{SMARTS_VEHICLE_TYPE}" start_time="{SMARTS_START_TIME}"'
+                  f' driverProfile="{SMARTS_DRIVER_PROFILE}">\n'),
+            F.array_join(
+                F.transform(
+                    F.col("nodes"),
+                    lambda v: F.concat(
+                        F.lit('<node id="'), v.cast("string"), F.lit('"/>')
+                    ),
+                ),
+                "\n",
+            ),
+            F.lit("\n</vehicle>"),
+        ).alias("xml")
+    )
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(f'<?xml version="{SMARTS_VERSION}" encoding="UTF-8"?>\n<data>\n')
+        for row in body.toLocalIterator():
+            f.write(row["xml"])
+            f.write("\n")
+        f.write("</data>\n")
