@@ -64,6 +64,13 @@ SCALE_LOCAL_DIR = os.environ.get(
     "SPARK_GRAFT_SCALE_LOCAL_DIR",
     "/dev/shm/spark-graft-bench" if os.path.isdir("/dev/shm") else "",
 )
+# A trial pair measured while the host steals noticeable CPU from this VM is
+# evidence about the host, not the engine: host bandwidth squeezing starves a
+# wide leg while a narrow leg still fits under the cap, so it biases the
+# ratio DOWNWARD asymmetrically. Pairs with steal above the gate on either
+# leg are flagged; up to SCALE_MAX_EXTRA extra pairs run to replace them.
+SCALE_STEAL_GATE_PCT = float(os.environ.get("SPARK_GRAFT_SCALE_STEAL_GATE", "5"))
+SCALE_MAX_EXTRA = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_EXTRA", "3"))
 
 OPERATOR_QUERIES = [
     "pagerank5",
@@ -101,6 +108,62 @@ def ensure_prebuilt(spark) -> str:
     return graph_dir
 
 
+# Explicit override for the pinned-range base ("" = probe and pick).
+SCALE_PIN_BASE = os.environ.get("SPARK_GRAFT_SCALE_PIN_BASE", "")
+_CORE_PROBE: dict = {}
+
+
+def _probe_pair_bw_gbps(lo: int) -> float:
+    """Copy bandwidth (GB/s) of core pair (lo, lo+1): one pinned python
+    doing best-of-3 64 MB numpy copies. Cheap (~0.5 s) and enough to expose
+    order-of-magnitude core heterogeneity."""
+    code = (
+        "import numpy,time\n"
+        "a=numpy.ones(8*1024*1024,dtype=numpy.float64)\n"
+        "a.copy()\n"
+        "best=0.0\n"
+        "for _ in range(3):\n"
+        "    t0=time.time(); b=a.copy(); dt=time.time()-t0\n"
+        "    best=max(best,2*a.nbytes/dt/1e9)\n"
+        "print(round(best,2))\n"
+    )
+    r = subprocess.run(
+        ["taskset", "-c", f"{lo}-{lo + 1}", sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=60,
+    )
+    try:
+        return float(r.stdout.strip().splitlines()[-1])
+    except (ValueError, IndexError):
+        return 0.0
+
+
+def _clean_core_base(span: int = 8) -> int:
+    """Base of a `span`-core contiguous range of HOMOGENEOUS cores, chosen
+    by probing pair-copy bandwidth across the box. On this VM, vCPUs 0-1
+    run ~10x slower on memory traffic than all others (host IRQ/VMM
+    affinity); a scaling comparison that pins legs onto a mix of fast and
+    slow cores measures core heterogeneity, not the engine. Real cluster
+    executors are homogeneous — probing and excluding the bad cores is the
+    honest analog, and the probe results are published in BENCH/BASELINE.md."""
+    if SCALE_PIN_BASE:
+        return int(SCALE_PIN_BASE)
+    if "base" in _CORE_PROBE:
+        return _CORE_PROBE["base"]
+    import multiprocessing
+
+    ncpu = multiprocessing.cpu_count()
+    pairs = {lo: _probe_pair_bw_gbps(lo) for lo in range(0, ncpu - 1, 2)}
+    best_base, best_score = 0, -1.0
+    for base in range(0, ncpu - span + 1, 2):
+        score = min(pairs[lo] for lo in range(base, base + span, 2))
+        if score > best_score:
+            best_base, best_score = base, score
+    _CORE_PROBE["pair_bw_gbps"] = {str(k): v for k, v in pairs.items()}
+    _CORE_PROBE["base"] = best_base
+    _CORE_PROBE["min_pair_bw_gbps"] = round(best_score, 2)
+    return best_base
+
+
 def _bench_job(
     master: str,
     cores: int,
@@ -113,6 +176,7 @@ def _bench_job(
     partitions: int | None = None,
     driver_mem: str | None = None,
     local_dir: str | None = None,
+    event_log_dir: str | None = None,
 ) -> dict:
     cmd = [
         sys.executable, "-m", "osmgraphing_spark.bench_job",
@@ -130,13 +194,27 @@ def _bench_job(
         cmd += ["--driver-mem", driver_mem]
     if local_dir:
         cmd += ["--local-dir", local_dir]
+    if event_log_dir:
+        cmd += ["--event-log-dir", event_log_dir]
     if pin_cpus:
         # Pin the whole JVM (and its Python children) to exactly `cores`
         # hardware threads. Without this a local[2] JVM still spreads GC,
         # shuffle and IO threads over all 32 box cores — inflating the N leg
         # and depressing measured efficiency. Pinning is the honest analog of
         # "N vs 4N executors": total cores scale exactly 4×.
-        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        #
+        # The range starts at _clean_core_base(), NOT core 0: on this VM,
+        # vCPUs 0-1 have ~10x lower memory bandwidth than every other core
+        # (measured 0.54 vs 5-7 GB/s pair-copy — host IRQ/VMM threads share
+        # their physical cores). Pinning the N leg onto exactly those two
+        # cores and the 4N leg onto 2-bad + 6-good is what produced the
+        # 0.27-0.5 "efficiency" readings: per-superstep barriers make the
+        # bad-core stragglers dominate both legs asymmetrically. Real
+        # executors are homogeneous; heterogeneous cores measure the host,
+        # not the engine.
+        base = _clean_core_base()
+        cmd += ["--pin-cores", f"{base}-{base + cores - 1}"]
+        cmd = ["taskset", "-c", f"{base}-{base + cores - 1}"] + cmd
     r = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=3600)
     line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
     if not line:
@@ -155,7 +233,16 @@ def run_scaling_leg(graph_dir: str) -> dict:
       recorded in BENCH/BASELINE.md so the spread is visible.
     """
     trials = {m: [] for m in SCALE_MASTERS}
-    for t in range(SCALE_TRIALS):
+    # Probe core homogeneity ONCE up front and pin every leg to the clean
+    # range (see _clean_core_base) — vCPUs 0-1 on this VM are ~10x slower
+    # on memory traffic than the rest.
+    max_cores = max(int(m.split("[")[1].rstrip("]")) for m in SCALE_MASTERS)
+    _clean_core_base(span=max_cores)
+
+    def one_pair(t: int) -> bool:
+        """Run one back-to-back N,4N pair; → True if both legs were clean
+        (host steal under the gate) during their timed sections."""
+        clean = True
         for master in SCALE_MASTERS:
             cores = int(master.split("[")[1].rstrip("]"))
             j = _bench_job(
@@ -167,9 +254,12 @@ def run_scaling_leg(graph_dir: str) -> dict:
                     os.path.join(SCALE_LOCAL_DIR, f"{master}-t{t}")
                     if SCALE_LOCAL_DIR else None
                 ),
+                event_log_dir=os.path.join(BENCH_DATA, "eventlogs"),
             )
             j["trial"] = t
             trials[master].append(j)
+            if (j.get("steal_pct") or 0) > SCALE_STEAL_GATE_PCT:
+                clean = False
             if SCALE_LOCAL_DIR:
                 import shutil
 
@@ -177,6 +267,15 @@ def run_scaling_leg(graph_dir: str) -> dict:
                     os.path.join(SCALE_LOCAL_DIR, f"{master}-t{t}"),
                     ignore_errors=True,
                 )
+        return clean
+
+    n_clean = 0
+    t = 0
+    while t < SCALE_TRIALS + SCALE_MAX_EXTRA and (
+        t < SCALE_TRIALS or n_clean < SCALE_TRIALS
+    ):
+        n_clean += 1 if one_pair(t) else 0
+        t += 1
 
     def median(xs):
         s = sorted(xs)
@@ -196,12 +295,31 @@ def run_scaling_leg(graph_dir: str) -> dict:
     # efficiency estimator (per-leg medians taken across trials do not pair
     # and can mix a loud-host N leg with a quiet-host 4N leg).
     m_n, m_4n = SCALE_MASTERS[0], SCALE_MASTERS[1]
-    ratios = [
-        (t4["edges_per_sec"] / tn["edges_per_sec"]) / 4.0
-        for tn, t4 in zip(trials[m_n], trials[m_4n])
-    ]
-    out["pair_ratios"] = [round(r, 3) for r in ratios]
-    out["scaling_efficiency"] = round(median(ratios), 3)
+    pairs = []
+    for tn, t4 in zip(trials[m_n], trials[m_4n]):
+        steal = max(tn.get("steal_pct") or 0, t4.get("steal_pct") or 0)
+        p = {
+            "ratio": round((t4["edges_per_sec"] / tn["edges_per_sec"]) / 4.0, 3),
+            "max_steal_pct": steal,
+            "clean": steal <= SCALE_STEAL_GATE_PCT,
+        }
+        # CPU-work invariance: total executor CPU-seconds for the identical
+        # timed section should be FLAT from N to 4N cores if the engine adds
+        # no parallel overhead — the wall-clock-noise-immune corroboration of
+        # the ratio (host weather moves wall, not the amount of work done).
+        if tn.get("task_cpu_sec") and t4.get("task_cpu_sec"):
+            p["cpu_work_ratio_4n_over_n"] = round(
+                t4["task_cpu_sec"] / tn["task_cpu_sec"], 3
+            )
+        pairs.append(p)
+    out["core_probe"] = dict(_CORE_PROBE)
+    out["pairs"] = pairs
+    out["pair_ratios"] = [p["ratio"] for p in pairs]
+    clean = [p["ratio"] for p in pairs if p["clean"]]
+    out["clean_pairs"] = len(clean)
+    # efficiency over clean pairs only (all pairs as the degraded fallback):
+    # a pair timed under host CPU theft measures the host, not the engine
+    out["scaling_efficiency"] = round(median(clean if clean else out["pair_ratios"]), 3)
     return out
 
 
@@ -231,7 +349,12 @@ def write_baseline_md(scaling: dict, headline: dict, times: dict, total: float) 
         "",
         f"Protocol: {SCALE_TRIALS} trials per leg, interleaved "
         f"({' → '.join(SCALE_MASTERS * SCALE_TRIALS)}), each trial a fresh JVM "
-        f"CPU-pinned with `taskset -c 0-(cores-1)`, {SCALE_WARMUP} untimed warmup "
+        f"CPU-pinned with `taskset -c base-(base+cores-1)` where `base` is "
+        "chosen by a per-core-pair bandwidth probe (this VM's vCPUs 0-1 run "
+        "~10x slower on memory traffic than all others — host IRQ/VMM "
+        "affinity; real executors are homogeneous, so legs are pinned to a "
+        "homogeneous clean range and the probe map is published below), "
+        f"{SCALE_WARMUP} untimed warmup "
         f"superstep block before the timed {SCALE_ITERS}-superstep run "
         f"(stride {SCALE_STRIDE} supersteps per action), "
         f"{SCALE_PARTITIONS} shuffle partitions on BOTH legs (same task "
@@ -239,40 +362,61 @@ def write_baseline_md(scaling: dict, headline: dict, times: dict, total: float) 
         f"{SCALE_MEM_PER_CORE_GB} GiB heap PER CORE (executors bring their own "
         "memory, so total heap scales with the leg), shuffle spill on tmpfs "
         "(executors bring their own SSDs, so one shared container disk must "
-        "not throttle the 4N leg). Efficiency uses per-leg MEDIAN throughput.",
+        "not throttle the 4N leg). Efficiency = median of per-pair "
+        "throughput ratios over clean pairs; `task cpu s` is total executor "
+        "CPU-seconds for the timed section from the Spark event log — its "
+        "flatness from N to 4N is the wall-clock-noise-immune evidence that "
+        "the engine adds no parallel overhead.",
         "",
-        "| master | trial | supersteps | pagerank s | edges/s |",
-        "|---|---|---|---|---|",
+        "| master | trial | supersteps | pagerank s | edges/s | task cpu s | gc s | steal % | busy % | membw GB/s |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for m in SCALE_MASTERS:
         for j in scaling.get("trials", {}).get(m, []):
             lines.append(
                 f"| {m} | {j['trial']} | {j['iterations']} "
-                f"| {j['pagerank_sec']} | {j['edges_per_sec']} |"
+                f"| {j['pagerank_sec']} | {j['edges_per_sec']} "
+                f"| {j.get('task_cpu_sec')} | {j.get('gc_sec')} "
+                f"| {j.get('steal_pct')} | {j.get('busy_pct')} "
+                f"| {j.get('membw_gbps')} |"
             )
         med = scaling.get(m, {})
         if med:
             lines.append(
                 f"| **{m} median** | — | {med['iterations']} "
-                f"| {med['pagerank_sec']} | **{med['edges_per_sec']}** |"
+                f"| {med['pagerank_sec']} | **{med['edges_per_sec']}** | | | | | |"
             )
+    probe = scaling.get("core_probe") or {}
+    if probe:
+        lines += [
+            "",
+            f"Core-pair copy-bandwidth probe (GB/s), pinned range base = "
+            f"{probe.get('base')} (min in-range pair {probe.get('min_pair_bw_gbps')}): "
+            f"{probe.get('pair_bw_gbps')}",
+        ]
     if "scaling_efficiency" in scaling:
         lines += [
             "",
-            f"Per-pair ratios (thr_4N/thr_N)/4, one per back-to-back trial pair: "
-            f"{scaling.get('pair_ratios')}",
+            f"Per-pair ratios (thr_4N/thr_N)/4, one per back-to-back trial pair "
+            f"(a pair is CLEAN when host steal stayed ≤ {SCALE_STEAL_GATE_PCT}% "
+            f"on the pinned cores of both timed legs): "
+            f"{scaling.get('pairs')}",
             "",
             f"**Scaling efficiency ({SCALE_MASTERS[0]} → {SCALE_MASTERS[1]}, 4× cores): "
-            f"{scaling['scaling_efficiency']}** = median of the per-pair ratios — "
-            "the sandbox evidence for the north rule's N → 4N executor criterion: "
-            "same job, same prebuilt input, two parallelism levels, separate "
-            "CPU-pinned JVMs. The ratio is taken WITHIN each back-to-back pair "
-            "because this box is a VM on a shared host whose co-tenant load moves "
-            "absolute throughput 2-3× between runs; pairing cancels the "
-            "slowly-varying component. N and 4N are both far below the box's 32 "
-            "hardware threads so per-core memory bandwidth is constant across the "
-            "two sizes (the analog of adding executors, which bring their own "
-            "bandwidth).",
+            f"{scaling['scaling_efficiency']}** = median of the CLEAN per-pair "
+            f"ratios ({scaling.get('clean_pairs')} clean) — the sandbox evidence "
+            "for the north rule's N → 4N executor criterion: same job, same "
+            "prebuilt input, two parallelism levels, separate CPU-pinned JVMs. "
+            "The ratio is taken WITHIN each back-to-back pair because this box is "
+            "a VM on a shared host whose co-tenant load moves absolute throughput "
+            "2-3× between runs; pairing cancels the slowly-varying component, and "
+            "the per-leg /proc/stat steal gate discards pairs where the host "
+            "visibly squeezed this VM's CPU during a timed section (bandwidth "
+            "squeezing starves the wide leg while the narrow leg still fits under "
+            "the cap — it biases the ratio down and says nothing about the "
+            "engine). N and 4N are both far below the box's 32 hardware threads "
+            "so per-core memory bandwidth is constant across the two sizes (the "
+            "analog of adding executors, which bring their own bandwidth).",
         ]
     if headline:
         lines += [
@@ -337,6 +481,7 @@ def main() -> None:
         "corpus_files": N_FILES,
         "graph_edges": headline.get("edges"),
         "scaling_efficiency": scaling.get("scaling_efficiency"),
+        "scaling_pairs": scaling.get("pairs"),
         "supersteps_per_hour_local32": headline.get("supersteps_per_hour"),
         "total_sec": round(total, 2),
     }

@@ -46,6 +46,23 @@ def main() -> None:
         "at tmpfs so per-leg shuffle bandwidth is not bottlenecked by one "
         "shared container disk (executors bring their own SSDs)",
     )
+    ap.add_argument(
+        "--pin-cores", default=None,
+        help="'0-7': core range this job is pinned to; the timed section "
+        "samples /proc/stat for those cores and reports steal_pct — this "
+        "box is a VM on a shared host, and a trial measured while the host "
+        "steals CPU is not evidence about the engine",
+    )
+    ap.add_argument(
+        "--event-log-dir", default=None,
+        help="when set, Spark event logging is enabled there and the timed "
+        "section's per-task metrics (executor run/CPU/GC time, shuffle "
+        "bytes, spill) are aggregated into the output JSON. Executor "
+        "CPU-seconds per superstep is the noise-robust scaling invariant: "
+        "wall-clock on a shared-host VM swings with co-tenant weather, but "
+        "if total CPU work stays flat from N to 4N cores the engine adds "
+        "no parallel overhead.",
+    )
     args = ap.parse_args()
 
     from .operators import pagerank
@@ -56,6 +73,13 @@ def main() -> None:
     extra = {}
     if args.local_dir:
         extra["spark.local.dir"] = args.local_dir
+    if args.event_log_dir:
+        import os as _os
+
+        _os.makedirs(args.event_log_dir, exist_ok=True)
+        extra["spark.eventLog.enabled"] = "true"
+        extra["spark.eventLog.dir"] = "file://" + args.event_log_dir
+        extra["spark.eventLog.compress"] = "false"
     if args.driver_mem:
         import os
 
@@ -77,6 +101,24 @@ def main() -> None:
         )
     build_sec = time.time() - t0
 
+    def read_pinned_cores():
+        if not args.pin_cores:
+            return None
+        lo, hi = (int(x) for x in args.pin_cores.split("-"))
+        cores = set(range(lo, hi + 1))
+        acc = {"busy": 0, "idle": 0, "steal": 0, "total": 0}
+        with open("/proc/stat") as fh:
+            for line in fh:
+                if line.startswith("cpu") and line[3:4].isdigit():
+                    f = line.split()
+                    if int(f[0][3:]) in cores:
+                        v = list(map(int, f[1:]))
+                        acc["busy"] += v[0] + v[1] + v[2]
+                        acc["idle"] += v[3]
+                        acc["steal"] += v[7] if len(v) > 7 else 0
+                        acc["total"] += sum(v)
+        return acc
+
     if args.warmup_iters > 0:
         pagerank.run(
             g,
@@ -86,6 +128,28 @@ def main() -> None:
             check_every=args.warmup_iters,
         )
 
+    def membw_probe() -> float:
+        """Single-thread DRAM streaming rate (GB/s), the host-weather
+        signal /proc/stat cannot see: co-tenant VMs saturating the shared
+        memory bus stall cores that still count as 'busy'. A wide leg needs
+        proportionally more bandwidth than a narrow one, so pairs timed
+        under depressed bandwidth are flagged in the report."""
+        import numpy as _np
+        import time as _t
+
+        a = _np.ones(32 * 1024 * 1024, dtype=_np.float64)  # 256 MB
+        best = 0.0
+        for _ in range(3):
+            t0 = _t.time()
+            b = a.copy()
+            dt = _t.time() - t0
+            best = max(best, 2 * a.nbytes / dt / 1e9)
+            del b
+        return round(best, 2)
+
+    membw = membw_probe()
+    cpu0 = read_pinned_cores()
+    timed_start_ms = int(time.time() * 1000)
     res = pagerank.run(
         g,
         mode=args.mode,
@@ -93,6 +157,12 @@ def main() -> None:
         max_iter=args.max_iter,
         check_every=args.check_every,
     )
+    cpu1 = read_pinned_cores()
+    steal_pct = busy_pct = None
+    if cpu0 is not None:
+        d_tot = max(cpu1["total"] - cpu0["total"], 1)
+        steal_pct = round(100.0 * (cpu1["steal"] - cpu0["steal"]) / d_tot, 1)
+        busy_pct = round(100.0 * (cpu1["busy"] - cpu0["busy"]) / d_tot, 1)
     iters = res.iterations
     out = {
         "master": args.master,
@@ -106,10 +176,80 @@ def main() -> None:
         "edges": g.num_edges,
         "edges_per_sec": round(res.edges_processed / max(res.wall_sec, 1e-9), 1),
         "supersteps_per_hour": round(3600.0 * iters / max(res.wall_sec, 1e-9), 1),
+        "steal_pct": steal_pct,
+        "busy_pct": busy_pct,
+        "membw_gbps": membw,
     }
+    app_id = spark.sparkContext.applicationId
+    spark.stop()
+    if args.event_log_dir:
+        out.update(_parse_event_log(args.event_log_dir, app_id, timed_start_ms))
     print(json.dumps(out))
     sys.stdout.flush()
-    spark.stop()
+
+
+def _parse_event_log(log_dir: str, app_id: str, since_ms: int) -> dict:
+    """Aggregate per-task metrics for tasks launched after ``since_ms``
+    (i.e. the timed PageRank section, excluding build + warmup) from the
+    Spark event log. Pure post-hoc JSON parse — zero overhead during the
+    timed section."""
+    import os
+
+    # Spark 4 rolling layout: <dir>/eventlog_v2_<appId>/events_*_<appId>;
+    # classic layout: <dir>/<appId> single file.
+    paths = []
+    for cand in (os.path.join(log_dir, f"eventlog_v2_{app_id}"),
+                 os.path.join(log_dir, app_id)):
+        if os.path.isdir(cand):
+            paths = sorted(
+                os.path.join(cand, f)
+                for f in os.listdir(cand)
+                if f.startswith("events_")
+            )
+            break
+        if os.path.isfile(cand):
+            paths = [cand]
+            break
+    if not paths:
+        return {}
+    agg = {
+        "task_run_sec": 0.0,   # executor run time (wall inside tasks)
+        "task_cpu_sec": 0.0,   # executor CPU time (on-CPU)
+        "gc_sec": 0.0,
+        "shuffle_write_gb": 0.0,
+        "shuffle_read_gb": 0.0,
+        "spill_gb": 0.0,
+        "n_tasks": 0,
+    }
+    for path in paths:
+        with open(path) as fh:
+            _agg_task_lines(fh, since_ms, agg)
+    return {k: (round(v, 2) if isinstance(v, float) else v) for k, v in agg.items()}
+
+
+def _agg_task_lines(fh, since_ms: int, agg: dict) -> None:
+    for line in fh:
+            if '"SparkListenerTaskEnd"' not in line:
+                continue
+            ev = json.loads(line)
+            ti = ev.get("Task Info") or {}
+            if (ti.get("Launch Time") or 0) < since_ms:
+                continue
+            tm = ev.get("Task Metrics") or {}
+            agg["n_tasks"] += 1
+            agg["task_run_sec"] += (tm.get("Executor Run Time") or 0) / 1e3
+            agg["task_cpu_sec"] += (tm.get("Executor CPU Time") or 0) / 1e9
+            agg["gc_sec"] += (tm.get("JVM GC Time") or 0) / 1e3
+            sw = tm.get("Shuffle Write Metrics") or {}
+            agg["shuffle_write_gb"] += (sw.get("Shuffle Bytes Written") or 0) / 1e9
+            sr = tm.get("Shuffle Read Metrics") or {}
+            agg["shuffle_read_gb"] += (
+                (sr.get("Local Bytes Read") or 0) + (sr.get("Remote Bytes Read") or 0)
+            ) / 1e9
+            agg["spill_gb"] += (
+                (tm.get("Memory Bytes Spilled") or 0)
+                + (tm.get("Disk Bytes Spilled") or 0)
+            ) / 1e9
 
 
 if __name__ == "__main__":
