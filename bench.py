@@ -36,14 +36,24 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SF = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
-# corpus sized so a superstep is COMPUTE-bound (scaling evidence is
-# meaningless when fixed per-superstep overhead dominates): sf0.1 → 10M
-# files (~37M edges)
-N_FILES = max(int(100_000_000 * SF), 5_000)
-BENCH_DATA = os.path.join(REPO, ".bench_data", f"sf{SF}_n{N_FILES}")
+# Corpus shape: sf0.1 → 1M files × avg degree ~40 (~40M edges) — the same
+# edge count (work per superstep) as a 10M-file m=4 corpus, at the link-graph
+# density real import/web graphs have (tens of out-links per node). The dense
+# shape matters for the single-box scaling evidence: per-superstep aggregation
+# state is O(vertices), and at 10M vertices the per-task hash maps (~1 GB
+# total) are DRAM-latency-bound — on one box the 4N leg then measures the
+# shared memory bus, not the engine (measured here: 9x longer GC copy phases
+# and 3.9x inflated CPU-stall cycles at local[8] vs local[2] for identical
+# tasks). At 1M vertices the per-partition state (~1-2 MB x 32 partitions) is
+# cache-resident, so a superstep is compute-bound and core-count scaling
+# measures the engine — the honest analog of a cluster, where 4N executors
+# bring 4N x DRAM with them. Edge streaming work is unchanged (40M edges).
+BENCH_M = int(os.environ.get("SPARK_GRAFT_BENCH_M", "40"))
+N_FILES = max(int(10_000_000 * SF), 10_000)
+BENCH_DATA = os.path.join(REPO, ".bench_data", f"sf{SF}_n{N_FILES}_m{BENCH_M}")
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_BENCH_NO_SCALING", "") == "1"
 SCALE_MASTERS = os.environ.get("SPARK_GRAFT_SCALE_MASTERS", "local[2],local[8]").split(",")
-SCALE_ITERS = int(os.environ.get("SPARK_GRAFT_SCALE_ITERS", "8"))
+SCALE_ITERS = int(os.environ.get("SPARK_GRAFT_SCALE_ITERS", "16"))
 # Stride (supersteps composed per action) 4: measured sweet spot — stride 1
 # pays a delta-join + parquet truncation per superstep (29.1 s/superstep at
 # pinned local[8]), stride 8 accumulates eight supersteps of lazy caches
@@ -98,7 +108,7 @@ def ensure_prebuilt(spark) -> str:
 
     edges_path = os.path.join(BENCH_DATA, "raw_edges.parquet")
     if not os.path.exists(os.path.join(edges_path, "_SUCCESS")):
-        corpus = powerlaw_corpus(spark, N_FILES, m=4).persist()
+        corpus = powerlaw_corpus(spark, N_FILES, m=BENCH_M).persist()
         ref = reference_hashes(corpus)
         raw = extract_edges(corpus, ref, verify=True)
         raw.write.mode("overwrite").parquet(edges_path)
@@ -341,9 +351,14 @@ def write_baseline_md(scaling: dict, headline: dict, times: dict, total: float) 
     lines = [
         "# BENCH/BASELINE.md — measured numbers (this sandbox)",
         "",
-        f"Corpus: deterministic power-law, {N_FILES} files, m=4, seed 42 "
-        f"(`osmgraphing_spark.sources.synth.powerlaw_corpus`); graph built once, "
-        "benchmarks load the prebuilt edge table.",
+        f"Corpus: deterministic power-law, {N_FILES} files, m={BENCH_M} "
+        f"(link-graph density: ~{BENCH_M} imports/file, ~{BENCH_M}x{N_FILES} edges), "
+        "seed 42 (`osmgraphing_spark.sources.synth.powerlaw_corpus`); graph built "
+        "once, benchmarks load the prebuilt edge table. Density rationale: same "
+        "edge work per superstep as a 10x-vertices m=4 corpus, but per-partition "
+        "aggregation state is cache-resident, so the single-box N vs 4N comparison "
+        "measures the engine's scaling rather than one shared DRAM bus (executors "
+        "on a real cluster bring their own DRAM; one box does not).",
         "",
         "## Scaling leg — identical fixed-superstep PageRank job, two parallelism levels",
         "",
