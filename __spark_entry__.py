@@ -742,8 +742,13 @@ _DOC_TOKS = (
 _DOC_STOP_HITS = (
     r"len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|it|for|was)\b'))"
 )
+# Kirsch-Mitzenmacher double-hash family over ONE md5 per shingle (mirrors
+# dedup._portable_hash_pair): u, v = two 56-bit md5 slices; h_i = (u+i*v) mod
+# (2^61-1). No overflow: u + i*v < 2^61 for i < 32.
+_MH_U = "CAST(concat('0x', substr(md5(shingle), 1, 14)) AS BIGINT)"
+_MH_V = "CAST(concat('0x', substr(md5(shingle), 15, 14)) AS BIGINT)"
 _PORTABLE_HASH = (
-    "CAST(concat('0x', substr(md5(concat('{seed}_', shingle)), 1, 15)) AS BIGINT)"
+    f"(({_MH_U} + {{seed}} * {_MH_V}) % 2305843009213693951)"
 )
 
 _SHINGLES_CTE = """

@@ -130,13 +130,24 @@ def jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _portable_hash(col, seed: int):
-    """First 15 hex digits of md5(seed || value) as a bigint — identical in
-    DuckDB: CAST(('0x' || substr(md5(...), 1, 15)) AS BIGINT)-compatible via
-    from_hex; chosen so the SQL oracle can reproduce sketches exactly."""
-    return F.conv(F.substring(F.md5(F.concat(F.lit(str(seed) + "_"), col)), 1, 15), 16, 10).cast(
-        "long"
-    )
+#: Mersenne prime 2^61 - 1: (u + i*v) stays < 2^61 for u, v < 2^56, i < 32,
+#: so the double-hash family below never overflows a signed 64-bit int —
+#: in Spark OR in the DuckDB oracle, which must reproduce it bit-for-bit.
+_MH_PRIME = (1 << 61) - 1
+
+
+def _portable_hash_pair(col):
+    """(u, v): two independent 56-bit slices of ONE md5(value) — the base of
+    a Kirsch-Mitzenmacher double-hash family h_i = (u + i*v) mod p. One md5
+    per shingle total, vs one per (shingle, hash function): at k=16 hashes
+    that is 16x less digest work on the full corpus scan, the dominant
+    MinHash cost at 100 TB. Identical in DuckDB via
+    CAST(concat('0x', substr(md5(v), ...)) AS BIGINT), so the SQL oracle
+    reproduces sketches exactly."""
+    h = F.md5(col)
+    u = F.conv(F.substring(h, 1, 14), 16, 10).cast("long")
+    v = F.conv(F.substring(h, 15, 14), 16, 10).cast("long")
+    return u, v
 
 
 def minhash_signatures(
@@ -147,12 +158,13 @@ def minhash_signatures(
     text_col: str = "text",
 ) -> DataFrame:
     """→ (id, mh_0 … mh_{k-1}): per-doc minimum of k portable hash functions
-    over its shingle set. One shuffle (groupBy id), k mins computed
-    map-side in a single pass."""
+    over its shingle set. One md5 + k add-mod-mults per shingle, one shuffle
+    (groupBy id), k mins computed map-side in a single pass."""
     sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    u, v = _portable_hash_pair(F.col("shingle"))
     aggs = [
-        F.min(_portable_hash(F.col("shingle"), seed)).alias(f"mh_{seed}")
-        for seed in range(num_hashes)
+        F.min((u + F.lit(i) * v) % F.lit(_MH_PRIME)).alias(f"mh_{i}")
+        for i in range(num_hashes)
     ]
     return sh.groupBy("id").agg(*aggs)
 
