@@ -2,11 +2,13 @@
 
 A 100 TB training-data pipeline carries media as ``binary`` columns with a
 metadata struct; all Spark-side plumbing here is real (schemas, Arrow batch
-shapes, partition-preserving mapInPandas) while the actual codec calls are
-STUBBED — the container has no image/audio libraries, so decode is either a
-clearly-marked NotImplementedError (strict mode) or a deterministic fake
-(test mode) keyed on the content hash. Swap ``_decode_image_impl`` for a
-PIL/libvips call in production; nothing else changes.
+shapes, partition-preserving mapInPandas). Codecs are real where a format
+is decodable without external libraries — PPM (P6) images via a pure-numpy
+header parse and WAV (PCM) audio via the stdlib ``wave`` module — and
+STUBBED for everything else (PNG/JPEG/MP4 need PIL/libvips/ffmpeg, absent
+in this container): a clearly-marked NotImplementedError in strict mode, a
+deterministic content-hash fake in test mode. Swap ``_decode_image_impl``'s
+fallback for a PIL call in production; nothing else changes.
 
 Design rules applied:
 - media bytes never hit the driver; every transform is mapInPandas over
@@ -53,22 +55,98 @@ MEDIA_SCHEMA = StructType(
     ]
 )
 
-STRICT = False  # True → decode raises NotImplementedError (production stub)
+STRICT = False  # True → non-PPM/WAV decode raises NotImplementedError
 
 
-def _decode_image_impl(data: bytes, width: int, height: int, channels: int) -> np.ndarray:
-    """STUB — production: PIL.Image.open(io.BytesIO(data)). Here: a
-    deterministic fake decode keyed on sha256(data) so tests exercise the
-    full pipeline shape with reproducible values."""
-    if STRICT:
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6). Lib-free counterpart of
+    ``_decode_ppm``; used by synth_media and tests for exact roundtrips."""
+    h, w, c = img.shape
+    if c != 3 or img.dtype != np.uint8:
+        raise ValueError("PPM P6 is 3-channel uint8")
+    return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def _decode_ppm(data: bytes) -> np.ndarray:
+    """REAL decode: binary PPM (P6) → (h, w, 3) uint8. Header is
+    'P6' <ws> width <ws> height <ws> maxval <single-ws> raster; '#'
+    comments allowed between tokens."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(data[start:pos]))
+    pos += 1  # exactly one whitespace byte before the raster
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    raster = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return raster.reshape(h, w, 3)
+
+
+def _decode_image_impl(
+    data: bytes, width: int, height: int, channels: int, strict: bool | None = None
+) -> np.ndarray:
+    """PPM (P6) decodes for REAL (pure numpy). Other formats: production
+    would call PIL.Image.open(io.BytesIO(data)); here they raise in strict
+    mode or produce a deterministic fake keyed on sha256(data) so tests
+    exercise the full pipeline shape with reproducible values."""
+    if data.startswith(b"P6"):
+        return _decode_ppm(data)
+    if STRICT if strict is None else strict:
         raise NotImplementedError(
-            "image decode requires an image library not present in this "
-            "container; set functions.multimodal.STRICT=False for the "
+            "non-PPM image decode requires an image library not present in "
+            "this container; set functions.multimodal.STRICT=False for the "
             "deterministic fake"
         )
     seed = int.from_bytes(hashlib.sha256(data).digest()[:8], "big")
     rng = np.random.default_rng(seed)
     return rng.integers(0, 256, size=(height, width, channels), dtype=np.uint8)
+
+
+def _decode_audio_impl(data: bytes) -> tuple[np.ndarray, int]:
+    """REAL decode: WAV (PCM16/PCM8) via the stdlib ``wave`` module →
+    (float32 samples in [-1, 1] of shape (n, channels), sample_rate)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        n, ch, sw, rate = (
+            wf.getnframes(), wf.getnchannels(), wf.getsampwidth(), wf.getframerate()
+        )
+        raw = wf.readframes(n)
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported sample width {sw}")
+    return x.reshape(-1, ch), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """float samples in [-1, 1] (n,) or (n, ch) → PCM16 WAV bytes."""
+    import io
+    import wave
+
+    x = np.atleast_2d(np.asarray(samples, dtype=np.float64).T).T
+    pcm = np.clip(x * 32767.0, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(pcm.shape[1])
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
 
 
 def _resize_impl(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
@@ -85,6 +163,8 @@ def image_features(
     """decode → resize → channel-mean feature vector per image.
     → (media_id, feature array<float>). One Arrow batch at a time; the
     binary column never leaves the executor."""
+    strict = STRICT  # snapshot driver-side: executor workers re-import the
+    # module fresh, so the module global alone would not reach them
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -99,6 +179,7 @@ def image_features(
                     int(meta["width"]),
                     int(meta["height"]),
                     int(meta["channels"]),
+                    strict=strict,
                 )
                 small = _resize_impl(img, out_w, out_h)
                 feats.append(small.mean(axis=2).astype(np.float32).ravel())
@@ -107,6 +188,36 @@ def image_features(
 
     return media.select("media_id", "kind", "data", "meta").mapInPandas(
         run, schema="media_id long, feature array<float>"
+    )
+
+
+def audio_features(media: DataFrame, frame: int = 512) -> DataFrame:
+    """WAV decode (REAL, stdlib) → per-clip DSP features: RMS energy,
+    zero-crossing rate, duration. → (media_id, rms float, zcr float,
+    duration_s float). Same Arrow-batched mapInPandas shape as
+    image_features; bytes never hit the driver."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rms, zcr, dur = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                if row.kind != "audio":
+                    continue
+                x, rate = _decode_audio_impl(bytes(row.data))
+                mono = x.mean(axis=1)
+                ids.append(row.media_id)
+                rms.append(float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0)
+                zcr.append(
+                    float(np.mean(np.abs(np.diff(np.signbit(mono)))))
+                    if len(mono) > 1 else 0.0
+                )
+                dur.append(len(mono) / float(rate))
+            yield pd.DataFrame(
+                {"media_id": ids, "rms": rms, "zcr": zcr, "duration_s": dur}
+            )
+
+    return media.select("media_id", "kind", "data").mapInPandas(
+        run, schema="media_id long, rms double, zcr double, duration_s double"
     )
 
 
@@ -128,19 +239,35 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
 
 
 def synth_media(spark, n: int = 32) -> DataFrame:
-    """Deterministic fake media table for tests (binary payload = seeded
-    bytes; metadata consistent with the fake decoder)."""
+    """Deterministic media table for tests: images are REAL PPMs (gradient
+    pattern keyed on media_id), audio clips are REAL PCM16 WAVs (sine at a
+    per-id frequency), video payloads are opaque seeded bytes (no lib-free
+    container format exists; its decode stays stubbed)."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
-        payload = hashlib.sha256(str(i).encode()).digest() * 4
-        meta = {
-            "width": 16 + (i % 4) * 8 if kind == "image" else None,
-            "height": 16 + (i % 3) * 8 if kind == "image" else None,
-            "channels": 3 if kind == "image" else None,
-            "sample_rate": 16000 if kind == "audio" else None,
-            "n_frames": 100 + i if kind == "video" else None,
-            "format": {"image": "png", "audio": "wav", "video": "mp4"}[kind],
-        }
+        if kind == "image":
+            w, h = 16 + (i % 4) * 8, 16 + (i % 3) * 8
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack(
+                [(xx * (i + 1)) % 256, (yy * (i + 2)) % 256, (xx + yy + i) % 256],
+                axis=-1,
+            ).astype(np.uint8)
+            payload, meta = encode_ppm(img), {
+                "width": w, "height": h, "channels": 3, "sample_rate": None,
+                "n_frames": None, "format": "ppm",
+            }
+        elif kind == "audio":
+            rate, freq = 16000, 110.0 * (1 + i % 8)
+            t = np.arange(rate // 4) / rate  # 250 ms
+            payload, meta = encode_wav(np.sin(2 * np.pi * freq * t), rate), {
+                "width": None, "height": None, "channels": None,
+                "sample_rate": rate, "n_frames": None, "format": "wav",
+            }
+        else:
+            payload, meta = hashlib.sha256(str(i).encode()).digest() * 4, {
+                "width": None, "height": None, "channels": None,
+                "sample_rate": None, "n_frames": 100 + i, "format": "mp4",
+            }
         rows.append((i, kind, bytearray(payload), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -150,13 +150,69 @@ def test_multimodal_image_features(spark):
 
 
 def test_multimodal_strict_mode_raises(spark):
-    media = mm.synth_media(spark, n=3)
+    # a non-PPM image payload (PNG magic) has no lib-free decode: strict
+    # mode must raise instead of silently faking
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(b"\x89PNG----"), {
+            "width": 4, "height": 4, "channels": 3, "sample_rate": None,
+            "n_frames": None, "format": "png"})],
+        mm.MEDIA_SCHEMA,
+    )
     mm.STRICT = True
     try:
         with pytest.raises(Exception):
             mm.image_features(media).collect()
     finally:
         mm.STRICT = False
+
+
+def test_ppm_roundtrip_exact():
+    import numpy as np
+
+    img = (np.arange(5 * 7 * 3, dtype=np.uint8) % 251).reshape(5, 7, 3)
+    assert (mm._decode_ppm(mm.encode_ppm(img)) == img).all()
+    # comments + multi-whitespace headers parse too
+    hdr = b"P6\n# a comment\n7  5\n255\n" + img.tobytes()
+    assert (mm._decode_ppm(hdr) == img).all()
+
+
+def test_image_features_real_ppm_values(spark):
+    """Decode is REAL for PPM: features equal the numpy-computed channel
+    means of the known gradient image — not a hash-fake."""
+    import numpy as np
+
+    media = mm.synth_media(spark, n=12)
+    feats = {r["media_id"]: r["feature"] for r in
+             mm.image_features(media, out_w=4, out_h=4).collect()}
+    i = 0  # media_id 0 is an image
+    w, h = 16 + (i % 4) * 8, 16 + (i % 3) * 8
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(xx * (i + 1)) % 256, (yy * (i + 2)) % 256, (xx + yy + i) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    small = mm._resize_impl(img, 4, 4)
+    expect = small.mean(axis=2).astype(np.float32).ravel()
+    assert np.allclose(feats[0], expect)
+
+
+def test_wav_roundtrip_and_audio_features(spark):
+    import numpy as np
+
+    x = np.sin(2 * np.pi * 440.0 * np.arange(4000) / 16000)
+    dec, rate = mm._decode_audio_impl(mm.encode_wav(x, 16000))
+    assert rate == 16000
+    assert np.allclose(dec[:, 0], x, atol=1e-4)  # PCM16 quantization
+
+    media = mm.synth_media(spark, n=12)
+    rows = {r["media_id"]: r for r in mm.audio_features(media).collect()}
+    assert set(rows) == {1, 4, 7, 10}  # every 3rd row starting at 1
+    for mid, r in rows.items():
+        # pure sine: rms = 1/sqrt(2), duration 250 ms
+        assert abs(r["rms"] - 1 / np.sqrt(2)) < 1e-3
+        assert abs(r["duration_s"] - 0.25) < 1e-9
+    # zcr rises with frequency (freq = 110 * (1 + id % 8))
+    assert rows[1]["zcr"] < rows[10]["zcr"]
 
 
 def test_frame_sample(spark):
