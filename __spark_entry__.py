@@ -432,6 +432,16 @@ def q_embed_topk(spark, sf_dir):
 ANN_DIM = 64  # embeddings.embedding width in the driver test tables
 
 
+def q_embed_ivf(spark, sf_dir):
+    """IVF ANN: data-independent integer centroids (random-projection
+    coarse quantizer) → exact-integer cell argmax → nprobe probing → exact
+    cosine re-score of probed cells only. Whole pipeline SQL-reproducible,
+    so cells, candidate sets and top-k are value-checked."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return sim.ivf_topk_portable(emb, queries, dim=ANN_DIM, k=5, n_cells=8, nprobe=3)
+
+
 def q_embed_ann(spark, sf_dir):
     """LSH-bucketed ANN via the portable integer-quantized hyperplanes: the
     candidate set (and hence the exact top-k) is SQL-reproducible, so this
@@ -607,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "embed_topk": q_embed_topk,
         "embed_ann": q_embed_ann,
+        "embed_ivf": q_embed_ivf,
         "sssp_nations": q_sssp_nations,
         "multi_metric_edges": q_multi_metric_edges,
         "normalize_metrics": q_normalize_metrics,
@@ -895,6 +906,74 @@ def _embed_ann_sql(dim: int = ANN_DIM, k: int = 5, n_planes: int = 8, n_tables: 
     """
 
 
+def _embed_ivf_sql(
+    dim: int = ANN_DIM, k: int = 5, n_cells: int = 8, nprobe: int = 3
+) -> str:
+    """DuckDB replica of similarity.ivf_topk_portable: the data-independent
+    integer centroids are inlined; cell scores are exact integers in double
+    arithmetic, so cell assignment, probe set and the exact top-k match
+    Spark's bit-for-bit."""
+    from osmgraphing_spark.operators.similarity import int_centroids
+
+    cents = int_centroids(dim, n_cells)
+    score_exprs = []
+    for c in cents:
+        terms = [f"q[{d + 1}] * ({w})" for d, w in enumerate(c) if w]
+        score_exprs.append(" + ".join(terms))
+    cs = "[" + ", ".join(score_exprs) + "]"
+    return f"""
+        WITH qv AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1024, 0)) AS q
+            FROM embeddings
+        ),
+        cs AS (SELECT vec_id, {cs} AS cs FROM qv),
+        cells AS (
+            SELECT vec_id, CAST(list_position(cs, list_aggregate(cs, 'max')) AS INT) AS cell
+            FROM cs
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, cell FROM (
+                SELECT vec_id, cell, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY s DESC, cell ASC
+                ) AS prk
+                FROM (
+                    SELECT vec_id, unnest(cs) AS s,
+                           CAST(generate_subscripts(cs, 1) AS INT) AS cell
+                    FROM cs WHERE vec_id < 10
+                )
+            ) WHERE prk <= {nprobe}
+        ),
+        cand AS (
+            SELECT DISTINCT p.query_id, cells.vec_id AS neighbor_id
+            FROM probes p JOIN cells ON cells.cell = p.cell
+            WHERE cells.vec_id <> p.query_id
+        ),
+        q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+            FROM embeddings WHERE vec_id < 10
+        ),
+        v AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS nvec FROM embeddings),
+        scored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   list_dot_product(qvec, nvec)
+                   / (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(nvec, nvec))) AS s
+            FROM cand c
+            JOIN q ON c.query_id = q.query_id
+            JOIN v ON c.neighbor_id = v.neighbor_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, ROUND(s, 6) AS score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY ROUND(s, 6) DESC, neighbor_id ASC
+                   ) AS rk
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, score, CAST(rk AS INT) AS rk
+        FROM ranked WHERE rk <= {k}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     langcases = []
     for lg, markers in X.LANG_MARKERS.items():
@@ -1116,6 +1195,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_simhash_pairs": _simhash_pairs_sql(),
         "embed_ann": _embed_ann_sql(),
+        "embed_ivf": _embed_ivf_sql(),
         "sssp_nations": f"""
             WITH RECURSIVE e AS (
                 SELECT a.n_nationkey AS src, b.n_nationkey AS dst,

@@ -317,3 +317,110 @@ def ivf_assign(
         assign, schema="id long, cell int"
     )
     return assigned, centroids
+
+
+# ---------------------------------------------------------------------------
+# Portable IVF search (coarse quantizer + probe + exact re-score)
+# ---------------------------------------------------------------------------
+
+def int_centroids(dim: int, n_cells: int = 8, seed: int = SEED) -> list[list[int]]:
+    """Deterministic DATA-INDEPENDENT integer centroids in [-1000, 1000] —
+    a random-projection coarse quantizer. Less balanced than k-means/
+    sampled centroids (ivf_assign), but the cell of every vector becomes an
+    EXACT integer argmax reproducible bit-for-bit in SQL, which is what
+    lets the driver oracle value-check the whole IVF search path."""
+    rng = np.random.default_rng(seed + 101)
+    return rng.integers(-1000, 1001, size=(n_cells, dim)).tolist()
+
+
+def _int_cell_scores(vec_col, centroids: list[list[int]]):
+    """array<long> of exact integer dot products quantized-vec . centroid,
+    one per cell — whole-stage-codegen column arithmetic, no Python."""
+    qv = _quantized(vec_col)
+    scores = []
+    for c in centroids:
+        s = F.lit(0).cast("long")
+        for d, w in enumerate(c):
+            if w:
+                s = s + F.element_at(qv, d + 1) * F.lit(int(w))
+        scores.append(s)
+    return F.array(*scores)
+
+
+def portable_ivf_cells(
+    df: DataFrame,
+    centroids: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (id, scores array<long>, cell int): cell = 1-based argmax score
+    (first-occurrence ties — exact integers, so any engine agrees)."""
+    scored = df.select(
+        F.col(id_col).alias("id"),
+        _int_cell_scores(F.col(vec_col), centroids).alias("scores"),
+    )
+    return scored.withColumn(
+        "cell", F.array_position(F.col("scores"), F.array_max(F.col("scores"))).cast("int")
+    )
+
+
+def ivf_topk_portable(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = SEED,
+) -> DataFrame:
+    """IVF ANN: assign every vector to its best centroid cell, probe each
+    query's ``nprobe`` best cells, exact-cosine re-score ONLY the vectors
+    in probed cells, window top-k. The V×Q cross join becomes a cell-keyed
+    join of V against Q×nprobe — the 100 TB search path (cells shard the
+    corpus; per-cell scans are independent). Recall is gated in pytest
+    against brute_force_topk; values are SQL-verified via int_centroids."""
+    cents = int_centroids(dim, n_cells, seed)
+    vc = portable_ivf_cells(vectors, cents, id_col, vec_col)
+    qc = portable_ivf_cells(queries, cents, id_col, vec_col)
+
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("cell").asc()
+    )
+    probes = (
+        qc.select(
+            F.col("id").alias("query_id"),
+            F.posexplode(F.col("scores")).alias("cell0", "s"),
+        )
+        .select("query_id", (F.col("cell0") + 1).cast("int").alias("cell"), "s")
+        .withColumn("prk", F.row_number().over(probe_w))
+        .where(F.col("prk") <= nprobe)
+        .select("query_id", "cell")
+    )
+    cand = (
+        vc.select("cell", F.col("id").alias("neighbor_id"))
+        .join(F.broadcast(probes), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(v, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "score", "rk")
+    )

@@ -127,6 +127,31 @@ def test_ann_recall_reasonable(spark):
     assert recall >= 0.5, f"ANN recall too low: {recall}"
 
 
+def test_ivf_topk_recall_and_shape(spark):
+    """Portable IVF search: recall vs brute force with generous probing,
+    and every hit must come from a probed cell (subset property)."""
+    df, mat = _random_vectors(spark, n=120, dim=16)
+    queries = df.where(F.col("vec_id") < 10)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.brute_force_topk(df, queries, k=3).collect()
+    }
+    got = sim.ivf_topk_portable(
+        df, queries, dim=16, k=3, n_cells=6, nprobe=4
+    ).collect()
+    ivf = {(r["query_id"], r["neighbor_id"]) for r in got}
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # per-query ranks are 1..k' without gaps and scores non-increasing
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+        assert all(a["score"] >= b["score"] for a, b in zip(rows, rows[1:]))
+
+
 def test_ivf_assign_covers_all(spark):
     df, _ = _random_vectors(spark, n=80, dim=8)
     assigned, centroids = sim.ivf_assign(df, n_cells=4)
