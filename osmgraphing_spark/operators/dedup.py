@@ -179,22 +179,31 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """MinHash-LSH: docs agreeing on ALL rows of ≥1 band become candidate
     pairs → (id_a, id_b). bands=4 × rows=4 over 16 hashes ⇒ s-curve
-    threshold ≈ 0.47^(1/4) ≈ 0.72 Jaccard."""
-    sig = minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    threshold ≈ 0.47^(1/4) ≈ 0.72 Jaccard.
+
+    The signature frame is materialized ONCE (parquet round-trip), then each
+    row explodes into its `bands` (band, bucket) keys in a single projection
+    — round 1 unioned `bands` re-derivations of the signature plan, which
+    re-ran the full corpus scan + shuffle per band (per join side): the
+    dominant cost at 100 TB, and pure waste."""
+    sig = _materialize(
+        minhash_signatures(docs, num_hashes, n, id_col, text_col), "lsh_sig"
+    )
     rows_per_band = num_hashes // bands
-    buckets = []
+    band_structs = []
     for b in range(bands):
-        cols = [F.col(f"mh_{i}").cast("string") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        buckets.append(
-            sig.select(
-                "id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+        cols = [
+            F.col(f"mh_{i}").cast("string")
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket")
             )
         )
-    all_buckets = buckets[0]
-    for df in buckets[1:]:
-        all_buckets = all_buckets.unionAll(df)
+    all_buckets = sig.select(
+        "id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = all_buckets.select("band", "bucket", F.col("id").alias("id_a"))
     b_ = all_buckets.select("band", "bucket", F.col("id").alias("id_b"))
     return (
@@ -305,16 +314,22 @@ def simhash_near_pairs(
     exact either way."""
     n_chunks = max_hamming + 1
     sig = _materialize(simhash64(docs, id_col, text_col), "simhash")
-    chunks = None
-    for c, (start, width) in enumerate(_chunk_spans(n_chunks)):
-        part = sig.select(
-            "id",
+    chunk_structs = [
+        F.struct(
             F.lit(c).alias("chunk"),
             _extract_span(F.col("sig_hi"), F.col("sig_lo"), start, width).alias("key"),
-            "sig_hi",
-            "sig_lo",
         )
-        chunks = part if chunks is None else chunks.unionAll(part)
+        for c, (start, width) in enumerate(_chunk_spans(n_chunks))
+    ]
+    chunks = sig.select(
+        "id", "sig_hi", "sig_lo", F.explode(F.array(*chunk_structs)).alias("ck")
+    ).select(
+        "id",
+        F.col("ck.chunk").alias("chunk"),
+        F.col("ck.key").alias("key"),
+        "sig_hi",
+        "sig_lo",
+    )
     a = chunks.select(
         "chunk", "key", F.col("id").alias("id_a"),
         F.col("sig_hi").alias("hi_a"), F.col("sig_lo").alias("lo_a"),

@@ -246,19 +246,25 @@ def _run_loop(
             prev = superstep(prev).localCheckpoint(eager=False)
         new_state = superstep(prev).localCheckpoint(eager=False)
 
-        # ONE action per check: delta of the last consecutive transition
-        delta = float(
-            new_state.select("vid", "rank")
-            .join(
-                prev.select("vid", F.col("rank").alias("old_rank")), "vid", "inner"
+        # ONE action per check: delta of the last consecutive transition.
+        # At tol <= 0 with no durable checkpointing (fixed-superstep
+        # benchmark legs) convergence can never trigger, so the delta join
+        # would be a pure-overhead second action per stride — skip it and
+        # let the reliable truncation below be the stride's only action.
+        delta = 0.0
+        if tol > 0 or checkpoint is not None:
+            delta = float(
+                new_state.select("vid", "rank")
+                .join(
+                    prev.select("vid", F.col("rank").alias("old_rank")), "vid", "inner"
+                )
+                .agg(F.max(F.abs(F.col("rank") - F.col("old_rank"))))
+                .collect()[0][0]
+                or 0.0
             )
-            .agg(F.max(F.abs(F.col("rank") - F.col("old_rank"))))
-            .collect()[0][0]
-            or 0.0
-        )
-        deltas.append(delta)
+            deltas.append(delta)
         it += stride
-        converged = delta < tol
+        converged = tol > 0 and delta < tol
 
         # reliable boundary truncation: the state leaves executor storage
         # for parquet BEFORE the stride's blocks are released below
