@@ -99,3 +99,34 @@ def test_wholestage_codegen_on_relational_path(spark):
     )
     q.collect()  # finalize AQE stages so codegen annotations materialize
     assert "WholeStageCodegen" in _plan(q) or "*(" in _plan(q)
+
+
+def test_lsh_banding_single_signature_derivation(spark):
+    """lsh_candidate_pairs must NOT re-derive the MinHash signature plan per
+    band: signatures are materialized once (parquet round-trip) and each row
+    explodes into its (band, bucket) keys — so the candidate plan contains a
+    Generate (explode) and ZERO Unions and ZERO minhash aggregations (the
+    groupBy ran during materialization, not inside this plan). Round 1
+    unioned `bands` re-derivations, re-running the corpus scan + shuffle per
+    band per join side — the dominant cost at 100 TB."""
+    from osmgraphing_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    cand = dd.lsh_candidate_pairs(docs, num_hashes=4, bands=2, n=3)
+    plan = _plan(cand)
+    assert "Union" not in plan
+    assert "Generate" in plan  # the single explode projection
+    # the signature aggregation must not replay inside the candidate plan
+    assert "partial_min" not in plan and "mh_0#" not in plan.split("Generate")[0]
+
+
+def test_simhash_blocking_single_signature_derivation(spark):
+    """Same property for SimHash chunk blocking: one materialized signature
+    scan per join side, chunk keys via explode, no Union of re-derivations."""
+    from osmgraphing_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    pairs = dd.simhash_near_pairs(docs, max_hamming=3)
+    plan = _plan(pairs)
+    assert "Union" not in plan
+    assert "Generate" in plan
