@@ -130,3 +130,33 @@ def test_simhash_blocking_single_signature_derivation(spark):
     plan = _plan(pairs)
     assert "Union" not in plan
     assert "Generate" in plan
+
+
+def test_lpa_superstep_exchange_budget(spark):
+    """One LPA superstep must shuffle only STATE-sized frames, and only 4×:
+    labels→hash(src) into the edge join, the (dst,label) vote partials
+    (post map-side combine), the compacted votes→hash(dst) winner pick
+    (down from 3 agg exchanges in round 1's window version), and the final
+    labels⋈winners vid join. No BroadcastExchange (loop policy). Deliberate
+    non-goal: forcing the vote aggregation onto hash(dst) alone would cut
+    one exchange but move RAW joined edge rows instead of combined
+    (dst,label) partials — strictly worse on power-law fan-in."""
+    from osmgraphing_spark.operators import lpa as lpa_op
+    from .helpers import build_fixture
+
+    g, _, _ = build_fixture(spark, ("small", "stuttgart"))
+    with iterative_conf(spark):
+        edges = g.symmetrized_edges().persist()
+        edges.count()
+        labels = g.vertices.select("vid", F.col("vid").alias("label"))
+        plan = _plan(lpa_op.superstep(edges, labels))
+        edges.unpersist()
+    # streaming prefix: everything above the first cached-relation scan
+    lines = plan.splitlines()
+    cut = next(
+        (i for i, ln in enumerate(lines) if "InMemoryTableScan" in ln), len(lines)
+    )
+    prefix = lines[:cut]
+    n_exchange = sum("Exchange hashpartitioning" in ln for ln in prefix)
+    assert n_exchange <= 4, f"{n_exchange} exchanges in LPA superstep:\n{plan}"
+    assert not any("BroadcastExchange" in ln for ln in prefix), plan
