@@ -99,7 +99,9 @@ OPERATOR_QUERIES = [
     "doc_tokens",
     "doc_jaccard_pairs",
     "doc_lsh_candidates",
+    "doc_simhash_pairs",
     "embed_topk",
+    "embed_ann",
     "sessionize_events",
     "sssp_nations",
     "multi_metric_edges",
