@@ -147,6 +147,26 @@ def q_pagerank5(spark, sf_dir):
     )
 
 
+def q_ppr5(spark, sf_dir):
+    """G7 personalized: 5 PPR supersteps with the teleport distribution
+    uniform over CUSTOMER vertices (suppliers start at 0 and earn rank only
+    through in-links; restart and dangling mass both land on customers)."""
+    g = build_graph(_bipartite_raw_edges(spark, sf_dir), num_blocks=8)
+    cust = g.vertices.where(F.col("key").startswith("c"))
+    n_c = cust.count()
+    reset = cust.select("vid", F.lit(1.0 / n_c).alias("p"))
+    res = pr.run(
+        g, damping=0.85, tol=0.0, max_iter=5, check_every=5, reset=reset
+    )
+    return (
+        res.ranks.join(g.vertices, "vid")
+        .select(
+            _key_to_node_id(F.col("key")).alias("node_id"),
+            F.round("rank", 6).alias("rank"),
+        )
+    )
+
+
 def _bipartite_weighted_raw_edges(spark, sf_dir):
     """Same bipartite graph but weight = reference multiplicity (how many
     lineitems link the customer to the supplier)."""
@@ -595,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_nations": q_lpa_nations,
         "triangles_nations": q_triangles_nations,
         "pagerank5_weighted": q_pagerank5_weighted,
+        "ppr5": q_ppr5,
         "triangles_per_vertex_nations": q_triangles_per_vertex_nations,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
@@ -648,6 +669,55 @@ _PR_ITER = """
         FROM r{K} r LEFT JOIN deg ON r.vid = deg.src
         WHERE deg.src IS NULL
     )"""
+
+
+_PPR_ITER = """
+    r{K} AS (
+        SELECT v.vid,
+               p.p * (0.15 + 0.85 * (SELECT dm FROM dm{P}))
+               + 0.85 * COALESCE(c.c, 0) AS rank
+        FROM v
+        JOIN p ON v.vid = p.vid
+        LEFT JOIN (
+            SELECT e.dst AS vid, SUM(r{P}.rank / deg.d) AS c
+            FROM e
+            JOIN r{P} ON e.src = r{P}.vid
+            JOIN deg ON e.src = deg.src
+            GROUP BY e.dst
+        ) c ON v.vid = c.vid
+    ),
+    dm{K} AS (
+        SELECT COALESCE(SUM(r.rank), 0) AS dm
+        FROM r{K} r LEFT JOIN deg ON r.vid = deg.src
+        WHERE deg.src IS NULL
+    )"""
+
+
+def _ppr5_sql() -> str:
+    parts = [
+        "WITH e AS (" + SQL_BIPARTITE_EDGES + "),",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e),",
+        "deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY src),",
+        f"nc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nc FROM v WHERE vid < {SUPP_OFFSET}),",
+        # teleport: uniform over customer vertices, 0 on suppliers
+        f"""p AS (
+            SELECT vid,
+                   CASE WHEN vid < {SUPP_OFFSET}
+                        THEN CAST(1.0 AS DOUBLE) / (SELECT nc FROM nc)
+                        ELSE CAST(0.0 AS DOUBLE) END AS p
+            FROM v
+        ),""",
+        "r0 AS (SELECT vid, p AS rank FROM p),",
+        """dm0 AS (
+            SELECT COALESCE(SUM(r.rank), 0) AS dm
+            FROM r0 r LEFT JOIN deg ON r.vid = deg.src
+            WHERE deg.src IS NULL
+        )""",
+    ]
+    for k in range(1, 6):
+        parts.append("," + _PPR_ITER.format(K=k, P=k - 1))
+    parts.append("SELECT vid AS node_id, ROUND(rank, 6) AS rank FROM r5")
+    return "\n".join(parts)
 
 
 def _pagerank5_sql() -> str:
@@ -996,6 +1066,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank5": _pagerank5_sql(),
         "pagerank5_weighted": _pagerank5_weighted_sql(),
+        "ppr5": _ppr5_sql(),
         "triangles_per_vertex_nations": """
             SELECT a.n_nationkey, CAST(COUNT(*) AS BIGINT) AS triangles
             FROM nation a

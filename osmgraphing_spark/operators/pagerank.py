@@ -98,7 +98,14 @@ def run(
     checkpoint: CheckpointManager | None = None,
     checkpoint_every: int = 1,
     resume: bool = False,
+    reset: DataFrame | None = None,
 ) -> PageRankResult:
+    """``reset``: optional teleport distribution (vid, p) for PERSONALIZED
+    PageRank — both the (1-d) restart and the dangling mass teleport
+    proportionally to p instead of uniformly (vertices absent from
+    ``reset`` get p = 0 and receive rank only through in-links). Σp should
+    be 1. With ``reset=None`` the update is the classic uniform rule,
+    expression-identical to previous releases."""
     spark = graph.edges.sparkSession
     n = graph.num_vertices
     d = float(damping)
@@ -106,13 +113,13 @@ def run(
     with iterative_conf(spark):
         return _run_loop(
             spark, graph, n, d, tol, max_iter, weighted, mode, salt,
-            check_every, checkpoint, checkpoint_every, resume,
+            check_every, checkpoint, checkpoint_every, resume, reset,
         )
 
 
 def _run_loop(
     spark, graph, n, d, tol, max_iter, weighted, mode, salt,
-    check_every, checkpoint, checkpoint_every, resume,
+    check_every, checkpoint, checkpoint_every, resume, reset=None,
 ):
     if checkpoint is not None:
         # durable per-superstep metrics require an action per superstep
@@ -151,9 +158,16 @@ def _run_loop(
         cedges.count()
 
     # static vertex dimension, pre-shuffled into the loop's hash(vid) layout
-    # + sorted: zero exchange for this side across all supersteps
+    # + sorted: zero exchange for this side across all supersteps. For
+    # personalized PageRank the teleport distribution p rides along as a
+    # column of this static side — joined ONCE here, never per superstep.
+    vsel = graph.vertices.select("vid")
+    if reset is not None:
+        vsel = vsel.join(
+            reset.select("vid", F.col("p").cast("double").alias("p")), "vid", "left"
+        ).select("vid", F.coalesce("p", F.lit(0.0)).alias("p"))
     verts = (
-        graph.vertices.select("vid")
+        vsel
         .repartition(graph.num_blocks, F.col("vid"))
         .sortWithinPartitions("vid")
         .persist()
@@ -202,8 +216,13 @@ def _run_loop(
             .select(
                 "vid",
                 (
-                    F.lit((1.0 - d) / n)
-                    + F.lit(d) * F.col("dm") / F.lit(float(n))
+                    (
+                        # personalized: restart AND dangling mass teleport ∝ p
+                        F.col("p") * (F.lit(1.0 - d) + F.lit(d) * F.col("dm"))
+                        if reset is not None
+                        else F.lit((1.0 - d) / n)
+                        + F.lit(d) * F.col("dm") / F.lit(float(n))
+                    )
                     + F.lit(d) * F.coalesce(F.col("c"), F.lit(0.0))
                 ).alias("rank"),
             )
@@ -216,9 +235,12 @@ def _run_loop(
 
     start_step = 0
     deltas: list[float] = []
-    state = graph.vertices.select(
-        "vid", (F.lit(1.0) / F.lit(float(n))).alias("rank")
-    )
+    if reset is not None:
+        state = verts.select("vid", F.col("p").alias("rank"))
+    else:
+        state = graph.vertices.select(
+            "vid", (F.lit(1.0) / F.lit(float(n))).alias("rank")
+        )
     if checkpoint is not None and resume:
         latest = checkpoint.latest()
         if latest is not None:

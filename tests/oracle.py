@@ -39,6 +39,34 @@ def pagerank(
     return r
 
 
+def personalized_pagerank(
+    n: int,
+    edges: list[tuple[int, int]],
+    p: "np.ndarray",
+    damping: float = 0.85,
+    tol: float = 1e-12,
+    max_iter: int = 10_000,
+) -> np.ndarray:
+    """Power iteration with teleport distribution p (restart AND dangling
+    mass both land on p)."""
+    r = np.asarray(p, dtype=np.float64).copy()
+    out_deg = np.zeros(n)
+    src = np.array([e[0] for e in edges], dtype=np.int64)
+    dst = np.array([e[1] for e in edges], dtype=np.int64)
+    np.add.at(out_deg, src, 1.0)
+    cfac = 1.0 / out_deg[src]
+    dangling = out_deg == 0
+    for _ in range(max_iter):
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst, r[src] * cfac)
+        dm = r[dangling].sum()
+        r_new = p * ((1 - damping) + damping * dm) + damping * contrib
+        if np.max(np.abs(r_new - r)) < tol:
+            return r_new
+        r = r_new
+    return r
+
+
 def connected_components(n: int, edges: list[tuple[int, int]]) -> np.ndarray:
     """Union-find; label = min vertex id in component (undirected view)."""
     parent = list(range(n))

@@ -95,3 +95,42 @@ def test_ranks_sum_to_one(spark):
     g, _, _ = build_fixture(spark, ("stuttgart",))  # has dangling vertex 'dea'
     res = pagerank.run(g, check_every=8)
     assert abs(_rank_vec(res, g.num_vertices).sum() - 1.0) < 1e-9
+
+
+def test_personalized_pagerank_vs_oracle(spark):
+    """PPR with a sparse teleport set: restart AND dangling mass land on
+    the teleport distribution; vertices outside it earn rank only through
+    in-links. Oracle: numpy power iteration with the same rule."""
+    g, edges, _ = build_fixture(spark, ("small", "stuttgart"))
+    n = g.num_vertices
+    sources = [0, 3]
+    p = np.zeros(n)
+    p[sources] = 1.0 / len(sources)
+    reset = spark.createDataFrame(
+        [(int(v), 1.0 / len(sources)) for v in sources], "vid long, p double"
+    )
+    res = pagerank.run(g, reset=reset, check_every=8)
+    assert res.converged
+    expected = oracle.personalized_pagerank(n, edges, p)
+    np.testing.assert_allclose(_rank_vec(res, n), expected, atol=1e-6)
+    # rank mass is conserved at 1 (teleport + dangling both ∝ p)
+    assert abs(_rank_vec(res, n).sum() - 1.0) < 1e-9
+
+
+def test_personalized_uniform_reset_equals_classic(spark):
+    """A uniform reset must reproduce classic PageRank (the classic rule is
+    the p = 1/n special case). Fixed 32 supersteps on both sides so the
+    comparison is iterate-to-iterate; tolerance covers only the last-ulp
+    difference between (1-d)/n and (1/n)*(1-d) accumulating per step."""
+    g, _, _ = build_fixture(spark, ("stuttgart",))
+    n = g.num_vertices
+    # CAST to double first: bare `1.0/n` is Spark DECIMAL division, which
+    # truncates to 6 decimal places and breaks Σp = 1 by ~n·3e-7
+    uniform = g.vertices.sparkSession.range(n).selectExpr(
+        "id AS vid", f"CAST(1.0 AS DOUBLE)/{n} AS p"
+    )
+    a = _rank_vec(pagerank.run(g, tol=0.0, max_iter=32, check_every=8), n)
+    b = _rank_vec(
+        pagerank.run(g, reset=uniform, tol=0.0, max_iter=32, check_every=8), n
+    )
+    np.testing.assert_allclose(a, b, atol=1e-12)
