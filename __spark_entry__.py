@@ -167,6 +167,25 @@ def q_ppr5(spark, sf_dir):
     )
 
 
+def q_hits8(spark, sf_dir):
+    """HITS hubs & authorities (beyond-reference link-graph extension): 8
+    fixed mutual-reinforcement iterations, L1-normalized each half-step, on
+    the customer→supplier bipartite graph (customers are pure hubs,
+    suppliers pure authorities)."""
+    from osmgraphing_spark.operators import hits as hits_op
+
+    g = build_graph(_bipartite_raw_edges(spark, sf_dir), num_blocks=8)
+    res = hits_op.run(g, max_iter=8, tol=0.0)
+    return (
+        res.join(g.vertices, "vid")
+        .select(
+            _key_to_node_id(F.col("key")).alias("node_id"),
+            F.round("hub", 6).alias("hub"),
+            F.round("authority", 6).alias("authority"),
+        )
+    )
+
+
 def _bipartite_weighted_raw_edges(spark, sf_dir):
     """Same bipartite graph but weight = reference multiplicity (how many
     lineitems link the customer to the supplier)."""
@@ -616,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_nations": q_triangles_nations,
         "pagerank5_weighted": q_pagerank5_weighted,
         "ppr5": q_ppr5,
+        "hits8": q_hits8,
         "triangles_per_vertex_nations": q_triangles_per_vertex_nations,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
@@ -717,6 +737,49 @@ def _ppr5_sql() -> str:
     for k in range(1, 6):
         parts.append("," + _PPR_ITER.format(K=k, P=k - 1))
     parts.append("SELECT vid AS node_id, ROUND(rank, 6) AS rank FROM r5")
+    return "\n".join(parts)
+
+
+"""HITS iteration CTEs. L1 normalization via `SUM(..) OVER ()` (window over
+the whole frame), NOT a scalar subquery: a subquery would reference the
+_raw CTE twice, and inlined-CTE engines expand that into 2^iterations scans
+of the base join — the window keeps each CTE referenced exactly once, so
+the chain stays linear."""
+_HITS_ITER = """
+    a{K} AS (
+        SELECT vid, a / SUM(a) OVER () AS auth FROM (
+            SELECT v.vid, COALESCE(s.c, 0) AS a
+            FROM v LEFT JOIN (
+                SELECT e.dst AS vid, SUM(h{P}.hub) AS c
+                FROM e JOIN h{P} ON e.src = h{P}.vid GROUP BY e.dst
+            ) s ON v.vid = s.vid
+        )
+    ),
+    h{K} AS (
+        SELECT vid, h / SUM(h) OVER () AS hub FROM (
+            SELECT v.vid, COALESCE(s.c, 0) AS h
+            FROM v LEFT JOIN (
+                SELECT e.src AS vid, SUM(a{K}.auth) AS c
+                FROM e JOIN a{K} ON e.dst = a{K}.vid GROUP BY e.src
+            ) s ON v.vid = s.vid
+        )
+    )"""
+
+
+def _hits8_sql(iters: int = 8) -> str:
+    parts = [
+        "WITH e AS (" + SQL_BIPARTITE_EDGES + "),",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e),",
+        "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),",
+        "h0 AS (SELECT vid, CAST(1.0 AS DOUBLE)/(SELECT n FROM n) AS hub FROM v)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append("," + _HITS_ITER.format(K=k, P=k - 1))
+    parts.append(
+        f"SELECT h{iters}.vid AS node_id, ROUND(h{iters}.hub, 6) AS hub, "
+        f"ROUND(a{iters}.auth, 6) AS authority "
+        f"FROM h{iters} JOIN a{iters} ON h{iters}.vid = a{iters}.vid"
+    )
     return "\n".join(parts)
 
 
@@ -1067,6 +1130,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank5": _pagerank5_sql(),
         "pagerank5_weighted": _pagerank5_weighted_sql(),
         "ppr5": _ppr5_sql(),
+        "hits8": _hits8_sql(),
         "triangles_per_vertex_nations": """
             SELECT a.n_nationkey, CAST(COUNT(*) AS BIGINT) AS triangles
             FROM nation a
