@@ -247,11 +247,13 @@ def _bench_job(
 def run_scaling_leg(graph_dir: str) -> dict:
     """North-rule N → 4N evidence, noise-hardened:
 
-    - trials interleaved N,4N,N,4N,... so temporal box noise (page cache,
-      co-tenant load) decorrelates from the leg;
-    - each trial is its own JVM, CPU-pinned via taskset, with an untimed
-      warmup superstep block first (JIT + persisted-block warmup);
-    - efficiency computed from per-leg MEDIAN throughput; every trial is
+    - back-to-back N/4N pairs with the leg ORDER ALTERNATING pair to pair,
+      so slowly-varying box noise cancels within a pair and monotonic drift
+      cannot bias every pair the same way;
+    - each leg is its own JVM, CPU-pinned via taskset, with an untimed
+      warmup stride first (JIT + persisted-block + truncation-path warmup);
+    - efficiency = MEDIAN of per-pair throughput ratios over CLEAN pairs
+      (steal gate + CPU-work-invariance gate; see one_pair); every trial is
       recorded in BENCH/BASELINE.md so the spread is visible.
     """
     trials = {m: [] for m in SCALE_MASTERS}
@@ -296,8 +298,16 @@ def run_scaling_leg(graph_dir: str) -> dict:
                 )
         tn, t4 = trials[SCALE_MASTERS[0]][-1], trials[SCALE_MASTERS[1]][-1]
         steal = max(tn.get("steal_pct") or 0, t4.get("steal_pct") or 0)
+        # denominator = the ACTUAL core ratio of the configured masters
+        # (a hardcoded 4.0 would fabricate the efficiency for any
+        # SPARK_GRAFT_SCALE_MASTERS pair that is not exactly 4x)
+        core_ratio = int(SCALE_MASTERS[1].split("[")[1].rstrip("]")) / int(
+            SCALE_MASTERS[0].split("[")[1].rstrip("]")
+        )
         p = {
-            "ratio": round((t4["edges_per_sec"] / tn["edges_per_sec"]) / 4.0, 3),
+            "ratio": round(
+                (t4["edges_per_sec"] / tn["edges_per_sec"]) / core_ratio, 3
+            ),
             "max_steal_pct": steal,
             "order": "->".join(order),
         }

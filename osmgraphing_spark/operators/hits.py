@@ -74,25 +74,47 @@ def _run_loop(spark, graph, max_iter, tol):
         (F.lit(1.0) / F.lit(float(n))).alias("authority"),
     )
 
+    # iteration-scoped lazy persists (same role as pagerank's cached_summed):
+    # each frame below is referenced by ≥2 downstream branches — the
+    # normalizer's total aggregate + its main branch, and auth additionally
+    # by the hub gather AND the final join — so without a cache the
+    # post-shuffle aggregation subtree re-executes once per reference
+    # (exchange reuse dedups only the shuffles, not the work above them).
+    # Drained after the iteration's truncation lands.
+    cached: list[DataFrame] = []
+
+    def _pin(df: DataFrame) -> DataFrame:
+        df = df.persist()
+        cached.append(df)
+        return df
+
+    def _drain():
+        for df in cached:
+            df.unpersist()
+        cached.clear()
+
     def _normalized(scores: DataFrame, col: str) -> DataFrame:
+        scores = _pin(scores)
         total = scores.agg(F.sum(col).alias("t"))
         return scores.crossJoin(F.broadcast(total)).select(
             "vid", (F.col(col) / F.col("t")).alias(col)
         )
 
     def iteration(st: DataFrame) -> DataFrame:
-        """One full (auth then hub) update; fully lazy."""
+        """One full (auth then hub) update; lazy up to the caller's action."""
         raw_auth = (
             by_src.join(st.select(F.col("vid").alias("src"), "hub"), "src")
             .groupBy("dst")
             .agg(F.sum("hub").alias("authority"))
             .withColumnRenamed("dst", "vid")
         )
-        auth = _normalized(
-            verts.join(raw_auth, "vid", "left").select(
-                "vid", F.coalesce("authority", F.lit(0.0)).alias("authority")
-            ),
-            "authority",
+        auth = _pin(
+            _normalized(
+                verts.join(raw_auth, "vid", "left").select(
+                    "vid", F.coalesce("authority", F.lit(0.0)).alias("authority")
+                ),
+                "authority",
+            )
         )
         raw_hub = (
             by_dst.join(auth.select(F.col("vid").alias("dst"), "authority"), "dst")
@@ -116,6 +138,7 @@ def _run_loop(spark, graph, max_iter, tol):
         # scans the PREVIOUS step's files, so its deletion is deferred
         # until after the check (the SSSP deferred-reap pattern).
         new_state = trunc.truncate(iteration(state), reap=False)
+        _drain()
         scope.release_new()
         if tol > 0:
             delta = float(

@@ -67,31 +67,67 @@ def windowed_event_stats(
 def sessionize_stream(
     events: DataFrame, gap_s: int = SESSION_GAP_S, watermark: str = "0 seconds"
 ) -> DataFrame:
-    """→ streaming frame of CLOSED sessions ``(user_id, session_start,
+    """→ streaming frame of FINAL sessions ``(user_id, session_start,
     session_end, n_events)``; one row per session, exactly once.
 
-    State machine per user: fold the batch's events (sorted by event time)
-    into the open session; an event more than ``gap_s`` after the open
-    session's last event closes it (data-driven). The open session arms an
-    event-time timeout at ``last_ts + gap_s``; when the watermark passes it
-    with no new data, the timeout invocation closes the session."""
+    State per user: ALL sessions still mutable under the watermark, as
+    parallel (starts, lasts, counts) arrays sorted by start. Each incoming
+    event is inserted as a [t, t, 1] interval and neighbouring intervals
+    within ``gap_s`` merge — so an in-watermark LATE event correctly starts
+    its own earlier session, extends a session's start backward, or bridges
+    two sessions into one (a single open-session scalar cannot express any
+    of those; that was the round-2 review finding).
+
+    Emission is purely WATERMARK-driven: a session is emitted exactly when
+    ``last + gap < watermark`` — from then on no admissible event (all have
+    ``t ≥ watermark``) can join or merge it, so it is provably final.
+    Closing on data-driven gaps alone would be premature under late data.
+    The event-time timeout is armed at the earliest retained session's
+    ``last + gap`` so idle users' sessions still finalize without new data.
+
+    State size: one (long, long, long) triple per mutable session — bounded
+    by the watermark horizon / gap, not by history."""
     gap_us = gap_s * 1_000_000
     out_schema = (
         "user_id long, session_start timestamp, session_end timestamp, "
         "n_events long"
     )
-    state_schema = "start_us long, last_us long, n long"
+    state_schema = "starts array<long>, lasts array<long>, ns array<long>"
+
+    def _merge(sessions: list[list[int]], t: int) -> None:
+        """Insert event time t into the sorted interval list, then merge
+        neighbours within gap (one insert touches at most two intervals)."""
+        import bisect
+
+        i = bisect.bisect_left([s[0] for s in sessions], t)
+        sessions.insert(i, [t, t, 1])
+        # merge with right neighbour(s), then left — intervals are disjoint
+        # by > gap beforehand, so at most one merge on each side
+        while i + 1 < len(sessions) and sessions[i + 1][0] - sessions[i][1] <= gap_us:
+            nxt = sessions.pop(i + 1)
+            sessions[i] = [
+                min(sessions[i][0], nxt[0]),
+                max(sessions[i][1], nxt[1]),
+                sessions[i][2] + nxt[2],
+            ]
+        while i > 0 and sessions[i][0] - sessions[i - 1][1] <= gap_us:
+            prev = sessions.pop(i - 1)
+            i -= 1
+            sessions[i] = [
+                min(prev[0], sessions[i][0]),
+                max(prev[1], sessions[i][1]),
+                prev[2] + sessions[i][2],
+            ]
 
     def fn(key, pdfs, state: GroupState):
         uid = int(key[0])
-        closed: list[tuple] = []
-        if state.hasTimedOut:
-            start_us, last_us, n = state.get
-            closed.append((uid, start_us, last_us, n))
-            state.remove()
+        if state.exists:
+            starts, lasts, ns = state.get
+            sessions = [list(t) for t in zip(starts, lasts, ns)]
         else:
+            sessions = []
+        if not state.hasTimedOut:
             parts = [p for p in pdfs if len(p)]
-            cur = list(state.get) if state.exists else None
             if parts:
                 ts_us = (
                     pd.concat(parts, ignore_index=True)["ts"]
@@ -101,34 +137,33 @@ def sessionize_stream(
                     // 1000
                 )
                 for t in ts_us:
-                    t = int(t)
-                    if cur is None:
-                        cur = [t, t, 1]
-                    elif t - cur[1] > gap_us:
-                        closed.append((uid, cur[0], cur[1], cur[2]))
-                        cur = [t, t, 1]
-                    else:
-                        cur[1] = max(cur[1], t)
-                        cur[2] += 1
-            if cur is not None:
-                state.update(tuple(cur))
-                # event-time timeout must be ahead of the current watermark
-                # (a session already stale relative to OTHER users' events
-                # would otherwise arm a timeout in the past, which Spark
-                # rejects); clamping forward only delays the close to the
-                # next micro-batch, it never double-emits or drops.
-                timeout_ms = max(
-                    (cur[1] + gap_us) // 1000, state.getCurrentWatermarkMs() + 1
-                )
-                state.setTimeoutTimestamp(timeout_ms)
+                    _merge(sessions, int(t))
+        else:
+            list(pdfs)  # exhaust the (empty) iterator per the API contract
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        final = [s for s in sessions if s[1] + gap_us < wm_us]
+        keep = [s for s in sessions if s[1] + gap_us >= wm_us]
+        if keep:
+            state.update(
+                ([s[0] for s in keep], [s[1] for s in keep], [s[2] for s in keep])
+            )
+            # earliest possible finalization; clamp ahead of the watermark
+            # (Spark rejects past-time timeouts) — clamping only delays the
+            # emit to the next batch, never drops or duplicates
+            timeout_ms = max(
+                min(s[1] for s in keep) // 1000 + gap_s * 1000,
+                state.getCurrentWatermarkMs() + 1,
+            )
+            state.setTimeoutTimestamp(timeout_ms)
+        elif state.exists:
+            state.remove()
         yield pd.DataFrame(
             {
-                "user_id": pd.Series([c[0] for c in closed], dtype="int64"),
-                "session_start": pd.to_datetime(
-                    [c[1] for c in closed], unit="us"
-                ),
-                "session_end": pd.to_datetime([c[2] for c in closed], unit="us"),
-                "n_events": pd.Series([c[3] for c in closed], dtype="int64"),
+                "user_id": pd.Series([uid] * len(final), dtype="int64"),
+                "session_start": pd.to_datetime([s[0] for s in final], unit="us"),
+                "session_end": pd.to_datetime([s[1] for s in final], unit="us"),
+                "n_events": pd.Series([s[2] for s in final], dtype="int64"),
             }
         )
 
