@@ -437,7 +437,8 @@ def write_baseline_md(scaling: dict, headline: dict, times: dict, total: float) 
     if "scaling_efficiency" in scaling:
         lines += [
             "",
-            f"Per-pair ratios (thr_4N/thr_N)/4, one per back-to-back trial pair "
+            "Per-pair ratios (thr_4N/thr_N)/(core ratio of the configured "
+            "masters), one per back-to-back trial pair "
             f"(a pair is CLEAN when host steal stayed ≤ {SCALE_STEAL_GATE_PCT}% "
             "on the pinned cores of both timed legs AND total executor "
             "CPU-seconds for the identical job stayed within "
@@ -447,7 +448,7 @@ def write_baseline_md(scaling: dict, headline: dict, times: dict, total: float) 
             "host co-tenants, which /proc/stat steal cannot see): "
             f"{scaling.get('pairs')}",
             "",
-            f"**Scaling efficiency ({SCALE_MASTERS[0]} → {SCALE_MASTERS[1]}, 4× cores): "
+            f"**Scaling efficiency ({SCALE_MASTERS[0]} → {SCALE_MASTERS[1]}): "
             f"{scaling['scaling_efficiency']}** = median of the CLEAN per-pair "
             f"ratios ({scaling.get('clean_pairs')} clean) — the sandbox evidence "
             "for the north rule's N → 4N executor criterion: same job, same "
