@@ -160,3 +160,29 @@ def test_lpa_superstep_exchange_budget(spark):
     n_exchange = sum("Exchange hashpartitioning" in ln for ln in prefix)
     assert n_exchange <= 4, f"{n_exchange} exchanges in LPA superstep:\n{plan}"
     assert not any("BroadcastExchange" in ln for ln in prefix), plan
+
+
+def test_cc_round_exchange_budget(spark, tmp_path):
+    """One CC round (large-star ∘ small-star) on truncation-backed edges
+    must shuffle at most 6 times (per star: the min-label aggregate, its
+    join back, and the growth-bounding distinct) with runtime exchange
+    reuse deduplicating the shared subtrees, and no BroadcastExchange
+    (loop policy). Every one of these shuffles is algorithmically required
+    by the MapReduce small-star/large-star formulation — the budget pins
+    that no ACCIDENTAL exchange is ever added on top."""
+    from osmgraphing_spark.operators import cc as cc_op
+    from .helpers import build_fixture
+
+    g, _, _ = build_fixture(spark, ("small", "stuttgart"))
+    with iterative_conf(spark):
+        edir = str(tmp_path / "cc_edges")
+        g.symmetrized_edges().write.mode("overwrite").parquet(edir)
+        e = spark.read.parquet(edir)
+        plan = _plan(cc_op._small_star(cc_op._large_star(e)))
+    real = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "ReusedExchange" not in ln
+    ]
+    assert len(real) <= 6, f"{len(real)} exchanges in CC round:\n{plan}"
+    assert "BroadcastExchange" not in plan, plan
