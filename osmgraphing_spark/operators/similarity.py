@@ -193,40 +193,53 @@ def _quantized(vec_col):
     )
 
 
+def _quantize_np(mat: np.ndarray) -> np.ndarray:
+    """numpy replica of ``_quantized`` (Spark ``round(x*1024, 0)`` =
+    HALF_UP, i.e. ties away from zero — np.rint would round ties to even):
+    float32·1024 is exact in double, so both formulations see the same
+    value and the tie-break is the only hazard."""
+    v = mat.astype(np.float64) * Q_SCALE
+    return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(np.int64)
+
+
 def portable_bucket_ids(
     df: DataFrame,
     planes: list[list[list[int]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """→ (id, table, bucket) like ``lsh_bucket_ids`` but via built-in column
-    expressions over integer-quantized projections: JVM whole-stage codegen
-    (no Python at all), and exactly reproducible in the DuckDB oracle."""
-    qv = _quantized(F.col(vec_col))
-    parts = []
-    for t, tplanes in enumerate(planes):
-        bucket = F.lit(0).cast("long")
-        for p, plane in enumerate(tplanes):
-            lit = F.array(*[F.lit(int(v)).cast("long") for v in plane])
-            proj = F.aggregate(
-                F.zip_with(qv, lit, lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            )
-            bucket = bucket.bitwiseOR(
-                F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
-                    F.lit(0).cast("long")
+    """→ (id, table, bucket) like ``lsh_bucket_ids`` but over integer
+    -quantized projections, exactly reproducible in the DuckDB oracle
+    (exact int64 arithmetic on both sides).
+
+    Computed as ONE vectorized Arrow batch (a single int64 matmul per hash
+    table) rather than built-in column expressions: the expression
+    formulation (n_tables × n_planes ``aggregate(zip_with(...))`` over
+    dim-length literal arrays ≈ 2,000 literals) is higher-order-function
+    interpreted, not codegen'd, and its Catalyst analysis alone cost ~20 s
+    per query at dim=64 — the measured case where a tiny Arrow UDF beats
+    "no Python at all"."""
+    P = np.asarray(planes, dtype=np.int64)  # (tables, n_planes, dim)
+    n_tables, n_planes, _ = P.shape
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    def project(batch_iter):
+        for pdf in batch_iter:
+            if not len(pdf):
+                continue
+            q = _quantize_np(np.stack(pdf[vec_col].to_numpy()))
+            ids = pdf[id_col].to_numpy()
+            for t in range(n_tables):
+                proj = q @ P[t].T  # (rows, n_planes), exact int64
+                bucket = ((proj > 0) * weights).sum(axis=1)
+                yield pd.DataFrame(
+                    {"id": ids, "table": np.full(len(ids), t, dtype=np.int32),
+                     "bucket": bucket}
                 )
-            )
-        parts.append(
-            df.select(
-                F.col(id_col).alias("id"), F.lit(t).alias("table"), bucket.alias("bucket")
-            )
-        )
-    out = parts[0]
-    for x in parts[1:]:
-        out = out.unionAll(x)
-    return out
+
+    return df.select(id_col, vec_col).mapInPandas(
+        project, schema="id long, table int, bucket long"
+    )
 
 
 def ann_topk_portable(
@@ -333,34 +346,40 @@ def int_centroids(dim: int, n_cells: int = 8, seed: int = SEED) -> list[list[int
     return rng.integers(-1000, 1001, size=(n_cells, dim)).tolist()
 
 
-def _int_cell_scores(vec_col, centroids: list[list[int]]):
-    """array<long> of exact integer dot products quantized-vec . centroid,
-    one per cell — whole-stage-codegen column arithmetic, no Python."""
-    qv = _quantized(vec_col)
-    scores = []
-    for c in centroids:
-        s = F.lit(0).cast("long")
-        for d, w in enumerate(c):
-            if w:
-                s = s + F.element_at(qv, d + 1) * F.lit(int(w))
-        scores.append(s)
-    return F.array(*scores)
-
-
 def portable_ivf_cells(
     df: DataFrame,
     centroids: list[list[int]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """→ (id, scores array<long>, cell int): cell = 1-based argmax score
-    (first-occurrence ties — exact integers, so any engine agrees)."""
-    scored = df.select(
-        F.col(id_col).alias("id"),
-        _int_cell_scores(F.col(vec_col), centroids).alias("scores"),
-    )
-    return scored.withColumn(
-        "cell", F.array_position(F.col("scores"), F.array_max(F.col("scores"))).cast("int")
+    """→ (id, scores array<long>, cell int): scores = exact integer dot
+    products quantized-vec · centroid, cell = 1-based argmax score
+    (first-occurrence ties — exact integers, so any engine agrees).
+
+    One int64 matmul per Arrow batch, for the same reason as
+    ``portable_bucket_ids``: the equivalent column-expression tree
+    (n_cells × dim literal multiply-adds) pays seconds of Catalyst
+    analysis per query and is interpreter-evaluated."""
+    C = np.asarray(centroids, dtype=np.int64)  # (cells, dim)
+
+    def score(batch_iter):
+        for pdf in batch_iter:
+            if not len(pdf):
+                continue
+            q = _quantize_np(np.stack(pdf[vec_col].to_numpy()))
+            s = q @ C.T  # (rows, cells), exact int64
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "scores": list(s),
+                    # np.argmax = first occurrence of the max, matching
+                    # SQL array_position(scores, array_max(scores))
+                    "cell": (s.argmax(axis=1) + 1).astype(np.int32),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        score, schema="id long, scores array<long>, cell int"
     )
 
 

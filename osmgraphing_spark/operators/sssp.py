@@ -50,6 +50,7 @@ def run(
     checkpoint: CheckpointManager | None = None,
     resume: bool = False,
     track_paths: bool = False,
+    truncate_every: int = 4,
 ) -> DataFrame:
     """→ (source long, vid long, dist double[, pred long]): shortest-path
     cost from each source to every REACHABLE vertex (unreachable pairs are
@@ -58,14 +59,23 @@ def run(
     ``track_paths`` adds a predecessor column (pred = -1 on the source row;
     ties broken by min pred, deterministically) — the shortest-path TREE,
     from which ``shortest_paths`` reconstructs node sequences (the
-    reference's path flatten, G3)."""
+    reference's path flatten, G3).
+
+    ``truncate_every``: rounds between reliable parquet truncations when no
+    checkpoint manager is supplied (same stride discipline as PageRank:
+    within a stride the per-round frontier count already materializes a
+    lazy ``localCheckpoint`` of both loop frames, cutting lineage at the
+    RDD level; the parquet roundtrip — two writes + reads per boundary —
+    only pays once per stride instead of every round)."""
     with iterative_conf(graph.edges.sparkSession):
         return _run_loop(
-            graph, sources, weighted, max_iter, checkpoint, resume, track_paths
+            graph, sources, weighted, max_iter, checkpoint, resume,
+            track_paths, max(truncate_every, 1),
         )
 
 
-def _run_loop(graph, sources, weighted, max_iter, checkpoint, resume, track_paths):
+def _run_loop(graph, sources, weighted, max_iter, checkpoint, resume,
+              track_paths, truncate_every):
     spark = graph.edges.sparkSession
     w_col = F.col("weight") if weighted else F.lit(1.0)
     edges = graph.edges.select(
@@ -102,6 +112,7 @@ def _run_loop(graph, sources, weighted, max_iter, checkpoint, resume, track_path
 
     import time
 
+    boundary = True  # loop may not execute at all
     for it in range(start, max_iter):
         t0 = time.time()
         relaxed = _min_merge(
@@ -122,11 +133,22 @@ def _run_loop(graph, sources, weighted, max_iter, checkpoint, resume, track_path
             .where(F.col("old").isNull() | (F.col("dist") < F.col("old")))
             .select("source", "vid", "dist", "pred")
         )
-        # Both loop frames are written BEFORE either's previous step is
-        # reaped: new_frontier's plan scans the previous state step and
-        # merged's plan scans the previous frontier step, so an eager delete
-        # inside the first truncate would yank files from under the second.
-        new_frontier = trunc_front.truncate(new_frontier, reap=False)
+        # Stride boundary (or user-requested checkpointing): the frames go
+        # through RELIABLE truncation. Both loop frames are written BEFORE
+        # either's previous step is reaped: new_frontier's plan scans the
+        # previous state step and merged's plan scans the previous frontier
+        # step, so an eager delete inside the first truncate would yank
+        # files from under the second. Mid-stride rounds only cut lineage
+        # with a lazy localCheckpoint — materialized by this round's
+        # frontier count (new_frontier's plan contains merged), so plan
+        # size stays O(1) while the parquet roundtrip amortizes over the
+        # stride; executor storage is released at the boundary, after the
+        # state is safely on disk.
+        boundary = checkpoint is not None or (it - start + 1) % truncate_every == 0
+        if boundary:
+            new_frontier = trunc_front.truncate(new_frontier, reap=False)
+        else:
+            new_frontier = new_frontier.localCheckpoint(eager=False)
         if checkpoint is not None:
             merged = checkpoint.write(
                 it,
@@ -135,12 +157,15 @@ def _run_loop(graph, sources, weighted, max_iter, checkpoint, resume, track_path
                     step=it, delta=-1.0, rows=-1, wall_ms=(time.time() - t0) * 1000
                 ),
             )
-        else:
+        elif boundary:
             merged = trunc_state.truncate(merged, reap=False)
+        else:
+            merged = merged.localCheckpoint(eager=False)
         trunc_front.reap()
         trunc_state.reap()
-        scope.release_new()
         n_front = new_frontier.limit(1).count()
+        if boundary:
+            scope.release_new()
         if checkpoint is not None:
             checkpoint.amend_metrics(
                 it,
@@ -154,6 +179,12 @@ def _run_loop(graph, sources, weighted, max_iter, checkpoint, resume, track_path
         state, frontier = merged, new_frontier
         if n_front == 0:
             break
+    if not boundary:
+        # loop ended mid-stride (frontier emptied): the state is still only
+        # localCheckpoint-backed — give the caller a reliably truncated
+        # frame and drop the stride's executor blocks
+        state = trunc_state.truncate(state)
+        scope.release_new()
     if not track_paths:
         return state.select("source", "vid", "dist")
     return state

@@ -249,3 +249,36 @@ def test_frame_sample(spark):
     for mid, idxs in by_media.items():
         assert idxs == sorted(idxs)
         assert idxs[0] == 0 and all(i % 25 == 0 for i in idxs)
+
+
+def test_quantize_np_matches_spark_round_expression(spark):
+    """The Arrow fast path (_quantize_np) must agree with the Spark
+    column-expression formulation (_quantized: round(x*1024, 0) HALF_UP)
+    bit-for-bit — including .5 ties (away from zero, where np.rint would
+    round to even) and negatives. This equivalence is what keeps the
+    DuckDB oracle value-checking the whole portable-LSH/IVF path after the
+    bucketing moved to a vectorized matmul."""
+    vals = np.array(
+        [0.0, 0.5 / 1024, -0.5 / 1024, 1.5 / 1024, -1.5 / 1024,
+         2.5 / 1024, -2.5 / 1024, 0.25, -0.25, 0.999, -0.999, 1.0, -1.0],
+        dtype=np.float32,
+    )
+    df = spark.createDataFrame(
+        [(0, [float(v) for v in vals])], "vec_id long, embedding array<float>"
+    )
+    expr = df.select(sim._quantized(F.col("embedding")).alias("q")).collect()[0]["q"]
+    fast = sim._quantize_np(vals.reshape(1, -1))[0]
+    assert list(expr) == [int(x) for x in fast]
+
+
+def test_portable_bucket_ids_one_scan_per_input(spark):
+    """Bucketing for all hash tables comes out of ONE pass over the
+    vectors (one mapInPandas), not an n_tables-way union of scans."""
+    df, _ = _random_vectors(spark, n=40, dim=8)
+    planes = sim.int_hyperplanes(8, n_planes=4, n_tables=3)
+    b = sim.portable_bucket_ids(df, planes)
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") <= 1, plan
+    rows = b.collect()
+    assert len(rows) == 40 * 3
+    assert {r["table"] for r in rows} == {0, 1, 2}
