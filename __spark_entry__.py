@@ -533,6 +533,30 @@ def q_sssp_nations(spark, sf_dir):
     )
 
 
+KCORE_K = 10
+KCORE_ROUNDS = 2
+
+
+def q_kcore_links(spark, sf_dir):
+    """k-core peel (beyond-reference link-graph extension,
+    operators/kcore.py): KCORE_ROUNDS bounded peel rounds at k=KCORE_K on
+    the undirected view of the customer–supplier link graph → surviving
+    vertices with their degree inside the surviving subgraph. Bounded
+    rounds keep the DuckDB oracle a finite CTE chain; peeling is
+    idempotent at the fixpoint, so early convergence matches it exactly."""
+    from osmgraphing_spark.operators import kcore as kcore_op
+
+    g = build_graph(_bipartite_raw_edges(spark, sf_dir), num_blocks=8)
+    res = kcore_op.peel(g, k=KCORE_K, rounds=KCORE_ROUNDS)
+    return (
+        res.join(g.vertices, "vid")
+        .select(
+            _key_to_node_id(F.col("key")).alias("node_id"),
+            F.col("deg").cast("long").alias("deg"),
+        )
+    )
+
+
 def _bipartite_metric_raw_edges(spark, sf_dir):
     """Bipartite link graph with a per-edge metric VECTOR: [lineitem count,
     total quantity] — the reference's edge × metric matrix shape."""
@@ -636,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank5_weighted": q_pagerank5_weighted,
         "ppr5": q_ppr5,
         "hits8": q_hits8,
+        "kcore_links": q_kcore_links,
         "triangles_per_vertex_nations": q_triangles_per_vertex_nations,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
@@ -764,6 +789,32 @@ _HITS_ITER = """
             ) s ON v.vid = s.vid
         )
     )"""
+
+
+def _kcore_sql(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    """DuckDB replica of operators/kcore.peel on the bipartite link graph:
+    one (degree → survivors → induced-subgraph) CTE triple per peel round,
+    final degree from the last induced edge set (0 via the left join when
+    every neighbor peeled in the last round)."""
+    parts = [
+        "WITH e0d AS (" + SQL_BIPARTITE_EDGES + "),",
+        "e0 AS (SELECT src, dst FROM e0d UNION "
+        "SELECT dst AS src, src AS dst FROM e0d)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f", d{r} AS (SELECT src, COUNT(*) AS c FROM e{r - 1} GROUP BY src)"
+            f", s{r} AS (SELECT src AS vid FROM d{r} WHERE c >= {k})"
+            f", e{r} AS (SELECT e.src, e.dst FROM e{r - 1} e"
+            f" JOIN s{r} a ON e.src = a.vid JOIN s{r} b ON e.dst = b.vid)"
+        )
+    parts.append(
+        f", fd AS (SELECT src, COUNT(*) AS deg FROM e{rounds} GROUP BY src)"
+        f" SELECT s{rounds}.vid AS node_id,"
+        " CAST(COALESCE(fd.deg, 0) AS BIGINT) AS deg"
+        f" FROM s{rounds} LEFT JOIN fd ON s{rounds}.vid = fd.src"
+    )
+    return "\n".join(parts)
 
 
 def _hits8_sql(iters: int = 8) -> str:
@@ -1131,6 +1182,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank5_weighted": _pagerank5_weighted_sql(),
         "ppr5": _ppr5_sql(),
         "hits8": _hits8_sql(),
+        "kcore_links": _kcore_sql(),
         "triangles_per_vertex_nations": """
             SELECT a.n_nationkey, CAST(COUNT(*) AS BIGINT) AS triangles
             FROM nation a
