@@ -491,6 +491,24 @@ def q_embed_ann(spark, sf_dir):
     return sim.ann_topk_portable(emb, queries, dim=ANN_DIM, k=5)
 
 
+def q_embed_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup PAIRS corpus-wide (dedup tier, not the
+    query-set ANN): LSH-bucket self-join candidates → exact cosine ≥
+    NEAR_DUP_THRESHOLD (this corpus has no true near-dups — max cosine
+    ≈ 0.51 — so the dedup threshold sits where the pair set is non-empty
+    at every SF; at production thresholds the same plan returns the empty
+    set). 4 planes × 8 tables favors recall; candidates stay bucket-bound
+    either way. Value-checked: buckets are exact int64 both engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.near_dup_pairs(
+        emb,
+        dim=ANN_DIM,
+        threshold=NEAR_DUP_THRESHOLD,
+        n_planes=NEAR_DUP_PLANES,
+        n_tables=NEAR_DUP_TABLES,
+    )
+
+
 # ---------------------------------------------------------------------------
 # SSSP + multi-metric queries
 # ---------------------------------------------------------------------------
@@ -535,6 +553,10 @@ def q_sssp_nations(spark, sf_dir):
 
 KCORE_K = 10
 KCORE_ROUNDS = 2
+
+NEAR_DUP_THRESHOLD = 0.42
+NEAR_DUP_PLANES = 4
+NEAR_DUP_TABLES = 8
 
 
 def q_kcore_links(spark, sf_dir):
@@ -684,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_topk": q_embed_topk,
         "embed_ann": q_embed_ann,
         "embed_ivf": q_embed_ivf,
+        "embed_near_dups": q_embed_near_dups,
         "sssp_nations": q_sssp_nations,
         "multi_metric_edges": q_multi_metric_edges,
         "normalize_metrics": q_normalize_metrics,
@@ -1090,6 +1113,57 @@ def _embed_ann_sql(dim: int = ANN_DIM, k: int = 5, n_planes: int = 8, n_tables: 
     """
 
 
+def _embed_near_dups_sql(
+    dim: int = ANN_DIM,
+    threshold: float = NEAR_DUP_THRESHOLD,
+    n_planes: int = NEAR_DUP_PLANES,
+    n_tables: int = NEAR_DUP_TABLES,
+) -> str:
+    """DuckDB replica of similarity.near_dup_pairs: same literal integer
+    hyperplanes, bucket SELF-join (id_a < id_b), exact cosine rescoring,
+    rounded-score threshold — candidates and scores match bit-for-bit."""
+    from osmgraphing_spark.operators.similarity import int_hyperplanes
+
+    planes = int_hyperplanes(dim, n_planes, n_tables)
+    buck_selects = []
+    for t in range(n_tables):
+        terms = []
+        for p in range(n_planes):
+            lit = "[" + ", ".join(str(v) for v in planes[t][p]) + "]::DOUBLE[]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(q, {lit}) > 0 THEN {1 << p} ELSE 0 END)"
+            )
+        buck_selects.append(
+            f"SELECT vec_id, {t} AS tbl, {' + '.join(terms)} AS bucket FROM qv"
+        )
+    return f"""
+        WITH qv AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1024, 0)) AS q
+            FROM embeddings
+        ),
+        buck AS ({" UNION ALL ".join(buck_selects)}),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM buck a
+            JOIN buck b ON a.tbl = b.tbl AND a.bucket = b.bucket
+            WHERE a.vec_id < b.vec_id
+        ),
+        v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        scored AS (
+            SELECT c.id_a, c.id_b,
+                   ROUND(
+                       list_dot_product(va.vec, vb.vec)
+                       / (sqrt(list_dot_product(va.vec, va.vec))
+                          * sqrt(list_dot_product(vb.vec, vb.vec))), 6) AS score
+            FROM cand c
+            JOIN v va ON c.id_a = va.vec_id
+            JOIN v vb ON c.id_b = vb.vec_id
+        )
+        SELECT id_a, id_b, score FROM scored WHERE score >= {threshold}
+    """
+
+
 def _embed_ivf_sql(
     dim: int = ANN_DIM, k: int = 5, n_cells: int = 8, nprobe: int = 3
 ) -> str:
@@ -1383,6 +1457,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash_pairs": _simhash_pairs_sql(),
         "embed_ann": _embed_ann_sql(),
         "embed_ivf": _embed_ivf_sql(),
+        "embed_near_dups": _embed_near_dups_sql(),
         "sssp_nations": f"""
             WITH RECURSIVE e AS (
                 SELECT a.n_nationkey AS src, b.n_nationkey AS dst,

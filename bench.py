@@ -105,6 +105,8 @@ OPERATOR_QUERIES = [
     "sessionize_events",
     "sssp_nations",
     "multi_metric_edges",
+    "kcore_links",
+    "embed_near_dups",
 ]
 
 

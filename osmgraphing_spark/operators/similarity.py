@@ -292,6 +292,71 @@ def ann_topk_portable(
     )
 
 
+def near_dup_pairs(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.42,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = SEED,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS → (id_a < id_b, score ≥
+    threshold): the dedup-by-embedding operator (the ANN functions answer
+    "top-k for a query set"; dedup needs ALL close pairs corpus-wide).
+
+    Candidates come from a self-join of the portable integer-LSH buckets —
+    never the V² cross join — then exact cosine rescoring and the
+    threshold filter. Because the bucketing is exact int64 arithmetic, the
+    candidate set (hence the result) is SQL-reproducible and value-checked
+    by the driver oracle. Recall vs brute force is the LSH dial: more
+    tables / fewer planes raise recall, more planes shrink buckets (the
+    per-bucket self-join is the quadratic hazard at scale — cap
+    pathological buckets with ``max_bucket``, the hot-shingle ``max_df``
+    analogue in dedup.jaccard_pairs)."""
+    from ..plans.checkpoint import EphemeralTruncator
+
+    planes = int_hyperplanes(dim, n_planes, n_tables, seed)
+    # materialize the bucket map ONCE (parquet round-trip, no lingering
+    # executor blocks): both self-join sides and the optional bucket-size
+    # gate re-scan it, and re-deriving it re-runs the corpus scan + matmul
+    # per consumer — the dominant waste at 100 TB (same fix as
+    # dedup.lsh_candidate_pairs round 1 → 2)
+    vb = EphemeralTruncator(vectors.sparkSession, "near-dup-buckets").truncate(
+        portable_bucket_ids(vectors, planes, id_col, vec_col)
+    )
+    if max_bucket is not None:
+        ok = (
+            vb.groupBy("table", "bucket")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") <= max_bucket)
+            .select("table", "bucket")
+        )
+        vb = vb.join(ok, ["table", "bucket"])
+    cand = (
+        vb.select("table", "bucket", F.col("id").alias("id_a"))
+        .join(vb.select("table", "bucket", F.col("id").alias("id_b")),
+              ["table", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("a_vec"))
+    vb2 = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("b_vec"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb2, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF-style coarse quantization
 # ---------------------------------------------------------------------------

@@ -282,3 +282,53 @@ def test_portable_bucket_ids_one_scan_per_input(spark):
     rows = b.collect()
     assert len(rows) == 40 * 3
     assert {r["table"] for r in rows} == {0, 1, 2}
+
+
+def test_near_dup_pairs_subset_of_brute_force(spark):
+    """Every reported near-dup pair must appear in the brute-force pair
+    set at the same threshold with the same score (LSH only loses pairs,
+    never invents or mis-scores them), and recall should be substantial
+    with a recall-leaning table count."""
+    df, mat = _random_vectors(spark, n=150, dim=16)
+    got = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in sim.near_dup_pairs(
+            df, dim=16, threshold=0.5, n_planes=3, n_tables=10
+        ).collect()
+    }
+    m = mat.astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = np.round(m @ m.T, 6)
+    brute = {
+        (a, b): cos[a, b]
+        for a in range(len(m))
+        for b in range(a + 1, len(m))
+        if cos[a, b] >= 0.5
+    }
+    assert brute, "test corpus must contain qualifying pairs"
+    for pair, score in got.items():
+        assert pair in brute
+        assert abs(score - brute[pair]) < 1e-9
+    recall = len(got) / len(brute)
+    assert recall >= 0.5, f"near-dup recall too low: {recall}"
+
+
+def test_near_dup_pairs_max_bucket_prunes(spark):
+    """max_bucket only ever removes pairs (the hot-bucket guard), and the
+    survivors keep identical scores."""
+    df, _ = _random_vectors(spark, n=120, dim=16)
+    full = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in sim.near_dup_pairs(
+            df, dim=16, threshold=0.4, n_planes=3, n_tables=6
+        ).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in sim.near_dup_pairs(
+            df, dim=16, threshold=0.4, n_planes=3, n_tables=6, max_bucket=20
+        ).collect()
+    }
+    assert set(capped) <= set(full)
+    for pair, score in capped.items():
+        assert score == full[pair]
