@@ -186,3 +186,35 @@ def test_cc_round_exchange_budget(spark, tmp_path):
     ]
     assert len(real) <= 6, f"{len(real)} exchanges in CC round:\n{plan}"
     assert "BroadcastExchange" not in plan, plan
+
+
+def test_kcore_round_exchange_budget(spark, tmp_path):
+    """One k-core peel round (degree count -> survivor filter -> two
+    semi-joins) on truncation-backed edges must shuffle at most 3 times —
+    the degree aggregate and the two semi-join sides; the survivor filter
+    rides the aggregate's partitioning — with no BroadcastExchange (loop
+    policy: a broadcast of the survivor set would be rebuilt per round and
+    OOM the driver at scale)."""
+    from osmgraphing_spark.operators import kcore as kc
+    from .helpers import build_fixture
+
+    g, _, _ = build_fixture(spark, ("small", "stuttgart"))
+    with iterative_conf(spark):
+        edir = str(tmp_path / "kcore_edges")
+        kc._symmetric(g.edges).write.mode("overwrite").parquet(edir)
+        live = spark.read.parquet(edir)
+        deg = live.groupBy("src").agg(F.count("*").alias("deg"))
+        surv = deg.where(F.col("deg") >= 2).select(F.col("src").alias("vid"))
+        nxt = (
+            live.join(surv.select(F.col("vid").alias("src")), "src", "semi")
+            .join(surv.select(F.col("vid").alias("dst")), "dst", "semi")
+            .select("src", "dst")
+        )
+        plan = _plan(nxt)
+    real = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "ReusedExchange" not in ln
+    ]
+    assert len(real) <= 3, f"{len(real)} exchanges in k-core round:\n{plan}"
+    assert "BroadcastExchange" not in plan, plan
