@@ -440,6 +440,18 @@ def q_doc_lsh_candidates(spark, sf_dir):
     )
 
 
+def q_doc_dup_clusters(spark, sf_dir):
+    """Dedup ENDGAME: MinHash-LSH candidates (bands=2 over 4 hashes) →
+    exact-Jaccard verification ≥ 0.5 → connected components over the
+    verified pair graph (operators/cc.components_of_pairs, star
+    contraction) → (id, cluster=min doc id of the group). Transitive:
+    A≈B≈C clusters A,C together even when jaccard(A,C) < τ — the
+    keep-one-per-cluster semantics of a production 100 TB dedup pass."""
+    return dd.dup_clusters(
+        _t(spark, sf_dir, "documents"), threshold=0.5, num_hashes=4, bands=2, n=3
+    )
+
+
 SIMHASH_MAX_HAMMING = 3  # 4 chunks × 16 bits: the scale-sane blocking width
 
 
@@ -702,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "doc_minhash": q_doc_minhash,
         "doc_lsh_candidates": q_doc_lsh_candidates,
+        "doc_dup_clusters": q_doc_dup_clusters,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "embed_topk": q_embed_topk,
         "embed_ann": q_embed_ann,
@@ -1453,6 +1466,57 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, score, CAST(rk AS INT) AS rk
             FROM ranked WHERE rk <= 5
+        """,
+        "doc_dup_clusters": f"""
+            WITH RECURSIVE {_SHINGLES_CTE},
+            sig AS (
+                SELECT id,
+                       MIN({_PORTABLE_HASH.format(seed=0)}) AS mh_0,
+                       MIN({_PORTABLE_HASH.format(seed=1)}) AS mh_1,
+                       MIN({_PORTABLE_HASH.format(seed=2)}) AS mh_2,
+                       MIN({_PORTABLE_HASH.format(seed=3)}) AS mh_3
+                FROM sh GROUP BY id
+            ),
+            buckets AS (
+                SELECT id, 0 AS band,
+                       md5(concat(CAST(mh_0 AS VARCHAR), '|', CAST(mh_1 AS VARCHAR))) AS bucket
+                FROM sig
+                UNION ALL
+                SELECT id, 1 AS band,
+                       md5(concat(CAST(mh_2 AS VARCHAR), '|', CAST(mh_3 AS VARCHAR))) AS bucket
+                FROM sig
+            ),
+            cand AS (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                FROM buckets a
+                JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+            ),
+            sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+            common AS (
+                SELECT cd.id_a, cd.id_b, COUNT(*) AS c
+                FROM cand cd
+                JOIN sh sa ON sa.id = cd.id_a
+                JOIN sh sb ON sb.id = cd.id_b AND sb.shingle = sa.shingle
+                GROUP BY cd.id_a, cd.id_b
+            ),
+            verified AS (
+                SELECT common.id_a, common.id_b
+                FROM common
+                JOIN sizes za ON common.id_a = za.id
+                JOIN sizes zb ON common.id_b = zb.id
+                WHERE CAST(c AS DOUBLE) / (za.sz + zb.sz - c) >= 0.5
+            ),
+            sym AS (
+                SELECT id_a AS a, id_b AS b FROM verified
+                UNION
+                SELECT id_b AS a, id_a AS b FROM verified
+            ),
+            reach AS (
+                SELECT a, b FROM sym
+                UNION
+                SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+            )
+            SELECT a AS id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a
         """,
         "doc_simhash_pairs": _simhash_pairs_sql(),
         "embed_ann": _embed_ann_sql(),

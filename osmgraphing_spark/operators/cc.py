@@ -89,12 +89,65 @@ def run(
         return _run_loop(graph, max_iter, checkpoint, resume)
 
 
+def components_of_pairs(
+    pairs: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """CC labels over an arbitrary pair table (no `Graph` needed) →
+    (id, component), component = min id of the component. Only ids that
+    appear in `pairs` are returned — callers union in isolated ids.
+
+    This is the dedup endgame's clustering step (near-dup PAIRS → dup
+    CLUSTERS): the pair graph from MinHash-LSH is itself power-law (a
+    boilerplate document matches thousands of near-copies), so the same
+    star-contraction scale properties apply — algebraic `min` map-side
+    combine bounds hub fan-in, per-round state is materialized reliably.
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    spark = pairs.sparkSession
+    from ..plans.superstep import iterative_conf
+
+    with iterative_conf(spark):
+        final = _contract(edges, spark, max_iter, None, False, "ccpairs")
+    parent = final.groupBy("src").agg(F.min("dst").alias("component"))
+    labels = parent.select(F.col("src").alias("id"), "component")
+    members = edges.select(F.col("src").alias("id")).unionAll(
+        edges.select(F.col("dst").alias("id"))
+    ).distinct()
+    roots = (
+        members.join(labels.select("id"), "id", "left_anti")
+        .select("id", F.col("id").alias("component"))
+    )
+    return labels.unionAll(roots)
+
+
 def _run_loop(graph, max_iter, checkpoint, resume):
     # symmetrized_edges() is already self-loop-free and distinct — one scan
     edges = graph.symmetrized_edges()
     spark = graph.edges.sparkSession
+    final = _contract(edges, spark, max_iter, checkpoint, resume, "cc")
+
+    parent = final.groupBy("src").agg(F.min("dst").alias("component"))
+    labels = parent.select(F.col("src").alias("vid"), "component")
+    roots_and_isolated = (
+        graph.vertices.select("vid")
+        .join(labels.select("vid"), "vid", "left_anti")
+        .select("vid", F.col("vid").alias("component"))
+    )
+    return labels.unionAll(roots_and_isolated)
+
+
+def _contract(edges, spark, max_iter, checkpoint, resume, tag):
+    """Alternate large-star/small-star until the edge set is stable; returns
+    the converged high→low edge set (every non-root → its component min)."""
     scope = BlockScope(spark)
-    trunc = EphemeralTruncator(spark, "cc") if checkpoint is None else None
+    trunc = EphemeralTruncator(spark, tag) if checkpoint is None else None
 
     start = 0
     if checkpoint is not None and resume:
@@ -153,11 +206,4 @@ def _run_loop(graph, max_iter, checkpoint, resume):
         if not changed:
             break
 
-    parent = edges.groupBy("src").agg(F.min("dst").alias("component"))
-    labels = parent.select(F.col("src").alias("vid"), "component")
-    roots_and_isolated = (
-        graph.vertices.select("vid")
-        .join(labels.select("vid"), "vid", "left_anti")
-        .select("vid", F.col("vid").alias("component"))
-    )
-    return labels.unionAll(roots_and_isolated)
+    return edges

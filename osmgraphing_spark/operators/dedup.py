@@ -156,11 +156,18 @@ def minhash_signatures(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """→ (id, mh_0 … mh_{k-1}): per-doc minimum of k portable hash functions
     over its shingle set. One md5 + k add-mod-mults per shingle, one shuffle
-    (groupBy id), k mins computed map-side in a single pass."""
-    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    (groupBy id), k mins computed map-side in a single pass.
+
+    `shingles_df` lets a caller that also needs the shingle sets (e.g.
+    `dup_clusters`' exact-Jaccard verification) scan the corpus ONCE and
+    share the materialized (id, shingle) frame."""
+    sh = shingles_df if shingles_df is not None else shingles(
+        docs, n=n, id_col=id_col, text_col=text_col
+    )
     u, v = _portable_hash_pair(F.col("shingle"))
     aggs = [
         F.min((u + F.lit(i) * v) % F.lit(_MH_PRIME)).alias(f"mh_{i}")
@@ -176,6 +183,7 @@ def lsh_candidate_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH: docs agreeing on ALL rows of ≥1 band become candidate
     pairs → (id_a, id_b). bands=4 × rows=4 over 16 hashes ⇒ s-curve
@@ -187,7 +195,8 @@ def lsh_candidate_pairs(
     re-ran the full corpus scan + shuffle per band (per join side): the
     dominant cost at 100 TB, and pure waste."""
     sig = _materialize(
-        minhash_signatures(docs, num_hashes, n, id_col, text_col), "lsh_sig"
+        minhash_signatures(docs, num_hashes, n, id_col, text_col, shingles_df),
+        "lsh_sig",
     )
     rows_per_band = num_hashes // bands
     band_structs = []
@@ -352,3 +361,94 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dup clustering — the 100 TB dedup endgame (pairs → clusters → keep-one)
+# ---------------------------------------------------------------------------
+
+def verified_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH candidates verified by EXACT shingle Jaccard ≥ threshold
+    → (id_a, id_b, jaccard), id_a < id_b.
+
+    The scale contract: exact Jaccard is computed ONLY for the candidate
+    pairs the banding surfaced (|cand| ≪ all-pairs), so the expensive
+    verification join is proportional to the near-dup mass, not the corpus
+    squared. The (id, shingle) frame is scanned once and shared with the
+    signature derivation (`shingles_df` pass-through)."""
+    sh = _materialize(shingles(docs, n=n, id_col=id_col, text_col=text_col), "dupc")
+    cand = lsh_candidate_pairs(
+        docs, num_hashes, bands, n, id_col, text_col, shingles_df=sh
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    common = (
+        cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("common")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def dup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup CLUSTERS: verified LSH pairs → connected components over the
+    pair graph → (id, cluster), cluster = min doc id of the group. Only docs
+    that belong to a ≥2-member cluster are returned (every other doc is its
+    own singleton cluster by definition — at 100 TB that is ~the whole
+    corpus, and emitting it would dwarf the actual dedup signal).
+
+    Transitivity is the point: A≈B and B≈C put A,C in one cluster even when
+    jaccard(A,C) < threshold — keep-one-per-cluster is the semantics every
+    production dedup pipeline (and the near-dup literature) uses, and it is
+    what `drop_near_duplicates` enforces."""
+    from .cc import components_of_pairs
+
+    pairs = verified_lsh_pairs(docs, threshold, num_hashes, bands, n, id_col, text_col)
+    return components_of_pairs(pairs, "id_a", "id_b").select(
+        "id", F.col("component").alias("cluster")
+    )
+
+
+def drop_near_duplicates(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep ONE representative (the min doc id) per near-dup cluster; all
+    singleton docs pass through. The anti-join is on doc id — the corpus
+    rows never shuffle, only the (id, cluster) table does."""
+    clusters = dup_clusters(docs, threshold, num_hashes, bands, n, id_col, text_col)
+    losers = clusters.where(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

@@ -332,3 +332,52 @@ def test_near_dup_pairs_max_bucket_prunes(spark):
     assert set(capped) <= set(full)
     for pair, score in capped.items():
         assert score == full[pair]
+
+
+def test_dup_clusters_transitive(spark):
+    """A≈B, B≈C chain must land in ONE cluster labeled min(doc id), even
+    when jaccard(A, C) is below the threshold (transitivity via CC over the
+    verified pair graph); unrelated docs never appear in the output."""
+    rows = [
+        (10, "alpha beta gamma delta epsilon zeta eta theta"),
+        (11, "alpha beta gamma delta epsilon zeta eta iota"),     # ≈ 10
+        (12, "alpha beta gamma delta epsilon zeta kappa iota"),   # ≈ 11, farther from 10
+        (13, "totally different words about engines and planes"),
+        (14, "alpha beta gamma delta epsilon zeta eta theta"),    # exact dup of 10
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cl = {r["id"]: r["cluster"] for r in
+          dd.dup_clusters(docs, threshold=0.5, num_hashes=16, bands=8).collect()}
+    assert cl.get(10) == 10 and cl.get(14) == 10 and cl.get(11) == 10
+    assert 13 not in cl
+    # chain member 12 joins via 11 iff its pair verified; with n=3 shingles
+    # jaccard(11,12) is high enough at τ=0.5
+    assert cl.get(12) == 10
+
+
+def test_drop_near_duplicates_keeps_min_and_singletons(spark):
+    rows = [
+        (20, "one two three four five six seven eight nine ten"),
+        (21, "one two three four five six seven eight nine eleven"),  # ≈ 20
+        (22, "completely different content that stands alone here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(
+        r["doc_id"]
+        for r in dd.drop_near_duplicates(
+            docs, threshold=0.5, num_hashes=16, bands=8
+        ).collect()
+    )
+    assert kept == [20, 22]
+
+
+def test_components_of_pairs_empty_and_chain(spark):
+    from osmgraphing_spark.operators import cc as cc_op
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert cc_op.components_of_pairs(empty).count() == 0
+    pairs = spark.createDataFrame(
+        [(5, 9), (9, 7), (2, 3)], "src long, dst long"
+    )
+    comp = {r["id"]: r["component"] for r in cc_op.components_of_pairs(pairs).collect()}
+    assert comp == {5: 5, 9: 5, 7: 5, 2: 2, 3: 2}
