@@ -25,6 +25,7 @@ from osmgraphing_spark.functions import text as X  # noqa: E402
 from osmgraphing_spark.operators import cc as cc_op  # noqa: E402
 from osmgraphing_spark.operators import sssp as sssp_op  # noqa: E402
 from osmgraphing_spark.operators import dedup as dd  # noqa: E402
+from osmgraphing_spark.operators import linkpred  # noqa: E402
 from osmgraphing_spark.operators import lpa as lpa_op  # noqa: E402
 from osmgraphing_spark.operators import pagerank as pr  # noqa: E402
 from osmgraphing_spark.operators import similarity as sim  # noqa: E402
@@ -130,6 +131,28 @@ def q_link_degrees(spark, sf_dir):
             F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
             F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
         )
+    )
+
+
+AA_CENTER_CAP = 50  # hub-center cut: the wedge self-join costs deg² per center
+
+
+def q_link_adamic_adar(spark, sf_dir):
+    """Link prediction (operators/linkpred): top 50 predicted (non-edge)
+    pairs by shared-neighbor count over the bipartite link graph, with the
+    Adamic-Adar score; hub centers (deg > 50 — here: every supplier) cut
+    before the wedge self-join, the deg²-per-center 100 TB killer."""
+    e = q_link_edges(spark, sf_dir)
+    scored = linkpred.adamic_adar_edges(e, max_center_degree=AA_CENTER_CAP)
+    return (
+        scored.select(
+            F.col("u").alias("node_a"),
+            F.col("v").alias("node_b"),
+            "common",
+            "adamic_adar",
+        )
+        .orderBy(F.desc("common"), "node_a", "node_b")
+        .limit(50)
     )
 
 
@@ -687,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "link_edges": q_link_edges,
         "link_degrees": q_link_degrees,
+        "link_adamic_adar": q_link_adamic_adar,
         "pagerank5": q_pagerank5,
         "cc_nations": q_cc_nations,
         "lpa_nations": q_lpa_nations,
@@ -1264,6 +1288,40 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(out_deg, 0) AS out_deg,
                    COALESCE(in_deg, 0) AS in_deg
             FROM o FULL OUTER JOIN i ON o.vid = i.vid
+        """,
+        "link_adamic_adar": f"""
+            WITH e AS ({SQL_BIPARTITE_EDGES}),
+            und AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT dst AS src, src AS dst FROM e
+            ),
+            deg AS (
+                SELECT src AS w, COUNT(*) AS d FROM und GROUP BY src
+                HAVING COUNT(*) <= {AA_CENTER_CAP}
+            ),
+            nb AS (
+                SELECT und.src AS w, und.dst AS nbr, deg.d
+                FROM und JOIN deg ON deg.w = und.src
+            ),
+            wedge AS (
+                SELECT a.w, a.nbr AS u, b.nbr AS v, a.d
+                FROM nb a JOIN nb b ON a.w = b.w AND a.nbr < b.nbr
+            ),
+            scored AS (
+                SELECT u, v, COUNT(*) AS common,
+                       ROUND(SUM(1.0 / ln(d)), 6) AS adamic_adar
+                FROM wedge GROUP BY u, v
+            ),
+            predicted AS (
+                SELECT s.* FROM scored s
+                LEFT JOIN und ON und.src = s.u AND und.dst = s.v
+                WHERE und.src IS NULL
+            )
+            SELECT u AS node_a, v AS node_b, common, adamic_adar
+            FROM predicted
+            ORDER BY common DESC, node_a, node_b
+            LIMIT 50
         """,
         "pagerank5": _pagerank5_sql(),
         "pagerank5_weighted": _pagerank5_weighted_sql(),

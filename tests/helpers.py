@@ -47,3 +47,14 @@ def stem_vids(graph: Graph) -> dict[str, int]:
         stem = key.rsplit("/", 1)[-1].rsplit(".", 1)[0]
         out[stem] = vid
     return out
+
+
+def graph_from_pairs(spark, pairs, num_blocks: int = 2) -> Graph:
+    """Build a Graph straight from (src_key, dst_key) string pairs (weight
+    1.0) — for operator tests whose oracles work on keys. Vid assignment is
+    key-sorted, so key order and vid order agree."""
+    raw = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs],
+        "src_key string, dst_key string, weight double",
+    )
+    return build_graph(raw, num_blocks=num_blocks, id_partitions=2)

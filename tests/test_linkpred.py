@@ -1,0 +1,93 @@
+"""Adamic-Adar link prediction vs a brute-force python oracle."""
+
+from __future__ import annotations
+
+import math
+import random
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from osmgraphing_spark.operators import linkpred
+from tests.helpers import graph_from_pairs
+
+
+def _brute_aa(edges, max_center_degree=None, include_existing=False):
+    """edges: iterable of (u, v) directed; returns {(u,v): (common, aa)}."""
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+    out = {}
+    for w, ns in nbrs.items():
+        d = len(ns)
+        if max_center_degree is not None and d > max_center_degree:
+            continue
+        ns_sorted = sorted(ns)
+        for i, u in enumerate(ns_sorted):
+            for v in ns_sorted[i + 1 :]:
+                c, s = out.get((u, v), (0, 0.0))
+                out[(u, v)] = (c + 1, s + 1.0 / math.log(d))
+    if not include_existing:
+        out = {
+            (u, v): cs for (u, v), cs in out.items() if v not in nbrs[u]
+        }
+    return out
+
+
+def _check(spark, pairs, **kw):
+    g = graph_from_pairs(spark, pairs)
+    vid_to_key = {r["vid"]: r["key"] for r in g.vertices.collect()}
+    got = {
+        (vid_to_key[r["u"]], vid_to_key[r["v"]]): (r["common"], r["adamic_adar"])
+        for r in linkpred.adamic_adar(g, **kw).collect()
+    }
+    # brute oracle runs on keys; vid assignment is key-order-preserving so
+    # the u < v orientation agrees
+    want = _brute_aa(pairs, **kw)
+    assert set(got) == set(want)
+    for p, (c, s) in want.items():
+        assert got[p][0] == c
+        assert abs(got[p][1] - s) < 1e-6
+
+
+def test_adamic_adar_path_and_square(spark):
+    # path a-b-c: (a,c) share b with deg 2 → aa = 1/ln 2
+    _check(spark, [("a", "b"), ("b", "c")])
+    # square: opposite corners share two deg-2 centers → aa = 2/ln 2
+    _check(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")])
+
+
+def test_adamic_adar_center_cap_drops_hub(spark):
+    # star with 5 leaves: center degree 5; cap 4 removes every wedge
+    star = [("hub", f"x{i}") for i in range(5)]
+    g = graph_from_pairs(spark, star)
+    assert linkpred.adamic_adar(g, max_center_degree=4).count() == 0
+    assert linkpred.adamic_adar(g).count() == 10  # all leaf pairs
+
+
+def test_adamic_adar_random_graph_matches_brute(spark):
+    rng = random.Random(7)
+    keys = [f"n{i:02d}" for i in range(30)]
+    pairs = sorted(
+        {
+            (a, b)
+            for a, b in (
+                (rng.choice(keys), rng.choice(keys)) for _ in range(120)
+            )
+            if a != b
+        }
+    )
+    _check(spark, pairs)
+    _check(spark, pairs, max_center_degree=6)
+    _check(spark, pairs, include_existing=True)
+
+
+def test_adamic_adar_excludes_existing_edges(spark):
+    # triangle + pendant: (a,b) are connected AND share c → excluded by default
+    g = graph_from_pairs(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")])
+    got = {(r["u"], r["v"]) for r in linkpred.adamic_adar(g).collect()}
+    vid = {r["key"]: r["vid"] for r in g.vertices.collect()}
+    assert (vid["a"], vid["b"]) not in got
+    assert (min(vid["a"], vid["d"]), max(vid["a"], vid["d"])) in got
