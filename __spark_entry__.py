@@ -134,6 +134,40 @@ def q_link_degrees(spark, sf_dir):
     )
 
 
+def _nation_ring_edges(spark, sf_dir):
+    """Directed nation digraph with nontrivial SCC structure: within each
+    region, nations chain in sorted order; EVEN regions close the ring
+    (one SCC per even region), ODD regions stay a path (all singletons);
+    region minima chain across regions (a DAG spine). Exercises trim
+    (paths/spine) AND color+mark (rings)."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    ring = n.select(
+        F.col("n_nationkey").alias("src"),
+        F.coalesce(
+            F.lead("n_nationkey").over(w),
+            F.when(F.col("n_regionkey") % 2 == 0, F.first("n_nationkey").over(w)),
+        ).alias("dst"),
+    ).where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+    mins = n.groupBy("n_regionkey").agg(F.min("n_nationkey").alias("mn"))
+    cross = mins.select(
+        F.col("mn").alias("src"),
+        F.lead("mn").over(Window.orderBy("n_regionkey")).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    return ring.unionByName(cross).distinct()
+
+
+def q_scc_nations(spark, sf_dir):
+    """Strongly connected components (operators/scc: BSP trim +
+    forward-min coloring + backward mark) on the directed nation digraph —
+    import-cycle detection on a code link graph; scc = min node id of the
+    component."""
+    from osmgraphing_spark.operators import scc as scc_op
+
+    res = scc_op.run_edges(_nation_ring_edges(spark, sf_dir))
+    return res.select(F.col("id").alias("node_id"), "scc")
+
+
 AA_CENTER_CAP = 50  # hub-center cut: the wedge self-join costs deg² per center
 
 
@@ -713,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_adamic_adar": q_link_adamic_adar,
         "pagerank5": q_pagerank5,
         "cc_nations": q_cc_nations,
+        "scc_nations": q_scc_nations,
         "lpa_nations": q_lpa_nations,
         "triangles_nations": q_triangles_nations,
         "pagerank5_weighted": q_pagerank5_weighted,
@@ -1342,6 +1377,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_nationkey,
                    MIN(n_nationkey) OVER (PARTITION BY n_regionkey) AS component
             FROM nation
+        """,
+        "scc_nations": """
+            WITH RECURSIVE ring AS (
+                SELECT n_nationkey AS src, n_regionkey AS rk,
+                       LEAD(n_nationkey) OVER (
+                           PARTITION BY n_regionkey ORDER BY n_nationkey
+                       ) AS nxt,
+                       FIRST_VALUE(n_nationkey) OVER (
+                           PARTITION BY n_regionkey ORDER BY n_nationkey
+                       ) AS frst
+                FROM nation
+            ),
+            e1 AS (
+                SELECT src,
+                       COALESCE(nxt, CASE WHEN rk % 2 = 0 THEN frst END) AS dst
+                FROM ring
+            ),
+            mins AS (
+                SELECT n_regionkey AS rk, MIN(n_nationkey) AS mn
+                FROM nation GROUP BY n_regionkey
+            ),
+            crosse AS (
+                SELECT mn AS src, LEAD(mn) OVER (ORDER BY rk) AS dst FROM mins
+            ),
+            e AS (
+                SELECT src, dst FROM e1 WHERE dst IS NOT NULL AND src <> dst
+                UNION
+                SELECT src, dst FROM crosse WHERE dst IS NOT NULL
+            ),
+            reach AS (
+                SELECT src AS a, dst AS b FROM e
+                UNION
+                SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+            ),
+            verts AS (
+                SELECT src AS v FROM e UNION SELECT dst AS v FROM e
+            ),
+            mutual AS (
+                SELECT r1.a AS v, r1.b AS w
+                FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+            )
+            SELECT verts.v AS node_id, LEAST(verts.v, COALESCE(MIN(w), verts.v)) AS scc
+            FROM verts LEFT JOIN mutual ON mutual.v = verts.v
+            GROUP BY verts.v
         """,
         "lpa_nations": _lpa2_sql(),
         "triangles_nations": """

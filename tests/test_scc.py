@@ -1,0 +1,111 @@
+"""SCC vs a pure-python iterative Tarjan oracle (independent
+implementation, same role as tests/oracle.py's union-find for CC)."""
+
+from __future__ import annotations
+
+import random
+from collections import defaultdict
+
+from osmgraphing_spark.operators import scc
+
+
+def _tarjan(vertices, edges):
+    """→ {v: min vid of its SCC} — iterative Tarjan."""
+    adj = defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    comp = {}
+    counter = [0]
+
+    for root in sorted(vertices):
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            succs = adj[v]
+            for i in range(pi, len(succs)):
+                w = succs[i]
+                if w not in index:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                m = min(members)
+                for w in members:
+                    comp[w] = m
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[v])
+    return comp
+
+
+def _check(spark, edges, extra_vertices=()):
+    vertices = sorted({v for e in edges for v in e} | set(extra_vertices))
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges] or [(0, 0)], "src long, dst long"
+    )
+    if not edges:
+        df = df.limit(0)
+    got = {r["id"]: r["scc"] for r in scc.run_edges(df).collect()}
+    want = _tarjan(vertices, [(a, b) for a, b in edges if a != b])
+    # run_edges only knows vertices present in edges
+    want = {v: c for v, c in want.items() if any(v in e for e in edges)}
+    assert got == want
+
+
+def test_scc_two_cycles_and_bridge(spark):
+    # cycle {1,2,3} → bridge 4 → cycle {5,6}
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 5)]
+    _check(spark, edges)
+
+
+def test_scc_dag_all_singletons(spark):
+    edges = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)]
+    _check(spark, edges)
+
+
+def test_scc_giant_cycle(spark):
+    n = 12
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    _check(spark, edges)
+
+
+def test_scc_self_loops_and_parallel(spark):
+    edges = [(1, 1), (1, 2), (1, 2), (2, 1), (3, 3), (2, 3)]
+    _check(spark, edges)
+
+
+def test_scc_random_digraphs(spark):
+    rng = random.Random(11)
+    for trial in range(3):
+        n = 20 + 5 * trial
+        edges = sorted(
+            {
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(int(n * 2.2))
+            }
+        )
+        _check(spark, edges)
