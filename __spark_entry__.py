@@ -190,6 +190,30 @@ def q_link_adamic_adar(spark, sf_dir):
     )
 
 
+def q_link_degree_hist(spark, sf_dir):
+    """Degree-distribution histogram (decimal-magnitude buckets) over the
+    link graph — the power-law shape check every link-graph pipeline runs
+    first. One degree aggregate + one tiny histogram aggregate; at 100 TB
+    the output is ~10 rows regardless of |V|."""
+    e = q_link_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("src").alias("vid"))
+        .unionAll(e.select(F.col("dst").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count("*").alias("deg"))
+    )
+    return (
+        deg.groupBy(
+            F.length(F.col("deg").cast("string")).cast("int").alias("magnitude")
+        )
+        .agg(
+            F.count("*").alias("n_vertices"),
+            F.min("deg").alias("min_deg"),
+            F.max("deg").alias("max_deg"),
+        )
+    )
+
+
 def q_pagerank5(spark, sf_dir):
     """G7: 5 fixed PageRank supersteps through the full engine pipeline
     (build_graph → run), mapped back to original node ids."""
@@ -745,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_edges": q_link_edges,
         "link_degrees": q_link_degrees,
         "link_adamic_adar": q_link_adamic_adar,
+        "link_degree_hist": q_link_degree_hist,
         "pagerank5": q_pagerank5,
         "cc_nations": q_cc_nations,
         "scc_nations": q_scc_nations,
@@ -1323,6 +1348,17 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(out_deg, 0) AS out_deg,
                    COALESCE(in_deg, 0) AS in_deg
             FROM o FULL OUTER JOIN i ON o.vid = i.vid
+        """,
+        "link_degree_hist": f"""
+            WITH e AS ({SQL_BIPARTITE_EDGES}),
+            deg AS (
+                SELECT vid, COUNT(*) AS deg FROM (
+                    SELECT src AS vid FROM e UNION ALL SELECT dst AS vid FROM e
+                ) GROUP BY vid
+            )
+            SELECT CAST(length(CAST(deg AS VARCHAR)) AS INT) AS magnitude,
+                   COUNT(*) AS n_vertices, MIN(deg) AS min_deg, MAX(deg) AS max_deg
+            FROM deg GROUP BY 1
         """,
         "link_adamic_adar": f"""
             WITH e AS ({SQL_BIPARTITE_EDGES}),

@@ -107,6 +107,9 @@ OPERATOR_QUERIES = [
     "multi_metric_edges",
     "kcore_links",
     "embed_near_dups",
+    "doc_dup_clusters",
+    "link_adamic_adar",
+    "scc_nations",
 ]
 
 
@@ -374,6 +377,26 @@ def run_operator_leg(spark) -> dict:
 
 def write_baseline_md(scaling: dict, headline: dict, times: dict, total: float) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    if not scaling and not headline and os.path.exists(path):
+        # operator-leg-only run (SPARK_GRAFT_BENCH_NO_SCALING=1): keep the
+        # existing scaling + headline evidence, replace only the operator
+        # table — a quick leg re-run must never wipe the N→4N measurement
+        head = open(path).read().split("\n## Operator leg", 1)[0].rstrip("\n")
+        lines = [
+            head,
+            "",
+            f"## Operator leg ({SF_DIR}, local[{CPUS}])",
+            "",
+            "| query | seconds |",
+            "|---|---|",
+        ]
+        for k, v in times.items():
+            lines.append(f"| {k} | {v} |")
+        lines += ["", f"Operator-leg wall (scaling/headline legs skipped): {round(total, 1)} s"]
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        return
     lines = [
         "# BENCH/BASELINE.md — measured numbers (this sandbox)",
         "",

@@ -44,6 +44,11 @@ from ..plans.checkpoint import EphemeralTruncator
 from ..plans.superstep import BlockScope, iterative_conf
 from .build import Graph
 
+#: rounds between reliable parquet truncations inside the inner fixpoints
+#: (mid-stride rounds cut lineage with a lazy localCheckpoint, same
+#: window-of-loss tradeoff as SSSP/PageRank)
+_STRIDE = 4
+
 
 def run(graph: Graph, max_outer: int = 50, max_inner: int = 200) -> DataFrame:
     """→ (vid long, scc long), scc = min vid of the strongly connected
@@ -76,6 +81,23 @@ def run_edges(
     return out.select(F.col("vid").alias("id"), "scc")
 
 
+def condensation(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Condensed DAG: distinct (scc_src, scc_dst) pairs with scc_src ≠
+    scc_dst — on a code graph, the build-order DAG over import cycles.
+    `labels` is run_edges' (id, scc) output. Two broadcast-eligible joins
+    when the label table is small; at scale both join keys are the edge
+    endpoints, so the edge table's existing layout serves one side."""
+    lab = labels.select("id", "scc")
+    return (
+        edges.select("src", "dst")
+        .join(lab.select(F.col("id").alias("src"), F.col("scc").alias("scc_src")), "src")
+        .join(lab.select(F.col("id").alias("dst"), F.col("scc").alias("scc_dst")), "dst")
+        .where(F.col("scc_src") != F.col("scc_dst"))
+        .select("scc_src", "scc_dst")
+        .distinct()
+    )
+
+
 def _edges_between(edges: DataFrame, vset: DataFrame) -> DataFrame:
     """Edges with BOTH endpoints in vset (two semi-joins)."""
     return (
@@ -93,6 +115,30 @@ def _scc(
     max_inner: int,
 ) -> DataFrame:
     scope = BlockScope(spark)
+    # Adaptive task granularity: per-round state is vertex-sized, so on a
+    # small active graph a 32-partition shuffle per join/agg is pure fixed
+    # overhead (~45 truncations x several 32-task stages dominated the
+    # wall clock at driver-query scale); target ~250k rows/partition,
+    # capped by the session's configured parallelism for big graphs. The
+    # loop-scoped shuffle-partition override is the manual analogue of AQE
+    # partition coalescing, which iterative_conf disables for plan
+    # stability; restored on exit.
+    conf_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_v = vertices.limit(50_000_000).count()
+    p_state = max(1, min(conf_p, (n_v + 249_999) // 250_000))
+    spark.conf.set("spark.sql.shuffle.partitions", str(p_state))
+    try:
+        return _scc_loop(
+            edges, vertices, spark, max_outer, max_inner, scope, p_state
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(conf_p))
+
+
+def _scc_loop(edges, vertices, spark, max_outer, max_inner, scope, p_state):
+    def slim(df):
+        return df.coalesce(p_state)
+
     t_e = EphemeralTruncator(spark, "scc-edges")
     t_v = EphemeralTruncator(spark, "scc-verts")
     t_c = EphemeralTruncator(spark, "scc-colors")
@@ -101,8 +147,8 @@ def _scc(
     t_i = EphemeralTruncator(spark, "scc-intra")
     t_d = EphemeralTruncator(spark, "scc-done")
 
-    active_e = t_e.truncate(edges)
-    active_v = t_v.truncate(vertices.select("vid"))
+    active_e = t_e.truncate(slim(edges))
+    active_v = t_v.truncate(slim(vertices.select("vid")))
     done = spark.createDataFrame([], "vid long, scc long")
 
     for _outer in range(max_outer):
@@ -110,45 +156,81 @@ def _scc(
             scope.release_new()
             return done
 
-        # -- 1. trim one layer: in-deg 0 OR out-deg 0 (or isolated)
-        outd = active_e.groupBy("src").agg(F.count("*").alias("od"))
-        ind = active_e.groupBy("dst").agg(F.count("*").alias("idg"))
-        both = active_v.join(
-            outd.withColumnRenamed("src", "vid"), "vid", "left"
-        ).join(ind.withColumnRenamed("dst", "vid"), "vid", "left")
-        done = t_d.truncate(
-            done.unionByName(
-                both.where(F.col("od").isNull() | F.col("idg").isNull()).select(
-                    "vid", F.col("vid").alias("scc")
-                )
+        # -- 1. trim to FIXPOINT: peel in-deg-0 / out-deg-0 (or isolated)
+        # layers until none trims. Running trim one layer per OUTER round
+        # would pay a whole color+mark fixpoint per DAG layer — the
+        # dominant round count on DAG-heavy graphs. Per layer: ONE stats
+        # aggregate (trimmed + survivor counts together — three separate
+        # probe jobs cost more than the layer itself on small graphs) and
+        # lazy lineage cuts mid-stride, reliable truncation at boundaries.
+        dirty = False
+        for _t in range(max_inner):
+            outd = active_e.groupBy("src").agg(F.count("*").alias("od"))
+            ind = active_e.groupBy("dst").agg(F.count("*").alias("idg"))
+            both = active_v.join(
+                outd.withColumnRenamed("src", "vid"), "vid", "left"
+            ).join(ind.withColumnRenamed("dst", "vid"), "vid", "left")
+            is_trim = F.col("od").isNull() | F.col("idg").isNull()
+            stats = both.agg(
+                F.count("*").alias("n"),
+                F.sum(is_trim.cast("long")).alias("nt"),
+            ).collect()[0]
+            n, nt = int(stats["n"]), int(stats["nt"] or 0)
+            if nt == 0:
+                break
+            done = done.unionByName(
+                both.where(is_trim).select("vid", F.col("vid").alias("scc"))
             )
-        )
-        active_v = t_v.truncate(
-            both.where(F.col("od").isNotNull() & F.col("idg").isNotNull()).select("vid")
-        )
-        active_e = t_e.truncate(_edges_between(active_e, active_v))
-
-        if active_v.limit(1).count() == 0:
-            scope.release_new()
-            return done
+            active_v = both.where(~is_trim).select("vid")
+            active_e = _edges_between(active_e, active_v)
+            if (_t + 1) % _STRIDE == 0:
+                done = t_d.truncate(slim(done))
+                active_v = t_v.truncate(slim(active_v))
+                active_e = t_e.truncate(slim(active_e))
+                dirty = False
+            else:
+                done = done.localCheckpoint(eager=False)
+                active_v = active_v.localCheckpoint(eager=False)
+                active_e = active_e.localCheckpoint(eager=False)
+                dirty = True
+            if n - nt == 0:
+                done = t_d.truncate(slim(done))
+                scope.release_new()
+                return done
+        else:
+            raise RuntimeError(f"SCC trim did not converge in {max_inner} layers")
+        if dirty:
+            # fixpoint hit mid-stride: the frames feeding color/mark (and
+            # possibly the next outer round) are only block-backed
+            done = t_d.truncate(slim(done))
+            active_v = t_v.truncate(slim(active_v))
+            active_e = t_e.truncate(slim(active_e))
         if active_e.limit(1).count() == 0:
+            # no edges left: every remaining active vertex is a singleton
             done = t_d.truncate(
-                done.unionByName(active_v.select("vid", F.col("vid").alias("scc")))
+                slim(done.unionByName(active_v.select("vid", F.col("vid").alias("scc"))))
             )
             scope.release_new()
             return done
 
-        # -- 2. forward-min coloring to fixpoint
-        colors = t_c.truncate(active_v.select("vid", F.col("vid").alias("color")))
+        # -- 2. forward-min coloring to fixpoint. Stride discipline (same as
+        # SSSP): mid-stride rounds cut lineage with a lazy localCheckpoint —
+        # materialized by this round's `changed` probe — and only stride
+        # boundaries pay the reliable parquet roundtrip; reap is deferred
+        # because the probe still reads the previous step.
+        colors = t_c.truncate(slim(active_v.select("vid", F.col("vid").alias("color"))))
         for _i in range(max_inner):
             msgs = active_e.join(
                 colors.select(F.col("vid").alias("src"), "color"), "src"
             ).select(F.col("dst").alias("vid"), "color")
-            # reap deferred: `changed` still reads the previous colors step
-            new_colors = t_c.truncate(
-                colors.unionByName(msgs).groupBy("vid").agg(F.min("color").alias("color")),
-                reap=False,
+            new_colors = (
+                colors.unionByName(msgs).groupBy("vid").agg(F.min("color").alias("color"))
             )
+            boundary = (_i + 1) % _STRIDE == 0
+            if boundary:
+                new_colors = t_c.truncate(slim(new_colors), reap=False)
+            else:
+                new_colors = new_colors.localCheckpoint(eager=False)
             changed = (
                 new_colors.join(colors.withColumnRenamed("color", "old"), "vid")
                 .where(F.col("color") < F.col("old"))
@@ -161,9 +243,13 @@ def _scc(
                 break
         else:
             raise RuntimeError(f"SCC coloring did not converge in {max_inner} rounds")
+        if not boundary:
+            # fixpoint hit mid-stride: the frame feeding the whole mark
+            # phase is only block-backed — make it reliable
+            colors = t_c.truncate(slim(colors))
 
         # -- 3. backward mark within color classes, starting at the roots
-        intra = t_i.truncate(
+        intra = t_i.truncate(slim(
             active_e.join(
                 colors.select(F.col("vid").alias("src"), F.col("color").alias("c_src")),
                 "src",
@@ -174,9 +260,9 @@ def _scc(
             )
             .where(F.col("c_src") == F.col("c_dst"))
             .select("src", "dst")
-        )
+        ))
         marked = t_m.truncate(
-            colors.where(F.col("vid") == F.col("color")).select("vid", "color")
+            slim(colors.where(F.col("vid") == F.col("color")).select("vid", "color"))
         )
         frontier = marked
         for _i in range(max_inner):
@@ -185,21 +271,33 @@ def _scc(
                 .select(F.col("src").alias("vid"), "color")
                 .distinct()
             )
-            frontier = t_f.truncate(
-                preds.join(marked.select("vid"), "vid", "left_anti")
-            )
-            if frontier.limit(1).count() == 0:
+            new_frontier = preds.join(marked.select("vid"), "vid", "left_anti")
+            new_marked = marked.unionByName(new_frontier)
+            boundary = (_i + 1) % _STRIDE == 0
+            if boundary:
+                new_frontier = t_f.truncate(slim(new_frontier), reap=False)
+                new_marked = t_m.truncate(slim(new_marked), reap=False)
+            else:
+                new_frontier = new_frontier.localCheckpoint(eager=False)
+                new_marked = new_marked.localCheckpoint(eager=False)
+            empty = new_frontier.limit(1).count() == 0
+            t_f.reap()
+            t_m.reap()
+            frontier, marked = new_frontier, new_marked
+            if empty:
                 break
-            marked = t_m.truncate(marked.unionByName(frontier))
         else:
             raise RuntimeError(f"SCC marking did not converge in {max_inner} rounds")
+        if not boundary:
+            # mark fixpoint hit mid-stride: feeds assignment + next round
+            marked = t_m.truncate(slim(marked))
 
         # -- 4. assign SCC = color for marked vertices, remove, repeat
         done = t_d.truncate(
-            done.unionByName(marked.select("vid", F.col("color").alias("scc")))
+            slim(done.unionByName(marked.select("vid", F.col("color").alias("scc"))))
         )
-        active_v = t_v.truncate(active_v.join(marked.select("vid"), "vid", "left_anti"))
-        active_e = t_e.truncate(_edges_between(active_e, active_v))
+        active_v = t_v.truncate(slim(active_v.join(marked.select("vid"), "vid", "left_anti")))
+        active_e = t_e.truncate(slim(_edges_between(active_e, active_v)))
         scope.release_new()
 
     raise RuntimeError(f"SCC did not converge in {max_outer} outer rounds")

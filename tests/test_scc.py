@@ -109,3 +109,15 @@ def test_scc_random_digraphs(spark):
             }
         )
         _check(spark, edges)
+
+
+def test_scc_condensation_is_dag(spark):
+    # two cycles + bridge: condensation must be {1}→{4}→{5} (scc ids 1, 4, 5)
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    labels = scc.run_edges(df)
+    cond = {
+        (r["scc_src"], r["scc_dst"])
+        for r in scc.condensation(df, labels).collect()
+    }
+    assert cond == {(1, 4), (4, 5)}
