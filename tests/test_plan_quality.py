@@ -218,3 +218,31 @@ def test_kcore_round_exchange_budget(spark, tmp_path):
     ]
     assert len(real) <= 3, f"{len(real)} exchanges in k-core round:\n{plan}"
     assert "BroadcastExchange" not in plan, plan
+
+
+def test_adamic_adar_cap_below_wedge_join(spark):
+    """The max_center_degree cut must land BELOW the wedge self-join: the
+    physical plan's join inputs are already degree-filtered (the deg² hub
+    explosion never materializes), visible as the d <= cap filter sitting
+    under the join, with no filter on the join output."""
+    from osmgraphing_spark.operators import linkpred
+
+    e = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 50) for i in range(200)], "src long, dst long"
+    )
+    scored = linkpred.adamic_adar_edges(e, max_center_degree=5)
+    plan = _plan(scored)
+    # the wedge self-join is the one joining on the center column w
+    join_pos = min(
+        p
+        for p in (
+            plan.find("HashJoin [w#"),
+            plan.find("SortMergeJoin [w#"),
+        )
+        if p != -1
+    )
+    # the degree-cap filter must appear below (after, in toString's
+    # top-down order) the wedge join — i.e. on its INPUT side, so the
+    # deg² hub explosion never materializes
+    below = plan[join_pos:]
+    assert "Filter (d#" in below and "<= 5)" in below

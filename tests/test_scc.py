@@ -121,3 +121,20 @@ def test_scc_condensation_is_dag(spark):
         for r in scc.condensation(df, labels).collect()
     }
     assert cond == {(1, 4), (4, 5)}
+
+
+def test_scc_planted_cycles_star(spark):
+    """5 planted 12-cycles with hub→leaf cross edges (condensation depth 1,
+    so outer rounds stay bounded; ring size bounds the coloring fixpoint);
+    ids shuffled so min-label order does not correlate with construction
+    order."""
+    rng = random.Random(3)
+    ids = list(range(60))
+    rng.shuffle(ids)
+    groups = [ids[i * 12 : (i + 1) * 12] for i in range(5)]
+    edges = []
+    for g in groups:
+        edges += [(g[i], g[(i + 1) % 12]) for i in range(12)]
+    for leaf in groups[1:]:
+        edges.append((groups[0][0], leaf[0]))
+    _check(spark, edges)
