@@ -521,6 +521,16 @@ def q_doc_lsh_candidates(spark, sf_dir):
     )
 
 
+def q_doc_containment_pairs(spark, sf_dir):
+    """Containment near-dups (dedup.containment_pairs): pairs where one
+    doc's shingle set is ≥ 80% inside the other's — the
+    long-doc-contains-short-doc case Jaccard structurally misses; same
+    inverted-index + max_df discipline."""
+    return dd.containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8, n=3, max_df=JACCARD_MAX_DF
+    )
+
+
 def q_doc_dup_clusters(spark, sf_dir):
     """Dedup ENDGAME: MinHash-LSH candidates (bands=2 over 4 hashes) →
     exact-Jaccard verification ≥ 0.5 → connected components over the
@@ -799,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash": q_doc_minhash,
         "doc_lsh_candidates": q_doc_lsh_candidates,
         "doc_dup_clusters": q_doc_dup_clusters,
+        "doc_containment_pairs": q_doc_containment_pairs,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "embed_topk": q_embed_topk,
         "embed_ann": q_embed_ann,
@@ -1587,6 +1598,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON common.id_a = sa.id
             JOIN sizes sb ON common.id_b = sb.id
             WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5
+        """,
+        "doc_containment_pairs": f"""
+            WITH {_SHINGLES_CTE},
+            keep AS (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING COUNT(*) <= {JACCARD_MAX_DF}
+            ),
+            shf AS (SELECT sh.id, sh.shingle FROM sh JOIN keep USING (shingle)),
+            sizes AS (SELECT id, COUNT(*) AS sz FROM shf GROUP BY id),
+            common AS (
+                SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+                FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.id < b.id
+                GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b,
+                   ROUND(GREATEST(CAST(c AS DOUBLE) / sa.sz,
+                                  CAST(c AS DOUBLE) / sb.sz), 6) AS containment,
+                   ROUND(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON common.id_a = sa.id
+            JOIN sizes sb ON common.id_b = sb.id
+            WHERE GREATEST(CAST(c AS DOUBLE) / sa.sz, CAST(c AS DOUBLE) / sb.sz) >= 0.8
         """,
         "doc_minhash": f"""
             WITH {_SHINGLES_CTE}

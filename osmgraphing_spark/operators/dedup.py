@@ -452,3 +452,51 @@ def drop_near_duplicates(
         F.col("id").alias(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Pairs where one doc's shingle set is ≥ threshold CONTAINED in the
+    other's: containment(a⊆b) = |A∩B| / |A|. The long-document case
+    Jaccard structurally misses — when |B| ≫ |A|, |A∩B|/|A∪B| ≈ |A|/|B|
+    → 0 even for verbatim inclusion (a training-data corpus is full of
+    quote-and-extend copies). → (id_a, id_b, containment, jaccard),
+    id_a < id_b, containment = max of the two directions.
+
+    Same inverted-index join + `max_df` hot-shingle cut as jaccard_pairs
+    (one scan, one pair aggregate); only the threshold predicate differs.
+    """
+    sh = _materialize(shingles(docs, n=n, id_col=id_col, text_col=text_col), "containment")
+    if max_df is not None:
+        hot = sh.groupBy("shingle").count().where(F.col("count") > max_df).select("shingle")
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    c = F.col("common").cast("double")
+    return (
+        common.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn("containment", F.greatest(c / F.col("sz_a"), c / F.col("sz_b")))
+        .where(F.col("containment") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.round("containment", 6).alias("containment"),
+            F.round(
+                c / (F.col("sz_a") + F.col("sz_b") - F.col("common")).cast("double"), 6
+            ).alias("jaccard"),
+        )
+    )

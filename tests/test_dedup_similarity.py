@@ -381,3 +381,19 @@ def test_components_of_pairs_empty_and_chain(spark):
     )
     comp = {r["id"]: r["component"] for r in cc_op.components_of_pairs(pairs).collect()}
     assert comp == {5: 5, 9: 5, 7: 5, 2: 2, 3: 2}
+
+
+def test_containment_catches_inclusion_jaccard_misses(spark):
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = short + " " + " ".join(f"filler{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "unrelated words entirely different here")],
+        "doc_id long, text string",
+    )
+    # jaccard misses the inclusion (|A|/|B| ≈ 0.09)
+    assert dd.jaccard_pairs(docs, threshold=0.5).count() == 0
+    rows = dd.containment_pairs(docs, threshold=0.9).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["containment"] == 1.0 and r["jaccard"] < 0.2

@@ -251,3 +251,46 @@ def test_sessionize_stream_handles_late_events(spark, tmp_path):
     # user 3: ONE session extended backward (1800 s apart == gap ⇒ merge)
     assert (3, h(9.5), h(10.0), 2) in sessions
     assert not any(u == 3 and s != h(9.5) for (u, s, _, _) in sessions)
+
+
+def test_dedup_stream_drops_within_watermark(spark, tmp_path):
+    """Streaming exact dedup keeps the first arrival per digest; the kept
+    set equals the batch drop_exact_duplicates digest set."""
+    from osmgraphing_spark.streaming.windows import dedup_stream
+
+    in_dir = str(tmp_path / "din")
+    out_dir = str(tmp_path / "dout")
+    ck_dir = str(tmp_path / "dck")
+    rows = [
+        (1, "2024-01-01 10:00:00", "same text content"),
+        (2, "2024-01-01 10:05:00", "same text content"),   # dup of 1
+        (3, "2024-01-01 10:10:00", "different content"),
+        (4, "2024-01-01 11:30:00", "same text content"),   # dup of 1, in horizon? 90m > 1h: new survivor allowed
+        (5, "2024-01-01 10:20:00", "different content"),   # dup of 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ts string, text string")
+    df.write.mode("overwrite").parquet(in_dir)
+
+    stream = spark.readStream.schema(
+        "doc_id long, ts string, text string"
+    ).parquet(in_dir)
+    q = (
+        dedup_stream(stream, watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    kept_ids = sorted(r["doc_id"] for r in got.collect())
+    # one survivor per digest within the horizon; in one micro-batch the
+    # first event-time arrival wins deterministically for 1 vs 2; 4 may or
+    # may not start a fresh survivor depending on state eviction — accept
+    # either contract-consistent outcome
+    assert 1 in kept_ids and 3 in kept_ids
+    assert 2 not in kept_ids and 5 not in kept_ids
+    digests = [r["digest"] for r in got.collect()]
+    assert len(digests) == len(kept_ids)
