@@ -190,6 +190,17 @@ def q_link_adamic_adar(spark, sf_dir):
     )
 
 
+def q_link_edge_sample(spark, sf_dir):
+    """Deterministic 5% edge sample (operators/sampling): membership is a
+    pure md5 function of (src, dst) — identical across retries,
+    partitionings, and engines, so the SAMPLE itself is value-checked,
+    unlike df.sample(). The reproducible debugging slice of a 100 TB
+    pipeline."""
+    from osmgraphing_spark.operators import sampling
+
+    return sampling.sample_edges(q_link_edges(spark, sf_dir), 0.05)
+
+
 def q_link_degree_hist(spark, sf_dir):
     """Degree-distribution histogram (decimal-magnitude buckets) over the
     link graph — the power-law shape check every link-graph pipeline runs
@@ -780,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_degrees": q_link_degrees,
         "link_adamic_adar": q_link_adamic_adar,
         "link_degree_hist": q_link_degree_hist,
+        "link_edge_sample": q_link_edge_sample,
         "pagerank5": q_pagerank5,
         "cc_nations": q_cc_nations,
         "scc_nations": q_scc_nations,
@@ -1359,6 +1371,13 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(out_deg, 0) AS out_deg,
                    COALESCE(in_deg, 0) AS in_deg
             FROM o FULL OUTER JOIN i ON o.vid = i.vid
+        """,
+        "link_edge_sample": f"""
+            WITH e AS ({SQL_BIPARTITE_EDGES})
+            SELECT src, dst FROM e
+            WHERE CAST(concat('0x', substr(md5(concat(CAST(src AS VARCHAR), '|',
+                                                      CAST(dst AS VARCHAR))), 1, 14))
+                       AS BIGINT) % 1000000 < 50000
         """,
         "link_degree_hist": f"""
             WITH e AS ({SQL_BIPARTITE_EDGES}),

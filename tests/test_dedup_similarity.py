@@ -397,3 +397,17 @@ def test_containment_catches_inclusion_jaccard_misses(spark):
     r = rows[0]
     assert (r["id_a"], r["id_b"]) == (1, 2)
     assert r["containment"] == 1.0 and r["jaccard"] < 0.2
+
+
+def test_sample_rows_deterministic_and_partition_invariant(spark):
+    from osmgraphing_spark.operators import sampling
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("src"), (F.col("id") * 7 % 999).alias("dst")
+    )
+    a = {tuple(r) for r in sampling.sample_edges(df, 0.1).collect()}
+    b = {tuple(r) for r in sampling.sample_edges(df.repartition(17), 0.1).collect()}
+    assert a == b                      # partitioning-invariant
+    assert 0.07 < len(a) / 10_000 < 0.13  # ~fraction
+    assert sampling.sample_edges(df, 0.0).count() == 0
+    assert sampling.sample_edges(df, 1.0).count() == 10_000
