@@ -124,3 +124,69 @@ def _peel_loop(graph, k, rounds, truncate_every):
     result = trunc_res.truncate(result)
     scope.release_new()
     return result
+
+
+def coreness(
+    graph: Graph,
+    max_k: int | None = None,
+    truncate_every: int = 4,
+) -> DataFrame:
+    """Full core decomposition → (vid long, coreness long): coreness(v) =
+    largest k such that v survives in the k-core, for every edge-endpoint
+    vertex. Phase k peels the live subgraph to its k-core; vertices
+    dropped during phase k have coreness k-1. With ``max_k``, vertices
+    still alive after phase max_k are reported AS max_k (a floor — the
+    bounded-budget variant).
+
+    Scale: the live edge set only shrinks, and most mass drops in the
+    first phases (power-law graphs are leaf-heavy), so total work is
+    Σ_k rounds_k × |live_k| ≪ k_max × |E|. Same per-frame reliable
+    truncation as the single-k peel; the phase ladder reuses the live
+    subgraph — nothing is recomputed from the raw edges per k."""
+    with iterative_conf(graph.edges.sparkSession):
+        return _coreness_loop(graph, max_k, max(truncate_every, 1))
+
+
+def _coreness_loop(graph, max_k, truncate_every):
+    spark = graph.edges.sparkSession
+    scope = BlockScope(spark)
+    t_live = EphemeralTruncator(spark, "coreness-live")
+    t_verts = EphemeralTruncator(spark, "coreness-verts")
+    t_done = EphemeralTruncator(spark, "coreness-done")
+
+    live = t_live.truncate(_symmetric(graph.edges))
+    verts = t_verts.truncate(live.select(F.col("src").alias("vid")).distinct())
+    done = spark.createDataFrame([], "vid long, coreness long")
+
+    k = 1
+    while max_k is None or k <= max_k:
+        # peel the live subgraph to its k-core (fixpoint)
+        while True:
+            deg = live.groupBy("src").agg(F.count("*").alias("deg"))
+            surv = deg.where(F.col("deg") >= k).select(F.col("src").alias("vid"))
+            removed = verts.join(surv, "vid", "left_anti")
+            if removed.limit(1).count() == 0:
+                break
+            done = t_done.truncate(
+                done.unionByName(
+                    removed.select("vid", F.lit(k - 1).cast("long").alias("coreness"))
+                )
+            )
+            verts = t_verts.truncate(surv)
+            live = t_live.truncate(
+                live.join(verts.select(F.col("vid").alias("src")), "src", "semi")
+                .join(verts.select(F.col("vid").alias("dst")), "dst", "semi")
+                .select("src", "dst")
+            )
+            scope.release_new()
+            if verts.limit(1).count() == 0:
+                return done
+        k += 1
+    # bounded budget exhausted: survivors have coreness >= max_k
+    done = t_done.truncate(
+        done.unionByName(
+            verts.select("vid", F.lit(max_k).cast("long").alias("coreness"))
+        )
+    )
+    scope.release_new()
+    return done

@@ -111,3 +111,62 @@ def test_kcore_zero_degree_survivor_rule(spark):
     surv, deg = _peel_oracle(star, k=2, rounds=1)
     got = _run_peel(spark, star, k=2, rounds=1)
     assert got == deg == {0: 0}
+
+
+def _coreness_oracle(edges: list[tuple[int, int]]) -> dict[int, int]:
+    und = {(a, b) for a, b in edges if a != b} | {(b, a) for a, b in edges if a != b}
+    verts = {v for e in und for v in e}
+    core = {}
+    k = 1
+    while verts:
+        while True:
+            deg = {v: 0 for v in verts}
+            for a, b in und:
+                if a in verts and b in verts:
+                    deg[a] += 1
+            drop = {v for v in verts if deg[v] < k}
+            if not drop:
+                break
+            for v in drop:
+                core[v] = k - 1
+            verts -= drop
+        k += 1
+        if k > len(core) + len(verts) + 2:
+            break
+    for v in verts:
+        core[v] = k - 1  # unreachable in practice (loop empties verts)
+    return core
+
+
+def test_coreness_structures(spark):
+    # ring (all coreness 2... wait: ring degree 2 ⇒ 2-core, peeled at k=3)
+    ring = [(i, (i + 1) % 8) for i in range(8)]
+    # star: leaves coreness 1, hub coreness 1
+    star = [(100, 100 + i) for i in range(1, 6)]
+    # 5-clique: all coreness 4
+    clique = [(200 + i, 200 + j) for i in range(5) for j in range(i + 1, 5)]
+    edges = ring + star + clique
+    g, vmap = _graph_from(spark, edges)
+    got = {r["vid"]: r["coreness"] for r in kcore.coreness(g).collect()}
+    want = {vmap[v]: c for v, c in _coreness_oracle(edges).items()}
+    assert got == want
+    assert got[vmap[0]] == 2 and got[vmap[100]] == 1 and got[vmap[200]] == 4
+
+
+def test_coreness_bounded_budget_floor(spark):
+    clique = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    g, vmap = _graph_from(spark, clique)
+    got = {r["vid"]: r["coreness"] for r in kcore.coreness(g, max_k=3).collect()}
+    assert set(got.values()) == {3}  # true coreness 5, floored at the budget
+
+
+def test_coreness_random_graph(spark):
+    import random
+
+    rng = random.Random(5)
+    edges = sorted({(rng.randrange(25), rng.randrange(25)) for _ in range(60)})
+    edges = [e for e in edges if e[0] != e[1]]
+    g, vmap = _graph_from(spark, edges)
+    got = {r["vid"]: r["coreness"] for r in kcore.coreness(g).collect()}
+    want = {vmap[v]: c for v, c in _coreness_oracle(edges).items()}
+    assert got == want
