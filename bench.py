@@ -108,7 +108,10 @@ OPERATOR_QUERIES = [
     "kcore_links",
     "embed_near_dups",
     "doc_dup_clusters",
+    "doc_containment_pairs",
     "link_adamic_adar",
+    "link_degree_hist",
+    "link_edge_sample",
     "scc_nations",
 ]
 
@@ -387,6 +390,13 @@ def write_baseline_md(scaling: dict, headline: dict, times: dict, total: float) 
             head,
             "",
             f"## Operator leg ({SF_DIR}, local[{CPUS}])",
+            "",
+            "`scc_nations` is round-latency-dominated: ~70 fixed-cost Spark "
+            "actions on a 25-vertex digraph whose 3 chained SCCs force 3 "
+            "sequential color+mark rounds (the BSP-SCC diameter bound, "
+            "documented in operators/scc.py); at real scale each action "
+            "processes the full edge partition set, so the fixed-cost share "
+            "vanishes.",
             "",
             "| query | seconds |",
             "|---|---|",
