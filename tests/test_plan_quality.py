@@ -246,3 +246,17 @@ def test_adamic_adar_cap_below_wedge_join(spark):
     # deg² hub explosion never materializes
     below = plan[join_pos:]
     assert "Filter (d#" in below and "<= 5)" in below
+
+
+def test_verified_lsh_pairs_corpus_scanned_once(spark):
+    """The clustering tier's contract: the corpus is scanned ONCE (into the
+    materialized shingle frame); the verification joins and the banding all
+    read materialized intermediates — the final plan must contain no scan
+    of the documents table at all."""
+    from osmgraphing_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    pairs = dd.verified_lsh_pairs(docs, threshold=0.5, num_hashes=4, bands=2)
+    plan = _plan(pairs)
+    assert "documents.parquet" not in plan
+    assert plan.count("FileScan") >= 2  # reads ARE file-backed intermediates
