@@ -84,22 +84,20 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str 
     )
 
 
-def jaccard_pairs(
+def _pair_stats(
     docs: DataFrame,
-    threshold: float = 0.8,
-    n: int = 3,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    max_df: int | None = None,
+    n: int,
+    id_col: str,
+    text_col: str,
+    max_df: int | None,
+    tag: str,
 ) -> DataFrame:
-    """All document pairs with shingle-set Jaccard ≥ threshold:
-    → (id_a, id_b, jaccard) with id_a < id_b.
-
-    Inverted-index join: pairs only form for docs sharing ≥1 shingle, so
-    cost is Σ_shingle df² — bounded by ``max_df`` (drop shingles more
-    frequent than the cap; a pair of near-dups still shares many rarer
-    shingles)."""
-    sh = _materialize(shingles(docs, n=n, id_col=id_col, text_col=text_col), "jaccard")
+    """Shared inverted-index machinery for Jaccard AND containment:
+    → (id_a, id_b, common, sz_a, sz_b) for every pair sharing ≥1 kept
+    shingle, id_a < id_b. Cost is Σ_shingle df² — bounded by ``max_df``
+    (drop shingles more frequent than the cap; a pair of near-dups still
+    shares many rarer shingles)."""
+    sh = _materialize(shingles(docs, n=n, id_col=id_col, text_col=text_col), tag)
     if max_df is not None:
         hot = sh.groupBy("shingle").count().where(F.col("count") > max_df).select("shingle")
         sh = sh.join(hot, "shingle", "left_anti")
@@ -112,9 +110,26 @@ def jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("common"))
     )
-    out = (
+    return (
         common.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
         .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """All document pairs with shingle-set Jaccard ≥ threshold:
+    → (id_a, id_b, jaccard) with id_a < id_b. Inverted-index join via
+    `_pair_stats` (one scan, one pair aggregate, `max_df` hot-shingle
+    cut)."""
+    return (
+        _pair_stats(docs, n, id_col, text_col, max_df, "jaccard")
         .withColumn(
             "jaccard",
             F.col("common").cast("double")
@@ -123,7 +138,6 @@ def jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return out
 
 
 # ---------------------------------------------------------------------------
@@ -470,25 +484,12 @@ def containment_pairs(
     id_a < id_b, containment = max of the two directions.
 
     Same inverted-index join + `max_df` hot-shingle cut as jaccard_pairs
-    (one scan, one pair aggregate); only the threshold predicate differs.
+    (shared `_pair_stats`, one scan, one pair aggregate); only the
+    threshold predicate differs.
     """
-    sh = _materialize(shingles(docs, n=n, id_col=id_col, text_col=text_col), "containment")
-    if max_df is not None:
-        hot = sh.groupBy("shingle").count().where(F.col("count") > max_df).select("shingle")
-        sh = sh.join(hot, "shingle", "left_anti")
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("common"))
-    )
     c = F.col("common").cast("double")
     return (
-        common.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        _pair_stats(docs, n, id_col, text_col, max_df, "containment")
         .withColumn("containment", F.greatest(c / F.col("sz_a"), c / F.col("sz_b")))
         .where(F.col("containment") >= threshold)
         .select(

@@ -157,32 +157,54 @@ def _coreness_loop(graph, max_k, truncate_every):
     live = t_live.truncate(_symmetric(graph.edges))
     verts = t_verts.truncate(live.select(F.col("src").alias("vid")).distinct())
     done = spark.createDataFrame([], "vid long, coreness long")
+    # an edgeless graph has no endpoint vertices: nothing ever peels, and
+    # without this exit the unbounded (max_k=None) ladder would spin forever
+    if verts.limit(1).count() == 0:
+        return done
 
     k = 1
+    layer = 0  # global layer counter: stride boundaries span phases
+    dirty = False
     while max_k is None or k <= max_k:
-        # peel the live subgraph to its k-core (fixpoint)
+        # peel the live subgraph to its k-core (fixpoint); mid-stride
+        # layers cut lineage with a lazy localCheckpoint (materialized by
+        # the next layer's probe), boundaries pay the reliable parquet
+        # round-trip — the same stride discipline as the single-k peel
         while True:
             deg = live.groupBy("src").agg(F.count("*").alias("deg"))
             surv = deg.where(F.col("deg") >= k).select(F.col("src").alias("vid"))
             removed = verts.join(surv, "vid", "left_anti")
             if removed.limit(1).count() == 0:
                 break
-            done = t_done.truncate(
-                done.unionByName(
-                    removed.select("vid", F.lit(k - 1).cast("long").alias("coreness"))
-                )
+            done = done.unionByName(
+                removed.select("vid", F.lit(k - 1).cast("long").alias("coreness"))
             )
-            verts = t_verts.truncate(surv)
-            live = t_live.truncate(
+            verts = surv
+            live = (
                 live.join(verts.select(F.col("vid").alias("src")), "src", "semi")
                 .join(verts.select(F.col("vid").alias("dst")), "dst", "semi")
                 .select("src", "dst")
             )
-            scope.release_new()
+            layer += 1
+            if layer % truncate_every == 0:
+                done = t_done.truncate(done)
+                verts = t_verts.truncate(verts)
+                live = t_live.truncate(live)
+                scope.release_new()
+                dirty = False
+            else:
+                done = done.localCheckpoint(eager=False)
+                verts = verts.localCheckpoint(eager=False)
+                live = live.localCheckpoint(eager=False)
+                dirty = True
             if verts.limit(1).count() == 0:
+                done = t_done.truncate(done)
+                scope.release_new()
                 return done
         k += 1
     # bounded budget exhausted: survivors have coreness >= max_k
+    if dirty:
+        verts = t_verts.truncate(verts)
     done = t_done.truncate(
         done.unionByName(
             verts.select("vid", F.lit(max_k).cast("long").alias("coreness"))

@@ -43,6 +43,9 @@ def adamic_adar(
         max_center_degree=max_center_degree,
         include_existing=include_existing,
         min_common=min_common,
+        assume_symmetric=True,  # symmetrized_edges() is already both-
+        # directions, self-loop-free and distinct — re-symmetrizing would
+        # add a wasted corpus-scale shuffle (union + distinct) per call
     )
 
 
@@ -51,18 +54,23 @@ def adamic_adar_edges(
     max_center_degree: int | None = None,
     include_existing: bool = False,
     min_common: int = 1,
+    assume_symmetric: bool = False,
 ) -> DataFrame:
     """Same as `adamic_adar` over a plain directed (src, dst) edge frame
-    (symmetrized + dedup'd here) — lets callers that already hold an edge
-    table skip the Graph build. The undirected view is materialized once
-    and reused by the degree count, both wedge legs, and the anti-join
-    (four scans of one parquet round-trip, not four plan re-derivations)."""
-    sym = (
-        edges.select("src", "dst")
-        .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    (symmetrized + dedup'd here unless `assume_symmetric`) — lets callers
+    that already hold an edge table skip the Graph build. The undirected
+    view is materialized once and reused by the degree count, both wedge
+    legs, and the anti-join (four scans of one parquet round-trip, not
+    four plan re-derivations)."""
+    sym = edges.select("src", "dst")
+    if not assume_symmetric:
+        sym = (
+            sym.unionAll(
+                edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
     und = EphemeralTruncator(edges.sparkSession, "aa_und").truncate(sym)
     deg = und.groupBy("src").agg(F.count("*").alias("d"))
     if max_center_degree is not None:

@@ -43,7 +43,10 @@ def sample_rows(
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     cols = [F.col(c) for c in (key_cols or df.columns)]
-    return df.where(_bucket(cols) < int(fraction * RESOLUTION))
+    # round, not int(): 0.3 * 1e6 is 299999.99999999994 in binary floating
+    # point, and truncation would shift the threshold (and disagree with
+    # any engine computing fraction * 10^6 exactly — the whole contract)
+    return df.where(_bucket(cols) < round(fraction * RESOLUTION))
 
 
 def sample_edges(edges: DataFrame, fraction: float) -> DataFrame:

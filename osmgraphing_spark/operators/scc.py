@@ -167,9 +167,15 @@ def _scc_loop(edges, vertices, spark, max_outer, max_inner, scope, p_state):
         for _t in range(max_inner):
             outd = active_e.groupBy("src").agg(F.count("*").alias("od"))
             ind = active_e.groupBy("dst").agg(F.count("*").alias("idg"))
+            # one lazy cut on `both`: the stats aggregate below materializes
+            # it, and the three derived frames (done/active_v/active_e) then
+            # read the cached blocks instead of re-running the degree joins
+            # up to four times per layer
             both = active_v.join(
                 outd.withColumnRenamed("src", "vid"), "vid", "left"
-            ).join(ind.withColumnRenamed("dst", "vid"), "vid", "left")
+            ).join(ind.withColumnRenamed("dst", "vid"), "vid", "left").localCheckpoint(
+                eager=False
+            )
             is_trim = F.col("od").isNull() | F.col("idg").isNull()
             stats = both.agg(
                 F.count("*").alias("n"),
@@ -272,13 +278,18 @@ def _scc_loop(edges, vertices, spark, max_outer, max_inner, scope, p_state):
                 .distinct()
             )
             new_frontier = preds.join(marked.select("vid"), "vid", "left_anti")
-            new_marked = marked.unionByName(new_frontier)
             boundary = (_i + 1) % _STRIDE == 0
+            # cut the frontier FIRST, then build new_marked on top of the
+            # cut frame — otherwise the boundary's t_m write re-runs the
+            # whole join/distinct/anti-join frontier expansion a second time
             if boundary:
                 new_frontier = t_f.truncate(slim(new_frontier), reap=False)
-                new_marked = t_m.truncate(slim(new_marked), reap=False)
             else:
                 new_frontier = new_frontier.localCheckpoint(eager=False)
+            new_marked = marked.unionByName(new_frontier)
+            if boundary:
+                new_marked = t_m.truncate(slim(new_marked), reap=False)
+            else:
                 new_marked = new_marked.localCheckpoint(eager=False)
             empty = new_frontier.limit(1).count() == 0
             t_f.reap()
