@@ -225,6 +225,44 @@ def q_link_degree_hist(spark, sf_dir):
     )
 
 
+def q_part_type_revenue(spark, sf_dir):
+    """Star join fact⨝dim with an explicitly broadcast dimension (J1/J2
+    family at relational scale: at 100 TB the lineitem fact NEVER
+    shuffles for a dimension attach — `broadcast(part)` pins the
+    build side)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_discount")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_type")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+def q_supplier_region_stats(spark, sf_dir):
+    """Dimension-chain join supplier⨝nation⨝region (both dims broadcast):
+    per-region supplier counts and account-balance stats."""
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey", "s_acctbal")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 4).alias("total_acctbal"),
+            F.round(F.min("s_acctbal"), 4).alias("min_acctbal"),
+            F.round(F.max("s_acctbal"), 4).alias("max_acctbal"),
+        )
+    )
+
+
 def q_pagerank5(spark, sf_dir):
     """G7: 5 fixed PageRank supersteps through the full engine pipeline
     (build_graph → run), mapped back to original node ids."""
@@ -792,6 +830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_adamic_adar": q_link_adamic_adar,
         "link_degree_hist": q_link_degree_hist,
         "link_edge_sample": q_link_edge_sample,
+        "part_type_revenue": q_part_type_revenue,
+        "supplier_region_stats": q_supplier_region_stats,
         "pagerank5": q_pagerank5,
         "cc_nations": q_cc_nations,
         "scc_nations": q_scc_nations,
@@ -1371,6 +1411,22 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(out_deg, 0) AS out_deg,
                    COALESCE(in_deg, 0) AS in_deg
             FROM o FULL OUTER JOIN i ON o.vid = i.vid
+        """,
+        "part_type_revenue": """
+            SELECT p_type, COUNT(*) AS n_items,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_type
+        """,
+        "supplier_region_stats": """
+            SELECT r_name, COUNT(*) AS n_suppliers,
+                   ROUND(SUM(s_acctbal), 4) AS total_acctbal,
+                   ROUND(MIN(s_acctbal), 4) AS min_acctbal,
+                   ROUND(MAX(s_acctbal), 4) AS max_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         "link_edge_sample": f"""
             WITH e AS ({SQL_BIPARTITE_EDGES})

@@ -112,6 +112,8 @@ OPERATOR_QUERIES = [
     "link_adamic_adar",
     "link_degree_hist",
     "link_edge_sample",
+    "part_type_revenue",
+    "supplier_region_stats",
     "scc_nations",
 ]
 

@@ -260,3 +260,15 @@ def test_verified_lsh_pairs_corpus_scanned_once(spark):
     plan = _plan(pairs)
     assert "documents.parquet" not in plan
     assert plan.count("FileScan") >= 2  # reads ARE file-backed intermediates
+
+
+def test_star_join_broadcasts_dimension(spark):
+    """Relational star joins must broadcast the dimension: no shuffle of
+    the fact table for a dimension attach."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q_part_type_revenue(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the fact side shuffles ONLY for the final groupBy aggregate
+    assert plan.count("Exchange hashpartitioning") <= 1
