@@ -138,3 +138,20 @@ def test_scc_planted_cycles_star(spark):
     for leaf in groups[1:]:
         edges.append((groups[0][0], leaf[0]))
     _check(spark, edges)
+
+
+def test_scc_graph_entry_point(spark):
+    """scc.run over a built Graph (the engine path, not run_edges): labels
+    in vid space must match Tarjan on the graph's own edge list."""
+    from tests.helpers import graph_from_pairs
+
+    pairs = [
+        ("a", "b"), ("b", "c"), ("c", "a"),      # cycle
+        ("c", "d"), ("d", "e"),                   # tail
+        ("e", "f"), ("f", "e"),                   # 2-cycle
+    ]
+    g = graph_from_pairs(spark, pairs)
+    edges = [(r["src"], r["dst"]) for r in g.edges.select("src", "dst").collect()]
+    got = {r["vid"]: r["scc"] for r in scc.run(g).collect()}
+    want = _tarjan(sorted({v for e in edges for v in e}), edges)
+    assert got == want
