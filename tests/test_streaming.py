@@ -265,8 +265,8 @@ def test_dedup_stream_drops_within_watermark(spark, tmp_path):
         (1, "2024-01-01 10:00:00", "same text content"),
         (2, "2024-01-01 10:05:00", "same text content"),   # dup of 1
         (3, "2024-01-01 10:10:00", "different content"),
-        (4, "2024-01-01 11:30:00", "same text content"),   # dup of 1, in horizon? 90m > 1h: new survivor allowed
         (5, "2024-01-01 10:20:00", "different content"),   # dup of 3
+        (7, "2024-01-01 10:25:00", "a third distinct text"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, ts string, text string")
     df.write.mode("overwrite").parquet(in_dir)
@@ -284,13 +284,13 @@ def test_dedup_stream_drops_within_watermark(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    got = spark.read.parquet(out_dir)
-    kept_ids = sorted(r["doc_id"] for r in got.collect())
-    # one survivor per digest within the horizon; in one micro-batch the
-    # first event-time arrival wins deterministically for 1 vs 2; 4 may or
-    # may not start a fresh survivor depending on state eviction — accept
-    # either contract-consistent outcome
-    assert 1 in kept_ids and 3 in kept_ids
-    assert 2 not in kept_ids and 5 not in kept_ids
-    digests = [r["digest"] for r in got.collect()]
-    assert len(digests) == len(kept_ids)
+    kept_ids = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
+    # the contract: exactly ONE survivor per digest group within the
+    # horizon. WHICH row of a group survives is arbitrary within a
+    # micro-batch (dropDuplicatesWithinWatermark keeps the first row
+    # encountered, which depends on partition order) — assert group
+    # cardinality, not identity.
+    assert len(kept_ids) == 3
+    assert len({k for k in kept_ids if k in (1, 2)}) == 1
+    assert len({k for k in kept_ids if k in (3, 5)}) == 1
+    assert 7 in kept_ids
