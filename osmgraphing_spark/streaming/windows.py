@@ -187,20 +187,23 @@ def dedup_stream(
     ts_col: str = "ts",
     text_col: str = "text",
 ) -> DataFrame:
-    """Streaming exact dedup: keep the FIRST arrival of each content digest
+    """Streaming exact dedup: keep ONE arrival of each content digest
     within the watermark horizon (`dropDuplicatesWithinWatermark`, the
     Spark-native bounded-state dedup). The digest — not the content —
     is the dedup key, so state per document is 16 B + timestamp however
     large the document; state for a digest is dropped once the watermark
     passes its arrival + horizon.
 
-    Contract (matches the batch `drop_exact_duplicates` up to arrival
-    order): duplicates within one watermark horizon of the survivor are
-    dropped exactly; a re-arrival AFTER the horizon starts a fresh
-    survivor — the price of bounded state, and the standard contract for
-    streaming dedup at 100 TB/day (unbounded-horizon dedup would accrete
-    one state row per distinct document forever; run the batch
-    `drop_exact_duplicates` over the sink for a global sweep)."""
+    Contract (matches the batch `drop_exact_duplicates` up to survivor
+    identity): exactly one survivor per digest group within a horizon —
+    WHICH row survives is the first encountered, which across partitions
+    of one micro-batch is arbitrary (same as the batch min-id choice
+    being a convention, not a semantic). A re-arrival AFTER the horizon
+    starts a fresh survivor — the price of bounded state, and the
+    standard contract for streaming dedup at 100 TB/day
+    (unbounded-horizon dedup would accrete one state row per distinct
+    document forever; run the batch `drop_exact_duplicates` over the
+    sink for a global sweep)."""
     docs = docs.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withColumn(
         "digest", F.md5(F.col(text_col))
     )
