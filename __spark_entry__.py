@@ -168,6 +168,21 @@ def q_scc_nations(spark, sf_dir):
     return res.select(F.col("id").alias("node_id"), "scc")
 
 
+def q_link_walks(spark, sf_dir):
+    """Deterministic random walks (operators/walks): 2 walks of length 3
+    from every nation-digraph vertex; next-hop choice is the portable md5
+    hash of (walker, step) mod out-degree, so the walk CORPUS itself is
+    value-checked against the SQL oracle — the DeepWalk-style embedding
+    pretraining input, reproducible across engines."""
+    from osmgraphing_spark.operators import walks as walks_op
+
+    return walks_op.random_walks(
+        _nation_ring_edges(spark, sf_dir), length=3, walks_per_vertex=2
+    ).select(
+        "walker", "step", F.col("node").cast("long").alias("node")
+    )
+
+
 AA_CENTER_CAP = 50  # hub-center cut: the wedge self-join costs deg² per center
 
 
@@ -835,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank5": q_pagerank5,
         "cc_nations": q_cc_nations,
         "scc_nations": q_scc_nations,
+        "link_walks": q_link_walks,
         "lpa_nations": q_lpa_nations,
         "triangles_nations": q_triangles_nations,
         "pagerank5_weighted": q_pagerank5_weighted,
@@ -972,6 +988,74 @@ _HITS_ITER = """
             ) s ON v.vid = s.vid
         )
     )"""
+
+
+#: nation ring/path/spine digraph shared by the scc_nations and link_walks
+#: oracles (mirrors _nation_ring_edges)
+_NATION_RING_CTES = """
+    ring AS (
+        SELECT n_nationkey AS src, n_regionkey AS rk,
+               LEAD(n_nationkey) OVER (
+                   PARTITION BY n_regionkey ORDER BY n_nationkey
+               ) AS nxt,
+               FIRST_VALUE(n_nationkey) OVER (
+                   PARTITION BY n_regionkey ORDER BY n_nationkey
+               ) AS frst
+        FROM nation
+    ),
+    e1 AS (
+        SELECT src, COALESCE(nxt, CASE WHEN rk % 2 = 0 THEN frst END) AS dst
+        FROM ring
+    ),
+    mins AS (
+        SELECT n_regionkey AS rk, MIN(n_nationkey) AS mn
+        FROM nation GROUP BY n_regionkey
+    ),
+    crosse AS (
+        SELECT mn AS src, LEAD(mn) OVER (ORDER BY rk) AS dst FROM mins
+    ),
+    e AS (
+        SELECT src, dst FROM e1 WHERE dst IS NOT NULL AND src <> dst
+        UNION
+        SELECT src, dst FROM crosse WHERE dst IS NOT NULL
+    )
+"""
+
+
+def _walks_sql(length: int = 3, wpv: int = 2) -> str:
+    """Chained-CTE oracle for q_link_walks: step s joins step s-1 against
+    the indexed adjacency with the portable md5 choice."""
+    steps = []
+    for s in range(1, length + 1):
+        choice = (
+            "CAST(concat('0x', substr(md5(concat(CAST(p.walker AS VARCHAR), "
+            f"'|', '{s}')), 1, 14)) AS BIGINT) % adj.od"
+        )
+        steps.append(
+            f"s{s} AS (SELECT p.walker, adj.dst AS node "
+            f"FROM s{s - 1} p JOIN adj ON adj.src = p.node AND adj.idx = {choice})"
+        )
+    selects = ["SELECT walker, 0 AS step, CAST(node AS BIGINT) AS node FROM s0"] + [
+        f"SELECT walker, {s} AS step, CAST(node AS BIGINT) AS node FROM s{s}"
+        for s in range(1, length + 1)
+    ]
+    js = ", ".join(f"(CAST({j} AS BIGINT))" for j in range(wpv))
+    return f"""
+        WITH {_NATION_RING_CTES},
+        adj AS (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+                   COUNT(*) OVER (PARTITION BY src) AS od
+            FROM e
+        ),
+        verts AS (SELECT src AS v FROM e UNION SELECT dst AS v FROM e),
+        s0 AS (
+            SELECT CAST(v AS BIGINT) * {wpv} + j AS walker, v AS node
+            FROM verts CROSS JOIN (VALUES {js}) t(j)
+        ),
+        {', '.join(steps)}
+        {' UNION ALL '.join(selects)}
+    """
 
 
 def _kcore_sql(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
@@ -1500,34 +1584,8 @@ def oracle_sql() -> dict[str, str]:
                    MIN(n_nationkey) OVER (PARTITION BY n_regionkey) AS component
             FROM nation
         """,
-        "scc_nations": """
-            WITH RECURSIVE ring AS (
-                SELECT n_nationkey AS src, n_regionkey AS rk,
-                       LEAD(n_nationkey) OVER (
-                           PARTITION BY n_regionkey ORDER BY n_nationkey
-                       ) AS nxt,
-                       FIRST_VALUE(n_nationkey) OVER (
-                           PARTITION BY n_regionkey ORDER BY n_nationkey
-                       ) AS frst
-                FROM nation
-            ),
-            e1 AS (
-                SELECT src,
-                       COALESCE(nxt, CASE WHEN rk % 2 = 0 THEN frst END) AS dst
-                FROM ring
-            ),
-            mins AS (
-                SELECT n_regionkey AS rk, MIN(n_nationkey) AS mn
-                FROM nation GROUP BY n_regionkey
-            ),
-            crosse AS (
-                SELECT mn AS src, LEAD(mn) OVER (ORDER BY rk) AS dst FROM mins
-            ),
-            e AS (
-                SELECT src, dst FROM e1 WHERE dst IS NOT NULL AND src <> dst
-                UNION
-                SELECT src, dst FROM crosse WHERE dst IS NOT NULL
-            ),
+        "scc_nations": f"""
+            WITH RECURSIVE {_NATION_RING_CTES},
             reach AS (
                 SELECT src AS a, dst AS b FROM e
                 UNION
@@ -1544,6 +1602,7 @@ def oracle_sql() -> dict[str, str]:
             FROM verts LEFT JOIN mutual ON mutual.v = verts.v
             GROUP BY verts.v
         """,
+        "link_walks": _walks_sql(),
         "lpa_nations": _lpa2_sql(),
         "triangles_nations": """
             SELECT COUNT(*) AS n_triangles

@@ -114,6 +114,7 @@ OPERATOR_QUERIES = [
     "link_edge_sample",
     "part_type_revenue",
     "supplier_region_stats",
+    "link_walks",
     "scc_nations",
 ]
 
