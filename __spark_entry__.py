@@ -26,6 +26,7 @@ from osmgraphing_spark.operators import cc as cc_op  # noqa: E402
 from osmgraphing_spark.operators import sssp as sssp_op  # noqa: E402
 from osmgraphing_spark.operators import dedup as dd  # noqa: E402
 from osmgraphing_spark.operators import linkpred  # noqa: E402
+from osmgraphing_spark.operators import repetition as rep  # noqa: E402
 from osmgraphing_spark.operators import lpa as lpa_op  # noqa: E402
 from osmgraphing_spark.operators import pagerank as pr  # noqa: E402
 from osmgraphing_spark.operators import similarity as sim  # noqa: E402
@@ -561,6 +562,51 @@ def q_doc_fingerprint(spark, sf_dir):
     return d.select("doc_id", F.md5(normalized).alias("fp"))
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition filter stats: duplicate-token fraction plus
+    the most frequent bigram and its share of the document's bigrams."""
+    d = _t(spark, sf_dir, "documents")
+    stats = rep.top_ngram_stats(d, n=2)
+    dup = d.select(
+        "doc_id", X.dup_token_fraction(F.col("text")).alias("dup_tok_frac")
+    )
+    return dup.join(stats, "doc_id").select(
+        "doc_id",
+        "dup_tok_frac",
+        "top_ngram",
+        F.col("top_ngram_cnt").cast("long").alias("top_ngram_cnt"),
+        F.col("n_ngrams").cast("long").alias("n_ngrams"),
+        "top_ngram_frac",
+    )
+
+
+def q_doc_pii(spark, sf_dir):
+    """PII detection + redaction. The corpus carries no PII, so the query
+    plants deterministic emails/IPs derived from doc_id (reproduced
+    verbatim by the SQL oracle), then counts and masks them — verifying
+    the scrubbing pass end to end, including the redacted bytes (md5)."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    email = F.concat(
+        F.lit("user"), did, F.lit("@ex"),
+        (F.col("doc_id") % 7).cast("string"), F.lit(".com "),
+    )
+    ip = F.concat(
+        F.lit("10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
+    )
+    aug = F.concat(
+        F.col("text"), F.lit(" "),
+        F.repeat(email, (F.col("doc_id") % 3 + 1).cast("int")), ip,
+    )
+    return d.select(
+        "doc_id",
+        X.count_emails(aug).alias("n_emails"),
+        X.count_ipv4(aug).alias("n_ipv4"),
+        F.md5(X.redact_pii(aug)).alias("redacted_fp"),
+    )
+
+
 def q_doc_exact_dups(spark, sf_dir):
     return dd.exact_duplicates(_t(spark, sf_dir, "documents"))
 
@@ -872,6 +918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_repetition": q_doc_repetition,
+        "doc_pii": q_doc_pii,
         "doc_exact_dups": q_doc_exact_dups,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "doc_minhash": q_doc_minhash,
@@ -1708,6 +1756,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+'), ' ')) AS fp
             FROM documents
+        """,
+        "doc_repetition": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                FROM documents
+            ), idx AS (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, len(t) - 1)) AS i
+                FROM toks WHERE len(t) >= 2
+            ), bi AS (
+                SELECT doc_id, t[i] || ' ' || t[i + 1] AS g FROM idx
+            ), cnt AS (
+                SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY doc_id, g
+            ), top AS (
+                SELECT doc_id, g, c,
+                       SUM(c) OVER (PARTITION BY doc_id) AS total,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY doc_id ORDER BY c DESC, g ASC
+                       ) AS rn
+                FROM cnt
+            ), dup AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) <= 0 THEN 0.0
+                            ELSE ROUND(1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
+                                             / len(t), 6) END AS dup_tok_frac
+                FROM toks
+            )
+            SELECT d.doc_id, d.dup_tok_frac,
+                   top.g AS top_ngram,
+                   CAST(top.c AS BIGINT) AS top_ngram_cnt,
+                   CAST(top.total AS BIGINT) AS n_ngrams,
+                   ROUND(CAST(top.c AS DOUBLE) / top.total, 6) AS top_ngram_frac
+            FROM dup d JOIN top ON d.doc_id = top.doc_id AND top.rn = 1
+        """,
+        "doc_pii": """
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' ' ||
+                       repeat('user' || CAST(doc_id AS VARCHAR) || '@ex'
+                              || CAST(doc_id % 7 AS VARCHAR) || '.com ',
+                              CAST(doc_id % 3 + 1 AS INT)) ||
+                       '10.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.0.' || CAST(doc_id % 100 AS VARCHAR) AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+                       AS n_emails,
+                   CAST(len(regexp_extract_all(t,
+                        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT)
+                       AS n_ipv4,
+                   md5(regexp_replace(regexp_replace(t,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'))
+                       AS redacted_fp
+            FROM aug
         """,
         "doc_exact_dups": """
             SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -115,6 +115,8 @@ OPERATOR_QUERIES = [
     "part_type_revenue",
     "supplier_region_stats",
     "link_walks",
+    "doc_repetition",
+    "doc_pii",
     "scc_nations",
 ]
 

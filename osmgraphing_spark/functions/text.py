@@ -100,3 +100,49 @@ def doc_fingerprint(text: Column) -> Column:
     of the normalized token stream — the rolling-hash fingerprint role."""
     normalized = F.array_join(F.split(F.lower(F.trim(text)), r"\s+"), " ")
     return F.xxhash64(normalized)
+
+
+def dup_token_fraction(text: Column) -> Column:
+    """Gopher-style repetition signal: fraction of whitespace tokens that
+    are repeats of an earlier token (1 − distinct/total; empty text → 0).
+    Pure column expression — fused into the scan, no shuffle."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    n = F.size(toks)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(toks)).cast("double") / n.cast("double"),
+            6,
+        )
+    )
+
+
+# PII patterns restricted to syntax RE2 (DuckDB) and java.util.regex (Spark)
+# interpret identically — no lookaround, no backrefs — so the driver's SQL
+# oracle reproduces detection and redaction byte-for-byte.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_PATTERN = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def count_pattern(text: Column, pattern: str) -> Column:
+    """Number of non-overlapping matches of ``pattern`` (whole match)."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(pattern), F.lit(0))
+    ).cast("long")
+
+
+def count_emails(text: Column) -> Column:
+    return count_pattern(text, EMAIL_PATTERN)
+
+
+def count_ipv4(text: Column) -> Column:
+    return count_pattern(text, IPV4_PATTERN)
+
+
+def redact_pii(text: Column) -> Column:
+    """Mask emails then IPv4 addresses with typed placeholder tokens —
+    the scrubbing pass a training-data pipeline runs before tokenization.
+    Email masking runs first so an address's host part can never be
+    half-eaten by the IP pass."""
+    no_mail = F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(no_mail, IPV4_PATTERN, "<IP>")
