@@ -607,6 +607,33 @@ def q_doc_pii(spark, sf_dir):
     )
 
 
+def q_media_image_stats(spark, sf_dir):
+    """Multimodal image path, value-checked end to end: deterministic PPM
+    payloads keyed on doc_id are ENCODED executor-side (mapInPandas), then
+    decoded through the REAL lib-free P6 parser and reduced to per-channel
+    means. The gradient pattern makes every output a closed-form integer
+    average the SQL oracle reproduces — so the binary round-trip (header
+    parse, raster reshape, channel split) is hash-verified, not just
+    row-counted. Two chained mapInPandas stages, zero shuffle."""
+    from osmgraphing_spark.functions import multimodal as mm
+
+    d = _t(spark, sf_dir, "documents")
+    media = mm.synth_images_from_ids(d, id_col="doc_id")
+    return mm.image_stats(media, id_col="doc_id")
+
+
+def q_media_audio_stats(spark, sf_dir):
+    """Multimodal audio path: integer-sawtooth PCM16 WAVs encoded
+    executor-side, decoded via the REAL stdlib ``wave`` parser, reduced to
+    RMS / zero-crossing rate / duration. Pure integer signal ⇒ the oracle
+    reproduces the DSP with no float-transcendental dialect risk."""
+    from osmgraphing_spark.functions import multimodal as mm
+
+    d = _t(spark, sf_dir, "documents")
+    media = mm.synth_audio_from_ids(d, id_col="doc_id")
+    return mm.audio_stats(media, id_col="doc_id")
+
+
 def q_doc_exact_dups(spark, sf_dir):
     return dd.exact_duplicates(_t(spark, sf_dir, "documents"))
 
@@ -920,6 +947,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "doc_repetition": q_doc_repetition,
         "doc_pii": q_doc_pii,
+        "media_image_stats": q_media_image_stats,
+        "media_audio_stats": q_media_audio_stats,
         "doc_exact_dups": q_doc_exact_dups,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "doc_minhash": q_doc_minhash,
@@ -1814,6 +1843,56 @@ def oracle_sql() -> dict[str, str]:
                         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'))
                        AS redacted_fp
             FROM aug
+        """,
+        "media_image_stats": """
+            WITH dims AS (
+                SELECT doc_id,
+                       CAST(8 + (doc_id % 5) * 4 AS INT) AS w,
+                       CAST(8 + (doc_id % 3) * 4 AS INT) AS h,
+                       doc_id % 7 + 1 AS kr,
+                       doc_id % 11 + 2 AS kg
+                FROM documents
+            ), mr AS (
+                SELECT doc_id, ROUND(AVG((x * kr) % 256), 6) AS mean_r
+                FROM (SELECT doc_id, kr,
+                             unnest(generate_series(0, w - 1)) AS x FROM dims)
+                GROUP BY doc_id
+            ), mg AS (
+                SELECT doc_id, ROUND(AVG((y * kg) % 256), 6) AS mean_g
+                FROM (SELECT doc_id, kg,
+                             unnest(generate_series(0, h - 1)) AS y FROM dims)
+                GROUP BY doc_id
+            ), mb AS (
+                SELECT doc_id, ROUND(AVG((doc_id + t) % 256), 6) AS mean_b
+                FROM (SELECT doc_id,
+                             unnest(generate_series(0, w * h - 1)) AS t FROM dims)
+                GROUP BY doc_id
+            )
+            SELECT d.doc_id, d.w AS width, d.h AS height,
+                   CAST(d.w * d.h AS BIGINT) AS n_px,
+                   mr.mean_r, mg.mean_g, mb.mean_b
+            FROM dims d
+            JOIN mr USING (doc_id) JOIN mg USING (doc_id) JOIN mb USING (doc_id)
+        """,
+        "media_audio_stats": """
+            WITH samp AS (
+                SELECT doc_id, t,
+                       ((doc_id * 7 + t * 13) % 4096) - 2048 AS pcm
+                FROM (SELECT doc_id,
+                             unnest(generate_series(0, 3999)) AS t
+                      FROM documents)
+            ), lagd AS (
+                SELECT doc_id, pcm,
+                       LAG(pcm) OVER (PARTITION BY doc_id ORDER BY t) AS prev
+                FROM samp
+            )
+            SELECT doc_id,
+                   ROUND(sqrt(AVG((pcm / 32768.0) * (pcm / 32768.0))), 6) AS rms,
+                   ROUND(AVG(CASE WHEN (pcm < 0) <> (prev < 0)
+                                  THEN 1.0 ELSE 0.0 END)
+                         FILTER (WHERE prev IS NOT NULL), 6) AS zcr,
+                   COUNT(*) / 16000.0 AS duration_s
+            FROM lagd GROUP BY doc_id
         """,
         "doc_exact_dups": """
             SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

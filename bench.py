@@ -117,6 +117,7 @@ OPERATOR_QUERIES = [
     "link_walks",
     "doc_repetition",
     "doc_pii",
+    "media_image_stats",
     "scc_nations",
 ]
 

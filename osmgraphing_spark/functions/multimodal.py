@@ -238,6 +238,152 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
+def encode_wav_pcm16(pcm: np.ndarray, rate: int) -> bytes:
+    """int16 PCM samples (n,) or (n, ch) → WAV bytes, no float transcoding.
+    Keeps planted test signals exactly integer so a SQL oracle can reproduce
+    the decoded values bit-for-bit (encode_wav's float clip path cannot)."""
+    import io
+    import wave
+
+    x = np.asarray(pcm, dtype="<i2")
+    if x.ndim == 1:
+        x = x[:, None]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(x.shape[1])
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def synth_images_from_ids(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PPM image per id, ENCODED EXECUTOR-SIDE (mapInPandas —
+    the bytes never exist on the driver). Gradient pattern chosen so every
+    channel mean is a closed-form 1-D average a SQL oracle can reproduce:
+    w = 8 + id%5*4, h = 8 + id%3*4,
+    R(x,y) = (x*(id%7+1)) % 256          (constant down columns),
+    G(x,y) = (y*(id%11+2)) % 256         (constant across rows),
+    B(x,y) = (id + y*w + x) % 256        (linear in the raster index).
+    → (id_col, kind='image', data, meta) rows in MEDIA_SCHEMA shape."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, datas, metas = [], [], []
+            for i in pdf[id_col].astype("int64"):
+                i = int(i)
+                w, h = 8 + (i % 5) * 4, 8 + (i % 3) * 4
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [
+                        (xx * (i % 7 + 1)) % 256,
+                        (yy * (i % 11 + 2)) % 256,
+                        (i + yy * w + xx) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                ids.append(i)
+                datas.append(encode_ppm(img))
+                metas.append(
+                    {"width": w, "height": h, "channels": 3, "sample_rate": None,
+                     "n_frames": None, "format": "ppm"}
+                )
+            yield pd.DataFrame(
+                {id_col: ids, "kind": "image", "data": datas, "meta": metas}
+            )
+
+    schema = StructType(
+        [StructField(id_col, LongType()), MEDIA_SCHEMA["kind"],
+         MEDIA_SCHEMA["data"], MEDIA_SCHEMA["meta"]]
+    )
+    return ids_df.select(id_col).mapInPandas(run, schema=schema)
+
+
+def synth_audio_from_ids(
+    ids_df: DataFrame, id_col: str = "doc_id", n_samples: int = 4000,
+    rate: int = 16000,
+) -> DataFrame:
+    """Deterministic WAV clip per id, encoded executor-side: integer
+    sawtooth pcm(t) = ((id*7 + t*13) % 4096) - 2048 — pure integer
+    arithmetic end to end, so decode → RMS/ZCR is SQL-reproducible with no
+    float-transcendental dialect risk. → (id_col, kind='audio', data)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = np.arange(n_samples, dtype=np.int64)
+        for pdf in batches:
+            ids, datas = [], []
+            for i in pdf[id_col].astype("int64"):
+                i = int(i)
+                pcm = ((i * 7 + t * 13) % 4096 - 2048).astype("<i2")
+                ids.append(i)
+                datas.append(encode_wav_pcm16(pcm, rate))
+            yield pd.DataFrame({id_col: ids, "kind": "audio", "data": datas})
+
+    schema = StructType(
+        [StructField(id_col, LongType()), MEDIA_SCHEMA["kind"], MEDIA_SCHEMA["data"]]
+    )
+    return ids_df.select(id_col).mapInPandas(run, schema=schema)
+
+
+def image_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """REAL decode → per-image header dims + per-channel means.
+    → (id_col, width, height, n_px, mean_r, mean_g, mean_b). Width/height
+    come from the decoded raster shape (proving the header parse ran), not
+    from metadata. Same Arrow-batched mapInPandas shape as image_features."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   (id_col, "width", "height", "n_px", "mean_r", "mean_g", "mean_b")}
+            for row in pdf.itertuples(index=False):
+                img = _decode_ppm(bytes(row.data))
+                h, w = img.shape[:2]
+                means = img.astype(np.float64).mean(axis=(0, 1))
+                out[id_col].append(getattr(row, id_col))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_px"].append(w * h)
+                out["mean_r"].append(round(float(means[0]), 6))
+                out["mean_g"].append(round(float(means[1]), 6))
+                out["mean_b"].append(round(float(means[2]), 6))
+            yield pd.DataFrame(out)
+
+    return media.select(id_col, "data").mapInPandas(
+        run,
+        schema=(f"{id_col} long, width int, height int, n_px long, "
+                "mean_r double, mean_g double, mean_b double"),
+    )
+
+
+def audio_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """REAL WAV decode → (id_col, rms, zcr, duration_s), rounded to the
+    1e-6 grid. Same DSP as audio_features (RMS energy, zero-crossing rate)
+    but keyed on an arbitrary id column for oracle-checked pipelines."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rms, zcr, dur = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                x, rate = _decode_audio_impl(bytes(row.data))
+                # float64 DSP: the decoded float32 samples are exact dyadics
+                # (pcm/2^15), so widening makes mean/rms accumulation exact
+                # and bit-reproducible by the SQL oracle
+                mono = x.astype(np.float64).mean(axis=1)
+                ids.append(getattr(row, id_col))
+                rms.append(round(float(np.sqrt(np.mean(mono**2))), 6)
+                           if len(mono) else 0.0)
+                zcr.append(round(float(np.mean(np.abs(np.diff(np.signbit(mono))))), 6)
+                           if len(mono) > 1 else 0.0)
+                dur.append(len(mono) / float(rate))
+            yield pd.DataFrame(
+                {id_col: ids, "rms": rms, "zcr": zcr, "duration_s": dur}
+            )
+
+    return media.select(id_col, "data").mapInPandas(
+        run, schema=f"{id_col} long, rms double, zcr double, duration_s double"
+    )
+
+
 def synth_media(spark, n: int = 32) -> DataFrame:
     """Deterministic media table for tests: images are REAL PPMs (gradient
     pattern keyed on media_id), audio clips are REAL PCM16 WAVs (sine at a

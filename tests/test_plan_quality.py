@@ -272,3 +272,20 @@ def test_star_join_broadcasts_dimension(spark):
     assert "SortMergeJoin" not in plan
     # the fact side shuffles ONLY for the final groupBy aggregate
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_media_metadata_filter_prunes_binary_column(spark, tmp_path):
+    """A metadata-only filter/projection over a media table must not read
+    the binary blob: ReadSchema on the parquet scan carries meta but not
+    data — at 100 TB the blob IS the table, so this pruning is the
+    difference between a metadata query and a full-corpus scan."""
+    from osmgraphing_spark.functions import multimodal as mm
+
+    path = str(tmp_path / "media.parquet")
+    mm.synth_media(spark, 12).write.parquet(path)
+    media = spark.read.parquet(path)
+    q = media.where(F.col("meta.width") >= 16).select("media_id", "meta")
+    plan = _plan(q)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "meta" in read_schema and "width" in read_schema
+    assert "data" not in read_schema
