@@ -680,6 +680,59 @@ def q_doc_dup_clusters(spark, sf_dir):
     )
 
 
+BENCH_MOD = 50  # doc_id % 50 == 0 → the deterministic "benchmark" split
+
+
+def q_doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/decontaminate): docs sharing
+    ≥1 word-3-gram with the benchmark split (doc_id % 50 == 0), with hit
+    counts and overlap fraction. The benchmark shingle set is BROADCAST —
+    the corpus never shuffles for the membership test, the 100 TB-correct
+    plan for a tiny-eval-set × huge-corpus join."""
+    from osmgraphing_spark.operators import decontaminate as decon
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % BENCH_MOD == 0)
+    corpus = docs.where(F.col("doc_id") % BENCH_MOD != 0)
+    return decon.contamination_stats(corpus, bench, n=3).select(
+        F.col("id").alias("doc_id"), "sz", "n_hits", "overlap_frac"
+    )
+
+
+def q_doc_unigram_nll(spark, sf_dir):
+    """CCNet-style unigram LM quality score (operators/termstats): mean
+    −ln p(token) per doc under the corpus's own unigram distribution;
+    vocabulary broadcast (Zipf ≪ corpus), scalar total via 1-row
+    broadcast cross join — no collect in the plan."""
+    from osmgraphing_spark.operators import termstats
+
+    return termstats.unigram_logprob(_t(spark, sf_dir, "documents")).select(
+        F.col("id").alias("doc_id"), "n_tokens", "avg_nll"
+    )
+
+
+def q_doc_tfidf_terms(spark, sf_dir):
+    """Per-doc top-3 keywords by tf·idf (operators/termstats), ties broken
+    by term — deterministic keyword extraction with the df table broadcast."""
+    from osmgraphing_spark.operators import termstats
+
+    return termstats.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3).select(
+        F.col("id").alias("doc_id"), "term", "tf", "tfidf", F.col("rank").alias("rnk")
+    )
+
+
+def q_doc_stratified_sample(spark, sf_dir):
+    """Deterministic per-language quota sample (operators/sampling
+    .stratified_sample): exactly min(20, |stratum|) docs per lang, the k
+    smallest portable-md5 hashes of doc_id within each stratum — the
+    training-mixture balancing primitive, value-checked because membership
+    is a pure hash function (df.sampleBy is not reproducible)."""
+    from osmgraphing_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.stratified_sample(docs, ["lang"], 20, key_cols=["doc_id"])
+
+
 SIMHASH_MAX_HAMMING = 3  # 4 chunks × 16 bits: the scale-sane blocking width
 
 
@@ -788,6 +841,19 @@ def q_sssp_nations(spark, sf_dir):
         F.col("source").cast("int").alias("source"),
         F.col("vid").cast("int").alias("n_nationkey"),
         F.round("dist", 6).alias("dist"),
+    )
+
+
+def q_harmonic_nations(spark, sf_dir):
+    """Inbound harmonic centrality (operators/sssp.harmonic_centrality):
+    Σ 1/d(s,v) over weighted shortest paths on the nation digraph, every
+    vertex a source (exact mode; at scale: landmark sample). One
+    multi-source BSP run + one aggregate."""
+    g = build_graph(_nation_weighted_raw_edges(spark, sf_dir), num_blocks=4)
+    res = sssp_op.harmonic_centrality(g, weighted=True)
+    out = _vid_to_nationkey(g, res, ["vid"])
+    return out.select(
+        F.col("vid").cast("int").alias("n_nationkey"), "harmonic"
     )
 
 
@@ -963,6 +1029,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_nations": q_sssp_nations,
         "multi_metric_edges": q_multi_metric_edges,
         "normalize_metrics": q_normalize_metrics,
+        "harmonic_nations": q_harmonic_nations,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_unigram_nll": q_doc_unigram_nll,
+        "doc_tfidf_terms": q_doc_tfidf_terms,
+        "doc_stratified_sample": q_doc_stratified_sample,
     }
 
 
@@ -2094,5 +2165,100 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(cnt / AVG(cnt) OVER (), 6) AS cnt_n,
                    ROUND(qty / AVG(qty) OVER (), 6) AS qty_n
             FROM m
+        """,
+        "harmonic_nations": """
+            WITH RECURSIVE e AS (
+                SELECT a.n_nationkey AS src, b.n_nationkey AS dst,
+                       1.0 + ((a.n_nationkey * 7 + b.n_nationkey) % 5) AS w
+                FROM nation a JOIN nation b
+                  ON a.n_regionkey = b.n_regionkey
+                 AND a.n_nationkey <> b.n_nationkey
+            ),
+            walk(source, vid, dist, hops) AS (
+                SELECT n_nationkey, n_nationkey, CAST(0 AS DOUBLE), 0
+                FROM nation
+                UNION ALL
+                SELECT p.source, e.dst, p.dist + e.w, p.hops + 1
+                FROM walk p JOIN e ON e.src = p.vid
+                WHERE p.hops < 6
+            ),
+            d AS (
+                SELECT source, vid, MIN(dist) AS dist
+                FROM walk GROUP BY source, vid
+            )
+            SELECT CAST(vid AS INTEGER) AS n_nationkey,
+                   ROUND(SUM(1.0 / dist), 6) AS harmonic
+            FROM d WHERE source <> vid GROUP BY vid
+        """,
+        "doc_decontaminate": f"""
+            WITH {_SHINGLES_CTE},
+            bench AS (
+                SELECT DISTINCT shingle FROM sh WHERE id % {BENCH_MOD} = 0
+            ),
+            corpus AS (SELECT id, shingle FROM sh WHERE id % {BENCH_MOD} <> 0)
+            SELECT c.id AS doc_id, COUNT(*) AS sz,
+                   COUNT(b.shingle) AS n_hits,
+                   ROUND(CAST(COUNT(b.shingle) AS DOUBLE) / COUNT(*), 6)
+                       AS overlap_frac
+            FROM corpus c LEFT JOIN bench b ON c.shingle = b.shingle
+            GROUP BY c.id HAVING COUNT(b.shingle) >= 1
+        """,
+        "doc_unigram_nll": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                           AS tok
+                FROM documents
+            ),
+            freq AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+            tot AS (SELECT SUM(cnt) AS total FROM freq)
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   ROUND(AVG(-ln(CAST(cnt AS DOUBLE) / total)), 6) AS avg_nll
+            FROM tok JOIN freq USING (tok), tot
+            GROUP BY doc_id
+        """,
+        "doc_tfidf_terms": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                           AS tok
+                FROM documents
+            ),
+            tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+                   FROM tok GROUP BY doc_id, tok),
+            dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+            nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+            scored AS (
+                SELECT doc_id, tok, tf,
+                       ROUND(tf * ln((1.0 + n_docs) / (1.0 + df)), 6) AS tfidf
+                FROM tf JOIN dfq USING (tok), nd
+            ),
+            ranked AS (
+                SELECT doc_id, tok, tf, tfidf,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC
+                       ) AS rnk
+                FROM scored
+            )
+            SELECT doc_id, tok AS term, tf, tfidf, rnk
+            FROM ranked WHERE rnk <= 3
+        """,
+        "doc_stratified_sample": """
+            WITH b AS (
+                SELECT doc_id, lang,
+                       CAST(concat('0x',
+                            substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))
+                            AS BIGINT) % 1000000 AS bucket,
+                       md5(CAST(doc_id AS VARCHAR)) AS tie
+                FROM documents
+            ),
+            r AS (
+                SELECT doc_id, lang,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang ORDER BY bucket, tie
+                       ) AS rn
+                FROM b
+            )
+            SELECT doc_id, lang FROM r WHERE rn <= 20
         """,
     }

@@ -119,6 +119,11 @@ OPERATOR_QUERIES = [
     "doc_pii",
     "media_image_stats",
     "scc_nations",
+    "doc_decontaminate",
+    "doc_unigram_nll",
+    "doc_tfidf_terms",
+    "doc_stratified_sample",
+    "harmonic_nations",
 ]
 
 

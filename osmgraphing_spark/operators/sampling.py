@@ -52,3 +52,46 @@ def sample_rows(
 def sample_edges(edges: DataFrame, fraction: float) -> DataFrame:
     """Deterministic (src, dst)-keyed edge sample."""
     return sample_rows(edges, fraction, key_cols=["src", "dst"])
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    key_cols: list[str] | None = None,
+    prefilter_fraction: float | None = None,
+) -> DataFrame:
+    """Exactly ``min(k, stratum size)`` rows per stratum, chosen as the k
+    smallest md5-hash values of ``key_cols`` within each stratum — a
+    deterministic quota sample (per-language / per-source caps are how
+    training mixtures are balanced), reproducible across runs, retries,
+    partitionings and engines, unlike ``df.sampleBy``.
+
+    Scale: the exact quota needs a per-stratum rank, i.e. one shuffle by
+    stratum. A huge stratum makes that a hot key; ``prefilter_fraction``
+    bounds it — apply the map-only hash sample first (no shuffle), then
+    rank only the survivors. Because BOTH stages order by the same hash,
+    the composition stays exact: the k smallest hashes of the stratum
+    survive any prefilter that keeps at least the bottom
+    ``prefilter_fraction`` of the hash range (choose it so
+    E[survivors] = fraction·|stratum| ≫ k).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    cols = [F.col(c) for c in (key_cols or df.columns)]
+    ranked = df.withColumn("_bucket", _bucket(cols))
+    if prefilter_fraction is not None:
+        ranked = ranked.where(
+            F.col("_bucket") < round(prefilter_fraction * RESOLUTION)
+        )
+    # _bucket has only RESOLUTION values — break ties on the full md5 so the
+    # selected set is unique even in strata larger than the resolution
+    tie = F.md5(F.concat_ws("|", *[c.cast("string") for c in cols]))
+    w = Window.partitionBy(*strata_cols).orderBy(F.col("_bucket"), tie)
+    return (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_bucket", "_rn")
+    )

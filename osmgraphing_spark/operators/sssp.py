@@ -242,6 +242,34 @@ def shortest_paths(
     return walk.select("src", "dst", "cost", "nodes")
 
 
+def harmonic_centrality(
+    graph: Graph,
+    sources: list[int] | None = None,
+    weighted: bool = False,
+    max_iter: int = 100,
+) -> DataFrame:
+    """→ (vid, harmonic): inbound harmonic centrality
+    Σ_{s ∈ sources, s ≠ v, v reachable from s} 1 / d(s, v) — the standard
+    distance-based importance measure (Boldi & Vigna, "Axioms for
+    Centrality"), built directly on the multi-source BSP relax loop.
+
+    ``sources=None`` computes the EXACT centrality (every vertex is a
+    source) — only sane on small graphs. At scale pass a deterministic
+    landmark sample (e.g. ``sampling.sample_rows`` over the vertex table):
+    the estimator's cost is one BSP run with |landmarks| simultaneous
+    frontiers, linear in the sample size, and the relative ranking
+    converges with a few hundred landmarks on power-law graphs. Vertices
+    reached by no source are absent (their centrality is 0)."""
+    if sources is None:
+        sources = [r["vid"] for r in graph.vertices.select("vid").collect()]
+    d = run(graph, sources, weighted=weighted, max_iter=max_iter)
+    return (
+        d.where(F.col("source") != F.col("vid"))
+        .groupBy("vid")
+        .agg(F.round(F.sum(F.lit(1.0) / F.col("dist")), 6).alias("harmonic"))
+    )
+
+
 def route_costs(graph: Graph, pairs: DataFrame, weighted: bool = True) -> DataFrame:
     """(src, dst) pairs → (src, dst, cost) keeping only pairs with a real
     path — the reference generator's contract (random_or_all.rs:32-158),

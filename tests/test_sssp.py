@@ -198,3 +198,52 @@ def test_shortest_paths_costs_consistent_random(spark):
         cost = sum(edges[(a, b)] for a, b in zip(nodes, nodes[1:]))
         assert cost == pytest.approx(r["cost"])
         assert nodes[0] == vid_node[r["src"]] and nodes[-1] == vid_node[r["dst"]]
+
+
+def test_harmonic_centrality_matches_python_oracle(spark):
+    """harmonic(v) = Σ_{s≠v} 1/d(s,v) over the bait fixture's weighted
+    digraph, exact mode (all sources), vs a python Floyd-Warshall."""
+    g, edges, weights = build_fixture(spark, ("bait",))
+    got = {
+        r["vid"]: r["harmonic"]
+        for r in sssp.harmonic_centrality(g, weighted=True).collect()
+    }
+
+    vids = sorted({v for e in edges for v in e})
+    INF = float("inf")
+    d = {(a, b): (0.0 if a == b else INF) for a in vids for b in vids}
+    for (s, t), w in zip(edges, weights):
+        d[(s, t)] = min(d[(s, t)], w)
+    for k in vids:
+        for i in vids:
+            for j in vids:
+                if d[(i, k)] + d[(k, j)] < d[(i, j)]:
+                    d[(i, j)] = d[(i, k)] + d[(k, j)]
+    expect = {}
+    for v in vids:
+        h = sum(
+            1.0 / d[(s, v)] for s in vids if s != v and d[(s, v)] < INF
+        )
+        if h > 0:
+            expect[v] = round(h, 6)
+    assert got == expect
+
+
+def test_harmonic_landmark_subset_is_partial_sum(spark):
+    """With a source subset, the estimate is exactly the partial sum over
+    those landmarks (deterministic, no sampling noise in the operator)."""
+    g, _, _ = build_fixture(spark, ("bait",))
+    sv = stem_vids(g)
+    full = sssp.run(g, sources=[sv["ll"], sv["tl"]], weighted=True)
+    acc = {}
+    for r in full.collect():
+        if r["source"] != r["vid"]:
+            acc[r["vid"]] = acc.get(r["vid"], 0.0) + 1.0 / r["dist"]
+    expect = {v: round(h, 6) for v, h in acc.items()}
+    got = {
+        r["vid"]: r["harmonic"]
+        for r in sssp.harmonic_centrality(
+            g, sources=[sv["ll"], sv["tl"]], weighted=True
+        ).collect()
+    }
+    assert got == expect
