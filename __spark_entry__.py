@@ -169,6 +169,27 @@ def q_scc_nations(spark, sf_dir):
     return res.select(F.col("id").alias("node_id"), "scc")
 
 
+def q_scc_build_order(spark, sf_dir):
+    """Build-order layering of the import graph: SCC labels → condensation
+    DAG → BSP longest-path layering (operators/scc.toposort_layers).
+    layer(c) = longest chain of cross-SCC dependencies above c; equal-layer
+    components are mutually independent (a parallel build schedule). The
+    loop doubles as a cycle detector — it raises on a non-DAG, proving the
+    condensation really is acyclic."""
+    from osmgraphing_spark.operators import scc as scc_op
+
+    e = _nation_ring_edges(spark, sf_dir)
+    labels = scc_op.run_edges(e)
+    cond = scc_op.condensation(e, labels)
+    layers = scc_op.toposort_layers(
+        cond.select(
+            F.col("scc_src").alias("src"), F.col("scc_dst").alias("dst")
+        ),
+        vertices=labels.select(F.col("scc").alias("id")).distinct(),
+    )
+    return layers.select(F.col("id").cast("long").alias("scc"), "layer")
+
+
 def q_link_walks(spark, sf_dir):
     """Deterministic random walks (operators/walks): 2 walks of length 3
     from every nation-digraph vertex; next-hop choice is the portable md5
@@ -989,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank5": q_pagerank5,
         "cc_nations": q_cc_nations,
         "scc_nations": q_scc_nations,
+        "scc_build_order": q_scc_build_order,
         "link_walks": q_link_walks,
         "lpa_nations": q_lpa_nations,
         "triangles_nations": q_triangles_nations,
@@ -1749,6 +1771,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT verts.v AS node_id, LEAST(verts.v, COALESCE(MIN(w), verts.v)) AS scc
             FROM verts LEFT JOIN mutual ON mutual.v = verts.v
             GROUP BY verts.v
+        """,
+        "scc_build_order": f"""
+            WITH RECURSIVE {_NATION_RING_CTES},
+            reach AS (
+                SELECT src AS a, dst AS b FROM e
+                UNION
+                SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+            ),
+            verts AS (
+                SELECT src AS v FROM e UNION SELECT dst AS v FROM e
+            ),
+            mutual AS (
+                SELECT r1.a AS v, r1.b AS w
+                FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+            ),
+            scc AS (
+                SELECT verts.v AS node_id,
+                       LEAST(verts.v, COALESCE(MIN(w), verts.v)) AS scc
+                FROM verts LEFT JOIN mutual ON mutual.v = verts.v
+                GROUP BY verts.v
+            ),
+            cond AS (
+                SELECT DISTINCT s1.scc AS src, s2.scc AS dst
+                FROM e
+                JOIN scc s1 ON s1.node_id = e.src
+                JOIN scc s2 ON s2.node_id = e.dst
+                WHERE s1.scc <> s2.scc
+            ),
+            paths(v, layer) AS (
+                SELECT DISTINCT scc, 0 FROM scc
+                UNION
+                SELECT cond.dst, p.layer + 1
+                FROM paths p JOIN cond ON cond.src = p.v
+            )
+            SELECT CAST(v AS BIGINT) AS scc, CAST(MAX(layer) AS BIGINT) AS layer
+            FROM paths GROUP BY v
         """,
         "link_walks": _walks_sql(),
         "lpa_nations": _lpa2_sql(),

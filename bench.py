@@ -124,6 +124,7 @@ OPERATOR_QUERIES = [
     "doc_tfidf_terms",
     "doc_stratified_sample",
     "harmonic_nations",
+    "scc_build_order",
 ]
 
 

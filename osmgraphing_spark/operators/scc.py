@@ -98,6 +98,92 @@ def condensation(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+def toposort_layers(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iter: int = 200,
+    truncate_every: int = _STRIDE,
+) -> DataFrame:
+    """Topological LAYERING of a DAG → (id long, layer long): layer(v) =
+    length of the longest path from any root (in-degree-0 vertex) to v.
+    Vertices of equal layer are mutually independent, so `layer` is a
+    parallel build/processing schedule — run `condensation` output through
+    this to get the build order of an import graph with cycles collapsed.
+
+    BSP longest-path relaxation with a delta frontier (the max-analogue of
+    sssp.run's min loop): layer'(v) = max(layer(v), max_{u→v} layer(u)+1).
+    On a DAG this converges in ≤ depth rounds; per-round join size tracks
+    the propagation wavefront, not |V|. A cycle would relax forever —
+    RuntimeError after `max_iter` rounds (exactness over silent wrap), so
+    the operator doubles as a cycle detector.
+
+    `vertices`: optional (id) frame pinning the vertex universe (e.g. every
+    SCC label, including components whose edges were all intra-SCC);
+    default = ids appearing in the edges."""
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    verts = (
+        vertices.select(F.col(vertices.columns[0]).alias("id"))
+        if vertices is not None
+        else e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+    ).distinct()
+
+    trunc_state = EphemeralTruncator(spark, "topo-state")
+    trunc_front = EphemeralTruncator(spark, "topo-frontier")
+    scope = BlockScope(spark)
+
+    with iterative_conf(spark):
+        state = verts.select("id", F.lit(0).cast("long").alias("layer"))
+        frontier = state
+        converged = False
+        for it in range(max_iter):
+            relaxed = (
+                frontier.join(e, frontier["id"] == e["src"])
+                .select(F.col("dst").alias("id"), (F.col("layer") + 1).alias("layer"))
+                .groupBy("id")
+                .agg(F.max("layer").alias("layer"))
+            )
+            merged = (
+                state.unionByName(relaxed)
+                .groupBy("id")
+                .agg(F.max("layer").alias("layer"))
+            )
+            new_frontier = (
+                merged.join(
+                    state.select("id", F.col("layer").alias("old")), "id"
+                )
+                .where(F.col("layer") > F.col("old"))
+                .select("id", "layer")
+            )
+            boundary = (it + 1) % max(truncate_every, 1) == 0
+            if boundary:
+                new_frontier = trunc_front.truncate(new_frontier, reap=False)
+                merged = trunc_state.truncate(merged, reap=False)
+            else:
+                new_frontier = new_frontier.localCheckpoint(eager=False)
+                merged = merged.localCheckpoint(eager=False)
+            trunc_front.reap()
+            trunc_state.reap()
+            n_front = new_frontier.limit(1).count()
+            if boundary:
+                scope.release_new()
+            state, frontier = merged, new_frontier
+            if n_front == 0:
+                converged = True
+                break
+        if not converged:
+            raise RuntimeError(
+                f"toposort_layers: still relaxing after {max_iter} rounds — "
+                "input has a cycle (or raise max_iter for a deeper DAG)"
+            )
+        state = trunc_state.truncate(state)
+        scope.release_new()
+    return state
+
+
 def _edges_between(edges: DataFrame, vset: DataFrame) -> DataFrame:
     """Edges with BOTH endpoints in vset (two semi-joins)."""
     return (

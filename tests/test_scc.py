@@ -6,6 +6,9 @@ from __future__ import annotations
 import random
 from collections import defaultdict
 
+import pytest
+from pyspark.sql import functions as F
+
 from osmgraphing_spark.operators import scc
 
 
@@ -155,3 +158,73 @@ def test_scc_graph_entry_point(spark):
     got = {r["vid"]: r["scc"] for r in scc.run(g).collect()}
     want = _tarjan(sorted({v for e in edges for v in e}), edges)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# toposort_layers
+# ---------------------------------------------------------------------------
+
+def _layers_oracle(vids, edges):
+    """Longest path from any root, by relaxation to fixpoint."""
+    layer = {v: 0 for v in vids}
+    changed = True
+    while changed:
+        changed = False
+        for s, t in edges:
+            if layer[s] + 1 > layer[t]:
+                layer[t] = layer[s] + 1
+                changed = True
+    return layer
+
+
+def test_toposort_layers_diamond_dag(spark):
+    """Diamond + tail: layer = longest path, NOT shortest (d sits at 2 via
+    the two-hop arm even though a→d... no direct edge; e at 3)."""
+    edges = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (0, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["layer"] for r in scc.toposort_layers(df).collect()}
+    vids = sorted({v for e in edges for v in e})
+    assert got == _layers_oracle(vids, edges)
+    assert got[4] == 3  # longest chain 0→1→3→4 wins over the direct 0→4
+
+
+def test_toposort_layers_deep_chain_crosses_stride(spark):
+    """A 11-deep chain forces rounds past the truncation stride."""
+    edges = [(i, i + 1) for i in range(11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["layer"] for r in scc.toposort_layers(df).collect()}
+    assert got == {i: i for i in range(12)}
+
+
+def test_toposort_layers_raises_on_cycle(spark):
+    df = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="cycle"):
+        scc.toposort_layers(df, max_iter=10)
+
+
+def test_toposort_layers_vertices_universe(spark):
+    """Isolated vertices (no condensation edges) appear at layer 0 when the
+    universe frame pins them."""
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    verts = spark.createDataFrame([(1,), (2,), (99,)], "id long")
+    got = {r["id"]: r["layer"] for r in scc.toposort_layers(df, vertices=verts).collect()}
+    assert got == {1: 0, 2: 1, 99: 0}
+
+
+def test_condensation_then_layers_end_to_end(spark):
+    """Two cycles in a chain condense to a 3-node path: layers 0,1,2."""
+    edges = [
+        (0, 1), (1, 0),          # scc {0,1}
+        (1, 2),
+        (2, 3), (3, 2),          # scc {2,3}
+        (3, 4),                   # singleton 4
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    labels = scc.run_edges(df)
+    cond = scc.condensation(df, labels)
+    layers = scc.toposort_layers(
+        cond.select(F.col("scc_src").alias("src"), F.col("scc_dst").alias("dst")),
+        vertices=labels.select(F.col("scc").alias("id")).distinct(),
+    )
+    got = {r["id"]: r["layer"] for r in layers.collect()}
+    assert got == {0: 0, 2: 1, 4: 2}
