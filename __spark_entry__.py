@@ -169,6 +169,50 @@ def q_scc_nations(spark, sf_dir):
     return res.select(F.col("id").alias("node_id"), "scc")
 
 
+def _nation_mixed_edges(spark, sf_dir):
+    """Ring/spine digraph ∪ co-region cliques: a digraph with BOTH
+    reciprocal mass (cliques) and one-way mass (spine/ring closures), and
+    an undirected view with both closed triangles (cliques) and open
+    wedges (spine) — nontrivial fixtures for reciprocity/clustering."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    a = n.select(F.col("n_nationkey").alias("src"), F.col("n_regionkey").alias("r"))
+    b = n.select(F.col("n_nationkey").alias("dst"), F.col("n_regionkey").alias("r"))
+    clique = a.join(b, "r").where(F.col("src") != F.col("dst")).select("src", "dst")
+    return _nation_ring_edges(spark, sf_dir).unionByName(clique).distinct()
+
+
+def q_link_reciprocity(spark, sf_dir):
+    """Graph-shape statistic (operators/graphstats.reciprocity): fraction
+    of directed edges whose reverse exists — one semi-join + two counters,
+    O(1) output from any |E|."""
+    from osmgraphing_spark.operators import graphstats
+
+    return graphstats.reciprocity(_nation_mixed_edges(spark, sf_dir))
+
+
+def q_link_assortativity(spark, sf_dir):
+    """Degree assortativity (graphstats.degree_assortativity) of the
+    bipartite link graph: Pearson corr of (out-deg(src), in-deg(dst))
+    across edges from ALGEBRAIC sums — one aggregation, one output row,
+    exact integer sums so the SQL oracle reproduces it bit-for-bit."""
+    from osmgraphing_spark.operators import graphstats
+
+    return graphstats.degree_assortativity(q_link_edges(spark, sf_dir))
+
+
+def q_link_clustering(spark, sf_dir):
+    """Local clustering coefficients (graphstats.clustering_coefficients)
+    over the mixed nation graph's undirected view — degree-ordered wedge
+    join (hub fan-out capped), per-vertex output."""
+    from osmgraphing_spark.operators import graphstats
+
+    return graphstats.clustering_coefficients(
+        _nation_mixed_edges(spark, sf_dir)
+    ).select(
+        F.col("vid").cast("long").alias("vid"), "degree", "triangles", "coefficient"
+    )
+
+
 def q_scc_build_order(spark, sf_dir):
     """Build-order layering of the import graph: SCC labels → condensation
     DAG → BSP longest-path layering (operators/scc.toposort_layers).
@@ -1011,6 +1055,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_nations": q_cc_nations,
         "scc_nations": q_scc_nations,
         "scc_build_order": q_scc_build_order,
+        "link_reciprocity": q_link_reciprocity,
+        "link_assortativity": q_link_assortativity,
+        "link_clustering": q_link_clustering,
         "link_walks": q_link_walks,
         "lpa_nations": q_lpa_nations,
         "triangles_nations": q_triangles_nations,
@@ -1771,6 +1818,90 @@ def oracle_sql() -> dict[str, str]:
             SELECT verts.v AS node_id, LEAST(verts.v, COALESCE(MIN(w), verts.v)) AS scc
             FROM verts LEFT JOIN mutual ON mutual.v = verts.v
             GROUP BY verts.v
+        """,
+        "link_reciprocity": f"""
+            WITH {_NATION_RING_CTES},
+            m AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT a.n_nationkey, b.n_nationkey
+                FROM nation a JOIN nation b
+                  ON a.n_regionkey = b.n_regionkey
+                 AND a.n_nationkey <> b.n_nationkey
+            )
+            SELECT
+                (SELECT COUNT(*) FROM m) AS n_edges,
+                (SELECT COUNT(*) FROM m
+                 WHERE EXISTS (SELECT 1 FROM m r
+                               WHERE r.src = m.dst AND r.dst = m.src))
+                    AS n_reciprocal,
+                ROUND(
+                    (SELECT COUNT(*) FROM m
+                     WHERE EXISTS (SELECT 1 FROM m r
+                                   WHERE r.src = m.dst AND r.dst = m.src))
+                    / CAST((SELECT COUNT(*) FROM m) AS DOUBLE), 6
+                ) AS reciprocity
+        """,
+        "link_assortativity": f"""
+            WITH e AS ({SQL_BIPARTITE_EDGES}),
+            od AS (SELECT src, COUNT(*) AS sd FROM e GROUP BY src),
+            idg AS (SELECT dst, COUNT(*) AS dd FROM e GROUP BY dst),
+            j AS (
+                SELECT CAST(sd AS DOUBLE) AS x, CAST(dd AS DOUBLE) AS y
+                FROM e JOIN od USING (src) JOIN idg USING (dst)
+            ),
+            s AS (
+                SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                       SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+                FROM j
+            )
+            SELECT n AS n_edges,
+                   CASE WHEN (sxx - sx * sx / n) > 0 AND (syy - sy * sy / n) > 0
+                        THEN ROUND((sxy - sx * sy / n)
+                                   / sqrt((sxx - sx * sx / n)
+                                          * (syy - sy * sy / n)), 6)
+                   END AS assortativity
+            FROM s
+        """,
+        "link_clustering": f"""
+            WITH {_NATION_RING_CTES},
+            m AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT a.n_nationkey, b.n_nationkey
+                FROM nation a JOIN nation b
+                  ON a.n_regionkey = b.n_regionkey
+                 AND a.n_nationkey <> b.n_nationkey
+            ),
+            und AS (
+                SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM m WHERE src <> dst
+            ),
+            deg AS (
+                SELECT v AS vid, COUNT(*) AS degree
+                FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+                GROUP BY v
+            ),
+            tri AS (
+                SELECT x.a AS v1, x.b AS v2, y.b AS v3
+                FROM und x
+                JOIN und y ON y.a = x.b
+                JOIN und z ON z.a = x.a AND z.b = y.b
+            ),
+            tcnt AS (
+                SELECT v AS vid, COUNT(*) AS triangles
+                FROM (SELECT v1 AS v FROM tri UNION ALL SELECT v2 FROM tri
+                      UNION ALL SELECT v3 FROM tri)
+                GROUP BY v
+            )
+            SELECT CAST(deg.vid AS BIGINT) AS vid, deg.degree,
+                   COALESCE(tcnt.triangles, 0) AS triangles,
+                   CASE WHEN deg.degree >= 2
+                        THEN ROUND(COALESCE(tcnt.triangles, 0)
+                                   / (deg.degree * (deg.degree - 1) / 2.0), 6)
+                        ELSE 0.0
+                   END AS coefficient
+            FROM deg LEFT JOIN tcnt ON tcnt.vid = deg.vid
         """,
         "scc_build_order": f"""
             WITH RECURSIVE {_NATION_RING_CTES},

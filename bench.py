@@ -125,6 +125,9 @@ OPERATOR_QUERIES = [
     "doc_stratified_sample",
     "harmonic_nations",
     "scc_build_order",
+    "link_reciprocity",
+    "link_assortativity",
+    "link_clustering",
 ]
 
 

@@ -1,0 +1,153 @@
+"""Whole-graph summary statistics: reciprocity, degree assortativity,
+local clustering coefficients.
+
+The link-graph health checks every pipeline runs after a build — the same
+role the reference's parse-count regression tests play
+(/root/reference/tests/isle_of_man/parsing.rs:36-63 pin node/edge counts;
+these pin the graph's SHAPE): reciprocity says how bidirectional the
+graph is, assortativity whether hubs link to hubs, clustering how locally
+dense neighborhoods are. All three reduce a 10¹³-edge graph to O(1) or
+O(|V|) output.
+
+Scale notes:
+
+- **reciprocity** — one self-join of the edge table on the reversed key
+  (left-semi, so nothing materializes but a counter) + one count. Both
+  sides shuffle on their join key once; with the edge table at rest in
+  hash(src) layout, the forward side's exchange is already satisfied.
+- **assortativity** — Pearson correlation of (out-degree(src),
+  in-degree(dst)) across edges, computed from ALGEBRAIC sums in one
+  aggregation after two degree joins; no per-edge state leaves the
+  executors, output is one row.
+- **clustering coefficient** — triangles-per-vertex (the existing
+  degree-oriented wedge join, operators/triangles) over undirected degree
+  n(n−1)/2; per-vertex output. Hub wedge explosion is already capped by
+  the degree orientation inside the triangle operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """→ one row (n_edges, n_reciprocal, reciprocity): the fraction of
+    directed (src≠dst) edges whose reverse edge also exists."""
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    return (
+        e.agg(F.count("*").alias("n_edges"))
+        .crossJoin(recip.agg(F.count("*").alias("n_reciprocal")))
+        .select(
+            "n_edges",
+            "n_reciprocal",
+            F.round(
+                F.col("n_reciprocal").cast("double") / F.col("n_edges"), 6
+            ).alias("reciprocity"),
+        )
+    )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """→ one row (n_edges, assortativity): Pearson correlation across
+    directed edges between src's out-degree and dst's in-degree (the
+    directed out-in assortativity of Newman 2002). Negative on power-law
+    link graphs (hubs point at leaves). NULL when either degree sequence
+    is constant (zero variance)."""
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    out_d = e.groupBy("src").agg(F.count("*").alias("src_deg"))
+    in_d = e.groupBy("dst").agg(F.count("*").alias("dst_deg"))
+    joined = e.join(out_d, "src").join(in_d, "dst")
+    # corr as algebraic sums (one aggregation, map-side combinable) rather
+    # than F.corr so the SQL oracle reproduces the arithmetic exactly
+    x = F.col("src_deg").cast("double")
+    y = F.col("dst_deg").cast("double")
+    agg = joined.agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    return agg.select(
+        F.col("n").alias("n_edges"),
+        F.when(
+            (vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), 6)
+        ).alias("assortativity"),
+    )
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """→ (vid, degree, triangles, coefficient): local clustering
+    coefficient over the UNDIRECTED simple graph — triangles(v) /
+    (deg(v)·(deg(v)−1)/2); degree-<2 vertices get 0. Same degree-ordered
+    orientation as operators/triangles (every triangle has exactly one
+    wedge at its min-degree corner; hub wedge fan-out is capped by the
+    count of higher-degree neighbors, ≤ O(√E))."""
+    from ..plans.checkpoint import EphemeralTruncator
+
+    und = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("vid"))
+        .unionAll(und.select(F.col("b").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count("*").alias("degree"))
+    )
+    j = und.join(
+        deg.select(F.col("vid").alias("a"), F.col("degree").alias("da")), "a"
+    ).join(deg.select(F.col("vid").alias("b"), F.col("degree").alias("db")), "b")
+    fwd = j.where(
+        (F.col("da") < F.col("db"))
+        | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    rev = j.where(
+        (F.col("db") < F.col("da"))
+        | ((F.col("db") == F.col("da")) & (F.col("b") < F.col("a")))
+    ).select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    # materialized once: the oriented frame feeds three downstream scans
+    o = EphemeralTruncator(edges.sparkSession, "graphstats-cc").truncate(
+        fwd.unionAll(rev)
+    )
+    e1 = o.select(F.col("src").alias("w"), F.col("dst").alias("b"))
+    e2 = o.select(F.col("src").alias("w"), F.col("dst").alias("c"))
+    wedges = e1.join(e2, "w", "inner").where(F.col("b") < F.col("c"))
+    closing = o.select(
+        F.least("src", "dst").alias("b"), F.greatest("src", "dst").alias("c")
+    ).distinct()
+    tris = wedges.join(closing, ["b", "c"], "left_semi")
+    counts = (
+        tris.select(F.col("w").alias("vid"))
+        .unionAll(tris.select(F.col("b").alias("vid")))
+        .unionAll(tris.select(F.col("c").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count("*").alias("triangles"))
+    )
+    pairs = (F.col("degree") * (F.col("degree") - 1) / 2).cast("double")
+    return (
+        deg.join(counts, "vid", "left")
+        .select(
+            "vid",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(F.coalesce("triangles", F.lit(0)) / pairs, 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("coefficient"),
+        )
+    )

@@ -1,0 +1,105 @@
+"""Graph-shape statistics vs pure-Python oracles."""
+
+from __future__ import annotations
+
+import itertools
+
+from osmgraphing_spark.operators import graphstats
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
+def test_reciprocity_mixed(spark):
+    """2-cycle + one-way tail: 2 of 3 edges reciprocal."""
+    e = [(0, 1), (1, 0), (1, 2)]
+    r = graphstats.reciprocity(_edges_df(spark, e)).collect()[0]
+    assert (r["n_edges"], r["n_reciprocal"]) == (3, 2)
+    assert r["reciprocity"] == round(2 / 3, 6)
+
+
+def test_reciprocity_ignores_self_loops_and_dups(spark):
+    e = [(0, 1), (0, 1), (1, 1), (1, 0)]
+    r = graphstats.reciprocity(_edges_df(spark, e)).collect()[0]
+    assert (r["n_edges"], r["n_reciprocal"], r["reciprocity"]) == (2, 2, 1.0)
+
+
+def _assort_oracle(edges):
+    import math
+
+    out_d, in_d = {}, {}
+    for s, t in edges:
+        out_d[s] = out_d.get(s, 0) + 1
+        in_d[t] = in_d.get(t, 0) + 1
+    xs = [float(out_d[s]) for s, t in edges]
+    ys = [float(in_d[t]) for s, t in edges]
+    n = len(edges)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
+    vx, vy = sxx - sx * sx / n, syy - sy * sy / n
+    if vx <= 0 or vy <= 0:
+        return None
+    return round((sxy - sx * sy / n) / math.sqrt(vx * vy), 6)
+
+
+def test_assortativity_star_vs_chain(spark):
+    """Hub-to-leaves star mixed with a chain: matches the python oracle and
+    is negative (hubs point at low-in-degree leaves)."""
+    e = [(0, i) for i in range(1, 6)] + [(1, 2), (2, 3), (3, 4), (9, 0), (8, 0)]
+    got = graphstats.degree_assortativity(_edges_df(spark, e)).collect()[0]
+    assert got["n_edges"] == len(e)
+    assert got["assortativity"] == _assort_oracle(e)
+
+
+def test_assortativity_null_on_constant_degrees(spark):
+    """A perfect cycle has constant out- and in-degrees → zero variance →
+    NULL, not a crash or a fabricated 0."""
+    e = [(0, 1), (1, 2), (2, 0)]
+    got = graphstats.degree_assortativity(_edges_df(spark, e)).collect()[0]
+    assert got["assortativity"] is None
+
+
+def _clustering_oracle(edges):
+    adj = {}
+    for s, t in edges:
+        if s == t:
+            continue
+        adj.setdefault(s, set()).add(t)
+        adj.setdefault(t, set()).add(s)
+    out = {}
+    for v, nb in adj.items():
+        d = len(nb)
+        tri = sum(
+            1 for a, b in itertools.combinations(sorted(nb), 2) if b in adj[a]
+        )
+        coef = round(tri / (d * (d - 1) / 2), 6) if d >= 2 else 0.0
+        out[v] = (d, tri, coef)
+    return out
+
+
+def test_clustering_coefficients_matches_python(spark):
+    """Triangle + square sharing a vertex + pendant: coefficient spectrum
+    {1.0, partial, 0.0} all exercised."""
+    e = [
+        (0, 1), (1, 2), (2, 0),          # triangle
+        (2, 3), (3, 4), (4, 5), (5, 2),  # square hanging off vertex 2
+        (0, 9),                           # pendant
+    ]
+    got = {
+        r["vid"]: (r["degree"], r["triangles"], r["coefficient"])
+        for r in graphstats.clustering_coefficients(_edges_df(spark, e)).collect()
+    }
+    assert got == _clustering_oracle(e)
+    assert got[1][2] == 1.0 and got[9][2] == 0.0 and 0 < got[0][2] < 1
+
+
+def test_clustering_direction_and_dup_invariant(spark):
+    """The undirected view dedups direction: adding reverse/duplicate edges
+    must not change any coefficient."""
+    e = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    doubled = e + [(b, a) for a, b in e] + e
+    a = sorted(map(tuple, graphstats.clustering_coefficients(_edges_df(spark, e)).collect()))
+    b = sorted(map(tuple, graphstats.clustering_coefficients(_edges_df(spark, doubled)).collect()))
+    assert a == b
