@@ -159,6 +159,58 @@ class LinkGraph:
         g = apply_generating(self.graph.with_metric_vector(), specs)
         return _replace(self, graph=g)
 
+    def scc(self) -> DataFrame:
+        """Strongly connected components → (vid, scc): import-cycle groups."""
+        from .operators import scc as _scc
+
+        return _scc.run(self.graph)
+
+    def build_order(self) -> DataFrame:
+        """SCC condensation → topological layering → (scc, layer): a
+        parallel build schedule over the import graph with cycles
+        collapsed (equal layers are mutually independent)."""
+        from pyspark.sql import functions as F
+
+        from .operators import scc as _scc
+
+        labels = _scc.run(self.graph).select(F.col("vid").alias("id"), "scc")
+        cond = _scc.condensation(self.graph.edges.select("src", "dst"), labels)
+        return _scc.toposort_layers(
+            cond.select(F.col("scc_src").alias("src"), F.col("scc_dst").alias("dst")),
+            vertices=labels.select(F.col("scc").alias("id")).distinct(),
+        ).withColumnRenamed("id", "scc")
+
+    def coreness(self, **kw) -> DataFrame:
+        """Full core decomposition → (vid, coreness)."""
+        from .operators import kcore as _kcore
+
+        return _kcore.coreness(self.graph, **kw)
+
+    def harmonic_centrality(
+        self, sources: list[int] | None = None, weighted: bool = False
+    ) -> DataFrame:
+        """Inbound harmonic centrality (exact, or landmark-sampled via
+        `sources`) → (vid, harmonic)."""
+        return _sssp.harmonic_centrality(self.graph, sources=sources, weighted=weighted)
+
+    def graph_stats(self) -> DataFrame:
+        """One-row shape summary: edges, reciprocity, degree assortativity."""
+        from .operators import graphstats as _gs
+
+        e = self.graph.edges.select("src", "dst")
+        return (
+            _gs.reciprocity(e)
+            .crossJoin(
+                _gs.degree_assortativity(e).select("assortativity")
+            )
+        )
+
+    def clustering_coefficients(self) -> DataFrame:
+        """Per-vertex local clustering coefficients over the undirected view."""
+        from .operators import graphstats as _gs
+
+        return _gs.clustering_coefficients(self.graph.edges.select("src", "dst"))
+
     def triangle_count(self) -> int:
         return _triangles.count(self.graph)
 

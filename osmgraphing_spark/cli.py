@@ -51,7 +51,10 @@ class JobConfig:
     sssp: dict = field(default_factory=dict)
     generating: list = field(default_factory=list)
 
-    VALID_ALGOS = ("pagerank", "cc", "lpa", "triangles", "degrees", "sssp", "metrics")
+    VALID_ALGOS = (
+        "pagerank", "cc", "lpa", "triangles", "degrees", "sssp", "metrics",
+        "scc", "build_order", "coreness", "harmonic", "stats", "clustering",
+    )
 
     @classmethod
     def from_file(cls, path: str) -> "JobConfig":
@@ -108,6 +111,18 @@ def run(cfg: JobConfig, resume: bool = False) -> dict:
             opts["source_keys"] = opts.pop("sources")
             res = lg.sssp(resume=resume, **opts)
             df = res.join(lg.graph.vertices, "vid")
+        elif algo == "scc":
+            df = lg.with_keys(lg.scc())
+        elif algo == "build_order":
+            df = lg.build_order()
+        elif algo == "coreness":
+            df = lg.with_keys(lg.coreness())
+        elif algo == "harmonic":
+            df = lg.with_keys(lg.harmonic_centrality())
+        elif algo == "stats":
+            df = lg.graph_stats()
+        elif algo == "clustering":
+            df = lg.with_keys(lg.clustering_coefficients())
         elif algo == "metrics":
             from pyspark.sql import functions as F
 

@@ -187,3 +187,48 @@ print(json.dumps({"vertices": g.num_vertices, "rank_mass": round(mass, 9)}))
     out = json.loads(line)
     assert out["vertices"] == 8
     assert abs(out["rank_mass"] - 1.0) < 1e-9
+
+
+def test_api_new_algorithms_surface(spark, tmp_path):
+    """scc / build_order / coreness / harmonic / stats / clustering through
+    the façade on the small fixture — each agrees with its operator-level
+    oracle-tested path (shape + a couple of pinned invariants)."""
+    g, edges, _ = build_fixture(spark, ("small",))
+    lg = LinkGraph(g)
+
+    labels = {r["vid"]: r["scc"] for r in lg.scc().collect()}
+    assert set(labels) == {v for e in edges for v in e}
+
+    order = {r["scc"]: r["layer"] for r in lg.build_order().collect()}
+    assert set(order) == set(labels.values())
+    assert min(order.values()) == 0
+
+    core = {r["vid"]: r["coreness"] for r in lg.coreness().collect()}
+    assert all(c >= 1 for c in core.values())
+
+    harm = {r["vid"]: r["harmonic"] for r in lg.harmonic_centrality().collect()}
+    assert all(h > 0 for h in harm.values())
+
+    stats = lg.graph_stats().collect()[0]
+    assert stats["n_edges"] == len(set(edges))
+    assert 0.0 <= stats["reciprocity"] <= 1.0
+
+    cc_rows = lg.clustering_coefficients().collect()
+    assert all(0.0 <= r["coefficient"] <= 1.0 for r in cc_rows)
+
+
+def test_cli_new_algorithms(spark, tmp_path):
+    """CLI runs the new algorithm names and writes one parquet per algo."""
+    corpus = synth.fixture_corpus(spark, ("small",))
+    corpus.write.mode("overwrite").parquet(str(tmp_path / "corpus.parquet"))
+    cfg = JobConfig(
+        corpus=str(tmp_path / "corpus.parquet"),
+        output=str(tmp_path / "out"),
+        algorithms=["scc", "build_order", "stats", "clustering"],
+        num_blocks=4,
+        master="local[4]",
+    )
+    summary = cli_run(cfg)
+    assert set(summary["outputs"]) == {"scc", "build_order", "stats", "clustering"}
+    for path in summary["outputs"].values():
+        assert os.path.exists(os.path.join(path, "_SUCCESS"))
