@@ -67,7 +67,11 @@ def drop_exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str
 def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """→ (id, shingle) distinct word-n-gram shingles per document.
     Built entirely from array functions (no UDF): sliding window via
-    transform over index sequence."""
+    transform over index sequence. Dedup is PER DOCUMENT, so it happens
+    row-locally with ``array_distinct`` before the explode — zero shuffle
+    (an earlier revision used ``.distinct()`` on the exploded stream,
+    which shuffled the entire corpus's shingles just to dedup within
+    rows)."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     # guard: docs with < n tokens produce no shingles (sequence(0, -1) would
     # otherwise count DOWN in Spark and emit bogus indices)
@@ -78,9 +82,8 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str 
             lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
-        .distinct()
+    return docs.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle")
     )
 
 

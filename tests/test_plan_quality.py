@@ -289,3 +289,52 @@ def test_media_metadata_filter_prunes_binary_column(spark, tmp_path):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "meta" in read_schema and "width" in read_schema
     assert "data" not in read_schema
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark shingle set must broadcast: the corpus side never
+    shuffles for the membership test — its only exchange is the per-doc
+    counter aggregation."""
+    from osmgraphing_spark.operators.decontaminate import contamination_stats
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    plan = _plan(contamination_stats(corpus, bench, n=3))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # one hash exchange: groupBy(id). The benchmark side's shingle-distinct
+    # runs BEFORE the broadcast, inside the broadcast subtree.
+    main = plan.split("BroadcastExchange")[0]
+    assert main.count("Exchange hashpartitioning") <= 1
+
+
+def test_unigram_logprob_broadcasts_vocab(spark):
+    """The frequency table and the 1-row total enter via broadcast; the
+    exploded corpus never shuffles for the probability lookup."""
+    from osmgraphing_spark.operators.termstats import unigram_logprob
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = _plan(unigram_logprob(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total cross join
+    assert "SortMergeJoin" not in plan
+
+
+def test_stratified_sample_prefilter_before_window(spark):
+    """With prefilter_fraction set, the hash predicate must sit BELOW the
+    window sort (filter-then-rank, not rank-then-filter)."""
+    from osmgraphing_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = _plan(
+        stratified_sample(
+            docs.select("doc_id", "lang"), ["lang"], 5,
+            key_cols=["doc_id"], prefilter_fraction=0.5,
+        )
+    )
+    window_at = plan.index("Window")
+    # the bucket threshold filter appears in the scan-side section
+    assert "500000" in plan[window_at:] or "500000" in plan[:window_at]
+    filter_at = plan.index("500000")
+    assert filter_at > window_at  # executedPlan prints top-down: deeper = later
