@@ -745,6 +745,23 @@ def q_doc_dup_clusters(spark, sf_dir):
     )
 
 
+SPAN_K = 8  # k-token window for substring-level dedup
+
+
+def q_doc_dup_spans(spark, sf_dir):
+    """Substring-level dedup (operators/spans.duplicated_spans): maximal
+    spans of >= SPAN_K tokens shared verbatim by >= 2 documents — the
+    passage/boilerplate tier whole-doc dedup misses. md5 window
+    fingerprints keep the whole pipeline SQL-oracle-verifiable; the same
+    max_df document-frequency cap as Jaccard guards the hot-boilerplate
+    skew point."""
+    from osmgraphing_spark.operators import spans as sp
+
+    return sp.duplicated_spans(
+        _t(spark, sf_dir, "documents"), k=SPAN_K, min_docs=2, max_df=JACCARD_MAX_DF
+    )
+
+
 BENCH_MOD = 50  # doc_id % 50 == 0 → the deterministic "benchmark" split
 
 
@@ -1089,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash": q_doc_minhash,
         "doc_lsh_candidates": q_doc_lsh_candidates,
         "doc_dup_clusters": q_doc_dup_clusters,
+        "doc_dup_spans": q_doc_dup_spans,
         "doc_containment_pairs": q_doc_containment_pairs,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "embed_topk": q_embed_topk,
@@ -2153,6 +2171,46 @@ def oracle_sql() -> dict[str, str]:
                          FILTER (WHERE prev IS NOT NULL), 6) AS zcr,
                    COUNT(*) / 16000.0 AS duration_s
             FROM lagd GROUP BY doc_id
+        """,
+        "doc_dup_spans": f"""
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents
+            ),
+            wins AS (
+                SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                       md5(array_to_string(t[i:i+{SPAN_K - 1}], ' ')) AS fp
+                FROM toks, unnest(generate_series(1, len(t) - {SPAN_K} + 1)) AS u(i)
+                WHERE len(t) >= {SPAN_K}
+            ),
+            dups AS (
+                SELECT fp, COUNT(DISTINCT doc_id) AS n_docs
+                FROM wins GROUP BY fp
+                HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {JACCARD_MAX_DF}
+            ),
+            hits AS (
+                SELECT w.doc_id, w.pos, d.n_docs
+                FROM wins w JOIN dups d USING (fp)
+            ),
+            g AS (
+                SELECT doc_id, pos, n_docs,
+                       CASE WHEN pos - LAG(pos) OVER
+                                 (PARTITION BY doc_id ORDER BY pos) <= {SPAN_K}
+                            THEN 0 ELSE 1 END AS brk
+                FROM hits
+            ),
+            r AS (
+                SELECT doc_id, pos, n_docs,
+                       SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS UNBOUNDED PRECEDING) AS run
+                FROM g
+            )
+            SELECT doc_id,
+                   MIN(pos) AS start_tok,
+                   MAX(pos) + {SPAN_K - 1} AS end_tok,
+                   COUNT(*) AS n_windows,
+                   MAX(n_docs) AS max_docs
+            FROM r GROUP BY doc_id, run
         """,
         "doc_exact_dups": """
             SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

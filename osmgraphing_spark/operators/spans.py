@@ -1,0 +1,139 @@
+"""Exact substring (span-level) deduplication over ``documents``.
+
+The dedup family in ``operators/dedup`` decides duplicate-or-not per whole
+document (the reference's build-time edge dedup discipline,
+/root/reference/src/network/graph/building.rs:503-573, lifted to docs).
+Web-scale training corpora also need the finer tier: the SAME k-token
+passage pasted into otherwise-different documents (license boilerplate,
+vendored code, quoted posts). This module flags every maximal duplicated
+span, the "dedup repeated substrings, not documents" pass of production
+LLM-data pipelines.
+
+Pipeline (all built-in column expressions — JVM-side, codegen):
+
+1. tokenize each doc (whitespace), emit one fingerprint per k-token
+   sliding window: ``md5(concat_ws(' ', tokens[i .. i+k-1]))`` — md5 is
+   the portable hash, so a DuckDB SQL oracle reproduces every value.
+2. groupBy fingerprint → document frequency; keep fingerprints shared by
+   ``>= min_docs`` distinct docs (map-side combine bounds hot keys).
+3. join hits back, merge runs of consecutive window positions per doc
+   into maximal spans (a window over only the *duplicated* windows).
+
+Scale notes: step 1 explodes to O(total tokens) rows — the same tier as
+n-gram shingling, and the scan is a single pass fused with the split. The
+fingerprint groupBy is the only corpus-sized shuffle. Boilerplate that
+appears in millions of docs is the skew point: ``max_df`` caps the
+document frequency a fingerprint may have before the hit join (same role
+as dedup.jaccard_pairs' max_df) — spans above the cap are better handled
+by the global-boilerplate path (operators/termstats). The run-merge
+window shuffles ONLY the duplicated windows (post-join survivors), a tiny
+fraction of the corpus, partitioned by doc — no giant per-key state.
+
+Removal policy (which copy survives, whether to cut or keep the span) is
+a downstream decision over this table; the operator is deliberately
+side-effect-free, like dedup.exact_duplicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def window_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (doc_id, pos long, fp string): one md5 fingerprint per k-token
+    sliding window, pos = 1-based token index of the window start. Docs
+    shorter than k tokens emit nothing (they are whole-doc dedup's job)."""
+    if k < 2:
+        raise ValueError(f"window k must be >= 2, got {k}")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).where(
+        F.size("toks") >= k
+    )
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - k + 1),
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, k))).alias("fp"),
+        ),
+    )
+    return base.select("doc_id", F.explode(wins).alias("w")).select(
+        "doc_id", F.col("w.pos").alias("pos"), F.col("w.fp").alias("fp")
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal duplicated spans → (doc_id, start_tok, end_tok, n_windows,
+    max_docs): token range [start_tok, end_tok] (1-based, inclusive) is
+    covered by k-token windows each shared with >= min_docs distinct docs;
+    n_windows = windows merged into the span, max_docs = the widest
+    sharing count among them. Windows whose token coverage overlaps or
+    touches (start gap <= k) merge into one maximal span. ``max_df``
+    (document-frequency cap) drops ubiquitous-boilerplate fingerprints
+    before the hit join."""
+    wf = window_fingerprints(docs, k=k, id_col=id_col, text_col=text_col)
+    dup = (
+        wf.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+    if max_df is not None:
+        dup = dup.where(F.col("n_docs") <= max_df)
+    hits = wf.join(dup, "fp").select("doc_id", "pos", "n_docs")
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = hits.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(F.lit(1)),
+    ).withColumn(
+        "run",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        runs.groupBy("doc_id", "run")
+        .agg(
+            F.min("pos").alias("start_tok"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("end_tok"),
+            F.count("*").alias("n_windows"),
+            F.max("n_docs").alias("max_docs"),
+        )
+        .select("doc_id", "start_tok", "end_tok", "n_windows", "max_docs")
+    )
+
+
+def span_dedup_stats(spans: DataFrame, docs: DataFrame, k: int = 8) -> DataFrame:
+    """Per-doc summary → (doc_id, dup_tokens, total_tokens, dup_frac):
+    how much of each doc is inside duplicated spans — the per-doc signal a
+    keep/drop/trim policy thresholds on. Docs with no duplicated span get
+    dup_tokens = 0. One corpus scan + a broadcastable-or-shuffle join on
+    doc_id against the (small) span table."""
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum(F.col("end_tok") - F.col("start_tok") + 1).alias("dup_tokens")
+    )
+    totals = docs.select(
+        F.col("doc_id"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("total_tokens"),
+    )
+    return (
+        totals.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+            "total_tokens",
+            F.round(
+                F.coalesce(F.col("dup_tokens"), F.lit(0)) / F.col("total_tokens"), 6
+            ).alias("dup_frac"),
+        )
+    )

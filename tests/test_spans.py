@@ -1,0 +1,89 @@
+"""Substring-level dedup (operators/spans): hand-built golden corpus with a
+known shared passage — the per-span analogue of the reference's build-time
+dedup goldens (/root/reference/tests/small/parsing.rs edge-dedup counts)."""
+
+from __future__ import annotations
+
+import pytest
+
+from osmgraphing_spark.operators import spans as sp
+
+# Docs 1 and 2 share the 6-token passage "p q r s t u" verbatim; doc 3 is
+# unrelated; doc 4 shares a shorter (4-token) overlap with doc 1 that must
+# NOT appear at k=5. Tokens are single letters so positions are easy to
+# count by hand.
+DOCS = [
+    (1, "a b c p q r s t u d e"),  # passage at tokens 4..9
+    (2, "p q r s t u x y z"),  # passage at tokens 1..6
+    (3, "m n o v w aa bb cc dd"),
+    (4, "b c p q zz yy xx ww vv"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_window_fingerprints_positions(spark, docs_df):
+    wf = sp.window_fingerprints(docs_df, k=5)
+    rows = {(r.doc_id, r.pos): r.fp for r in wf.collect()}
+    # doc 1 has 11 tokens → 7 windows; doc 2 has 9 → 5 windows
+    assert sum(1 for (d, _p) in rows if d == 1) == 7
+    assert sum(1 for (d, _p) in rows if d == 2) == 5
+    # the shared passage aligns: doc1 window at pos 4 ("p q r s t") equals
+    # doc2 window at pos 1; doc1 pos 5 equals doc2 pos 2
+    assert rows[(1, 4)] == rows[(2, 1)]
+    assert rows[(1, 5)] == rows[(2, 2)]
+    # non-shared windows differ
+    assert rows[(1, 1)] != rows[(2, 1)]
+
+
+def test_duplicated_spans_golden(spark, docs_df):
+    out = sp.duplicated_spans(docs_df, k=5, min_docs=2)
+    got = {
+        (r.doc_id, r.start_tok, r.end_tok, r.n_windows, r.max_docs)
+        for r in out.collect()
+    }
+    # the 6-token passage yields 2 shared windows per doc, merged into ONE
+    # maximal span covering exactly the passage: doc1 tokens 4..9,
+    # doc2 tokens 1..6 — and nothing else anywhere.
+    assert got == {(1, 4, 9, 2, 2), (2, 1, 6, 2, 2)}
+
+
+def test_short_docs_and_k_guard(spark):
+    df = spark.createDataFrame([(1, "a b c"), (2, "a b c")], "doc_id long, text string")
+    assert sp.duplicated_spans(df, k=5).count() == 0  # both too short
+    with pytest.raises(ValueError):
+        sp.window_fingerprints(df, k=1)
+
+
+def test_max_df_drops_boilerplate(spark):
+    # the same 5-token line in every doc → df = 4 > max_df = 3 → no spans
+    df = spark.createDataFrame(
+        [(i, "l i c e n") for i in range(4)], "doc_id long, text string"
+    )
+    assert sp.duplicated_spans(df, k=5, max_df=3).count() == 0
+    assert sp.duplicated_spans(df, k=5).count() == 4
+
+
+def test_span_dedup_stats(spark, docs_df):
+    spans = sp.duplicated_spans(docs_df, k=5, min_docs=2)
+    stats = {r.doc_id: r for r in sp.span_dedup_stats(spans, docs_df, k=5).collect()}
+    assert set(stats) == {1, 2, 3, 4}
+    assert stats[1].dup_tokens == 6 and stats[1].total_tokens == 11
+    assert stats[2].dup_tokens == 6 and stats[2].total_tokens == 9
+    assert stats[3].dup_tokens == 0 and stats[3].dup_frac == 0.0
+    assert abs(stats[2].dup_frac - round(6 / 9, 6)) < 1e-12
+
+
+def test_spans_disjoint_per_doc(spark, docs_df):
+    """Maximal-merge invariant: per doc, reported spans never overlap."""
+    rows = sp.duplicated_spans(docs_df, k=5, min_docs=2).collect()
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.start_tok, r.end_tok))
+    for ranges in by_doc.values():
+        ranges.sort()
+        for (s1, e1), (s2, _e2) in zip(ranges, ranges[1:]):
+            assert e1 < s2
