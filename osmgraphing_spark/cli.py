@@ -1,8 +1,15 @@
 """Job CLI — the engine's `osmgraphing --config cfg.yaml` equivalent
 (/root/reference/src/bin/osmgraphing/mod.rs:39-57: config-driven batch run).
 
-Config is a JSON file (the Raw→Proto→Config discipline collapsed to one
-validated dataclass — stdlib-only since the sandbox has no yaml):
+Config is a JSON or YAML file (``.yaml``/``.yml`` parsed by the
+dependency-free ``miniyaml`` shim). Two dialects:
+
+- native (below): the engine's own keys, JSON or YAML.
+- blueprint: a reference-shaped file with a top-level ``parsing:`` section
+  (resources/blueprint.yaml dialect) — lowered by ``blueprint
+  .lower_blueprint`` with explicit warnings for semantic deltas.
+
+Native shape:
 
     {
       "corpus": "/path/corpus.parquet",          # (repo,path,commit,lang,content)
@@ -50,6 +57,12 @@ class JobConfig:
     lpa: dict = field(default_factory=dict)
     sssp: dict = field(default_factory=dict)
     generating: list = field(default_factory=list)
+    # blueprint parity: name metrics[0] (the extracted weight) after the
+    # config's first declared metric id, and/or mean-normalize the vector
+    # (parsing.edges.will_normalize_metrics_by_mean)
+    metric_names: list = field(default_factory=list)
+    normalize_metrics: bool = False
+    warnings: list = field(default_factory=list)
 
     VALID_ALGOS = (
         "pagerank", "cc", "lpa", "triangles", "degrees", "sssp", "metrics",
@@ -58,8 +71,26 @@ class JobConfig:
 
     @classmethod
     def from_file(cls, path: str) -> "JobConfig":
-        with open(path) as f:
-            raw = json.load(f)
+        if path.endswith((".yaml", ".yml")):
+            from . import miniyaml
+
+            raw = miniyaml.load(path)
+        else:
+            with open(path) as f:
+                raw = json.load(f)
+        if not isinstance(raw, dict):
+            raise ValueError(f"config root must be a mapping, got {type(raw).__name__}")
+        if "parsing" in raw:  # reference blueprint dialect
+            from .blueprint import lower_blueprint
+
+            kwargs, warns = lower_blueprint(raw)
+            # native keys in the same file (output, algorithms, ...) win —
+            # a migrating user keeps parsing:/generating: and adds them
+            for k, v in raw.items():
+                if k in cls.__dataclass_fields__:
+                    kwargs[k] = v
+            kwargs["warnings"] = warns
+            raw = kwargs
         unknown = set(raw) - set(cls.__dataclass_fields__)
         if unknown:
             raise ValueError(f"unknown config keys: {sorted(unknown)}")
@@ -85,8 +116,28 @@ def run(cfg: JobConfig, resume: bool = False) -> dict:
         spark, corpus, ref, num_blocks=cfg.num_blocks,
         checkpoint_root=cfg.checkpoint_root,
     )
+    import sys
+    from dataclasses import replace as _replace
+
+    for w in cfg.warnings:
+        print(f"config warning: {w}", file=sys.stderr)
+    if cfg.metric_names:
+        lg = _replace(lg, graph=lg.graph.with_metric_vector(cfg.metric_names))
     if cfg.generating:
         lg = lg.generate_metrics(cfg.generating)
+    if cfg.normalize_metrics:
+        from pyspark.sql import functions as F
+
+        g = lg.graph.with_metric_vector()
+        means = g.metric_means()  # one pass, k algebraic aggs
+        arr = F.array(
+            *[
+                F.element_at(F.col("metrics"), i + 1) / F.lit(means[n])
+                for i, n in enumerate(g.metric_names)
+            ]
+        )
+        # withColumn is narrow: the resting hash(src) layout survives
+        lg = _replace(lg, graph=_replace(g, edges=g.edges.withColumn("metrics", arr)))
     summary = {
         "vertices": lg.graph.num_vertices,
         "edges": lg.graph.num_edges,
