@@ -169,6 +169,18 @@ def q_scc_nations(spark, sf_dir):
     return res.select(F.col("id").alias("node_id"), "scc")
 
 
+def q_link_dist_hist(spark, sf_dir):
+    """Neighborhood function / distance distribution
+    (operators/neighborhood.distance_distribution, ANF/HyperANF family):
+    N(t) = # ordered pairs within t hops on the directed nation ring/spine
+    digraph — exact bitset tier (sparse (vid, word, bits) rows, bit_or
+    map-side combine); the 100 TB path is the HLL register tier
+    (neighborhood_function_hll, pinned against this tier in pytest)."""
+    from osmgraphing_spark.operators import neighborhood as nb_op
+
+    return nb_op.distance_distribution(_nation_ring_edges(spark, sf_dir))
+
+
 def _nation_mixed_edges(spark, sf_dir):
     """Ring/spine digraph ∪ co-region cliques: a digraph with BOTH
     reciprocal mass (cliques) and one-way mass (spine/ring closures), and
@@ -1071,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank5": q_pagerank5,
         "cc_nations": q_cc_nations,
         "scc_nations": q_scc_nations,
+        "link_dist_hist": q_link_dist_hist,
         "scc_build_order": q_scc_build_order,
         "link_reciprocity": q_link_reciprocity,
         "link_assortativity": q_link_assortativity,
@@ -1818,6 +1831,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_nationkey,
                    MIN(n_nationkey) OVER (PARTITION BY n_regionkey) AS component
             FROM nation
+        """,
+        "link_dist_hist": f"""
+            WITH RECURSIVE {_NATION_RING_CTES},
+            steps AS (
+                SELECT src AS a, dst AS b, 1 AS d FROM e
+                UNION
+                SELECT s.a, e.dst, s.d + 1
+                FROM steps s JOIN e ON e.src = s.b
+                WHERE s.d < 40
+            ),
+            mind AS (
+                SELECT a, b, MIN(d) AS d FROM steps WHERE a <> b GROUP BY a, b
+            ),
+            nv AS (
+                SELECT COUNT(*) AS n FROM (
+                    SELECT src AS v FROM e UNION SELECT dst AS v FROM e
+                )
+            ),
+            ts AS (
+                SELECT unnest(generate_series(0, (SELECT MAX(d) FROM mind))) AS tt
+            )
+            SELECT CAST(tt AS INT) AS t,
+                   (SELECT n FROM nv)
+                   + (SELECT COUNT(*) FROM mind WHERE d <= tt) AS pairs
+            FROM ts
         """,
         "scc_nations": f"""
             WITH RECURSIVE {_NATION_RING_CTES},
