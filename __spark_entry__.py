@@ -193,6 +193,27 @@ def _nation_mixed_edges(spark, sf_dir):
     return _nation_ring_edges(spark, sf_dir).unionByName(clique).distinct()
 
 
+def q_modularity_nations(spark, sf_dir):
+    """Newman modularity (operators/graphstats.modularity) of the region
+    partition over the mixed nation graph's undirected view — the quality
+    objective LPA/Louvain communities are scored by; per-community rows,
+    Q = sum(q). One canonical-edge dedup + two vid-keyed label joins + one
+    algebraic groupBy(label)."""
+    from osmgraphing_spark.operators import graphstats
+
+    labels = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("vid"),
+        F.col("n_regionkey").cast("long").alias("label"),
+    )
+    res = graphstats.modularity(_nation_mixed_edges(spark, sf_dir), labels)
+    return res.select(
+        F.col("label").cast("int").alias("label"),
+        "intra_edges",
+        "degree_sum",
+        "q",
+    )
+
+
 def q_link_reciprocity(spark, sf_dir):
     """Graph-shape statistic (operators/graphstats.reciprocity): fraction
     of directed edges whose reverse exists — one semi-join + two counters,
@@ -1084,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_nations": q_cc_nations,
         "scc_nations": q_scc_nations,
         "link_dist_hist": q_link_dist_hist,
+        "modularity_nations": q_modularity_nations,
         "scc_build_order": q_scc_build_order,
         "link_reciprocity": q_link_reciprocity,
         "link_assortativity": q_link_assortativity,
@@ -1831,6 +1853,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_nationkey,
                    MIN(n_nationkey) OVER (PARTITION BY n_regionkey) AS component
             FROM nation
+        """,
+        "modularity_nations": f"""
+            WITH {_NATION_RING_CTES},
+            mx AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT a.n_nationkey, b.n_nationkey
+                FROM nation a JOIN nation b
+                  ON a.n_regionkey = b.n_regionkey
+                 AND a.n_nationkey <> b.n_nationkey
+            ),
+            ue AS (
+                SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM mx WHERE src <> dst
+            ),
+            lab AS (
+                SELECT na.n_regionkey AS la, nb.n_regionkey AS lb
+                FROM ue u
+                JOIN nation na ON na.n_nationkey = u.a
+                JOIN nation nb ON nb.n_nationkey = u.b
+            ),
+            mc AS (SELECT COUNT(*) AS n FROM lab),
+            ends AS (
+                SELECT la AS label FROM lab
+                UNION ALL
+                SELECT lb AS label FROM lab
+            ),
+            deg AS (SELECT label, COUNT(*) AS degree_sum FROM ends GROUP BY label),
+            intra AS (
+                SELECT la AS label, COUNT(*) AS c FROM lab WHERE la = lb GROUP BY la
+            )
+            SELECT deg.label,
+                   COALESCE(intra.c, 0) AS intra_edges,
+                   deg.degree_sum,
+                   ROUND(
+                       COALESCE(intra.c, 0) / CAST((SELECT n FROM mc) AS DOUBLE)
+                       - POW(deg.degree_sum / (2.0 * (SELECT n FROM mc)), 2),
+                       6
+                   ) AS q
+            FROM deg LEFT JOIN intra ON deg.label = intra.label
         """,
         "link_dist_hist": f"""
             WITH RECURSIVE {_NATION_RING_CTES},

@@ -151,3 +151,66 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
             .alias("coefficient"),
         )
     )
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity of a vertex partition over the UNDIRECTED view →
+    per-community rows (label, intra_edges, degree_sum, q) + readable
+    total via ``q.sum()``: Q = Σ_c [ e_c/m − (d_c/2m)² ], where e_c =
+    undirected intra-community edges, d_c = Σ degrees in c, m = undirected
+    edge count. The standard objective LPA/Louvain communities are judged
+    by — the quality readout for ``operators/lpa`` partitions.
+
+    ``labels``: (vid, label). Vertices missing a label are their own
+    singleton community (coalesce to vid), matching LPA's init.
+
+    Scale: canonicalize to one row per undirected edge (min,max) +
+    distinct, two label joins keyed by vid (the same key the vertex state
+    rests on), then ONE groupBy(label) with algebraic sums — per-community
+    output, nothing per-edge leaves the executors. Skew = community size;
+    the aggregate is sum/count (map-side combine), not a collect.
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    la = labels.select(F.col("vid").alias("a"), F.col("label").alias("la"))
+    lb = labels.select(F.col("vid").alias("b"), F.col("label").alias("lb"))
+    lab = (
+        e.join(la, "a", "left")
+        .join(lb, "b", "left")
+        .select(
+            F.coalesce("la", F.col("a")).alias("la"),
+            F.coalesce("lb", F.col("b")).alias("lb"),
+        )
+    )
+    m = lab.count()
+    if m == 0:
+        raise ValueError("modularity of an empty edge set is undefined")
+    # degree mass per community: each edge endpoint contributes 1 to its
+    # community; intra edges: both endpoints in c
+    ends = lab.select(F.col("la").alias("label")).unionAll(
+        lab.select(F.col("lb").alias("label"))
+    )
+    deg = ends.groupBy("label").agg(F.count("*").alias("degree_sum"))
+    intra = (
+        lab.where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count("*").alias("intra_edges"))
+    )
+    return (
+        deg.join(intra, "label", "left")
+        .select(
+            "label",
+            F.coalesce("intra_edges", F.lit(0)).alias("intra_edges"),
+            "degree_sum",
+            F.round(
+                F.coalesce("intra_edges", F.lit(0)) / F.lit(float(m))
+                - F.pow(F.col("degree_sum") / F.lit(2.0 * m), 2),
+                6,
+            ).alias("q"),
+        )
+    )

@@ -103,3 +103,79 @@ def test_clustering_direction_and_dup_invariant(spark):
     a = sorted(map(tuple, graphstats.clustering_coefficients(_edges_df(spark, e)).collect()))
     b = sorted(map(tuple, graphstats.clustering_coefficients(_edges_df(spark, doubled)).collect()))
     assert a == b
+
+
+def _modularity_oracle(edges, labels):
+    """Pure-python Newman modularity per community: (intra, degsum, q)."""
+    ue = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    m = len(ue)
+    lab = lambda v: labels.get(v, v)  # noqa: E731 — singleton fallback
+    intra, deg = {}, {}
+    for a, b in ue:
+        la, lb = lab(a), lab(b)
+        deg[la] = deg.get(la, 0) + 1
+        deg[lb] = deg.get(lb, 0) + 1
+        if la == lb:
+            intra[la] = intra.get(la, 0) + 1
+    return {
+        c: (intra.get(c, 0), d, round(intra.get(c, 0) / m - (d / (2 * m)) ** 2, 6))
+        for c, d in deg.items()
+    }
+
+
+def test_modularity_two_triangles_bridge(spark):
+    """Two triangles joined by one bridge, labelled by triangle: the
+    textbook high-modularity partition; swapping one vertex's label must
+    lower total Q."""
+    e = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+    good = {0: 10, 1: 10, 2: 10, 3: 20, 4: 20, 5: 20}
+    bad = {**good, 2: 20}
+
+    def q_total(lab_map):
+        ldf = spark.createDataFrame(list(lab_map.items()), "vid long, label long")
+        rows = graphstats.modularity(_edges_df(spark, e), ldf).collect()
+        want = _modularity_oracle(e, lab_map)
+        assert {
+            r["label"]: (r["intra_edges"], r["degree_sum"], r["q"]) for r in rows
+        } == want
+        return sum(r["q"] for r in rows)
+
+    assert q_total(good) > q_total(bad)
+    # known value: m=7, each triangle intra=3, deg 7 in each community
+    assert abs(q_total(good) - 2 * (3 / 7 - (7 / 14) ** 2)) < 1e-5
+
+
+def test_modularity_singleton_fallback_and_dups(spark):
+    """Unlabelled vertices are singleton communities; direction and
+    duplicate edges must not change anything."""
+    e = [(0, 1), (1, 0), (0, 1), (1, 2), (2, 2)]
+    labels = {0: 7, 1: 7}  # vertex 2 unlabelled -> community '2'
+    ldf = spark.createDataFrame(list(labels.items()), "vid long, label long")
+    rows = graphstats.modularity(_edges_df(spark, e), ldf).collect()
+    assert {
+        r["label"]: (r["intra_edges"], r["degree_sum"], r["q"]) for r in rows
+    } == _modularity_oracle(e, labels)
+
+
+def test_modularity_of_lpa_labels(spark):
+    """End-to-end with the engine's own community detector: LPA labels on
+    two cliques + bridge score the same Q as the python oracle on those
+    labels."""
+    from tests.helpers import graph_from_pairs
+
+    import itertools as it
+
+    cl1 = list(it.permutations(range(4), 2))
+    cl2 = list(it.permutations(range(4, 8), 2))
+    e = cl1 + cl2 + [(3, 4), (4, 3)]
+    g = graph_from_pairs(spark, [(f"v{a}", f"v{b}") for a, b in e])
+    from osmgraphing_spark.operators import lpa
+
+    labels = lpa.run(g, max_iter=10)
+    lab_map = {r["vid"]: r["label"] for r in labels.collect()}
+    edges_vid = [(r["src"], r["dst"]) for r in g.edges.select("src", "dst").collect()]
+    rows = graphstats.modularity(g.edges, labels).collect()
+    assert {
+        r["label"]: (r["intra_edges"], r["degree_sum"], r["q"]) for r in rows
+    } == _modularity_oracle(edges_vid, lab_map)
+    assert sum(r["q"] for r in rows) > 0.3  # two cliques: strongly modular
