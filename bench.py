@@ -125,6 +125,8 @@ OPERATOR_QUERIES = [
     "doc_tfidf_terms",
     "doc_stratified_sample",
     "harmonic_nations",
+    "link_dist_hist",
+    "modularity_nations",
     "scc_build_order",
     "link_reciprocity",
     "link_assortativity",
