@@ -186,6 +186,27 @@ class LinkGraph:
 
         return _kcore.coreness(self.graph, **kw)
 
+    def louvain(self, **kw) -> DataFrame:
+        """Louvain communities (modularity-maximizing) → (vid, label)."""
+        from .operators import louvain as _louvain
+
+        return _louvain.louvain(self.graph.edges, **kw).assignments
+
+    def modularity(self, labels: DataFrame) -> DataFrame:
+        """Newman modularity of a (vid, label) partition → per-community
+        (label, intra_edges, degree_sum, q); total Q = sum(q)."""
+        from .operators import graphstats as _gs
+
+        return _gs.modularity(self.graph.edges, labels)
+
+    def neighborhood_function(self, exact: bool = True, **kw) -> DataFrame:
+        """Distance distribution N(t) → (t, pairs); ``exact=False`` uses
+        the HyperANF HLL tier (the web-scale path)."""
+        from .operators import neighborhood as _nb
+
+        f = _nb.distance_distribution if exact else _nb.neighborhood_function_hll
+        return f(self.graph.edges, **kw)
+
     def harmonic_centrality(
         self, sources: list[int] | None = None, weighted: bool = False
     ) -> DataFrame:

@@ -67,6 +67,7 @@ class JobConfig:
     VALID_ALGOS = (
         "pagerank", "cc", "lpa", "triangles", "degrees", "sssp", "metrics",
         "scc", "build_order", "coreness", "harmonic", "stats", "clustering",
+        "louvain", "neighborhood",
     )
 
     @classmethod
@@ -174,6 +175,10 @@ def run(cfg: JobConfig, resume: bool = False) -> dict:
             df = lg.graph_stats()
         elif algo == "clustering":
             df = lg.with_keys(lg.clustering_coefficients())
+        elif algo == "louvain":
+            df = lg.with_keys(lg.louvain())
+        elif algo == "neighborhood":
+            df = lg.neighborhood_function()
         elif algo == "metrics":
             from pyspark.sql import functions as F
 

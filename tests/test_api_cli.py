@@ -216,6 +216,16 @@ def test_api_new_algorithms_surface(spark, tmp_path):
     cc_rows = lg.clustering_coefficients().collect()
     assert all(0.0 <= r["coefficient"] <= 1.0 for r in cc_rows)
 
+    comm = lg.louvain(max_rounds=6, max_levels=2)
+    q_rows = lg.modularity(comm).collect()
+    assert {r["vid"] for r in comm.collect()} == set(labels)
+    assert abs(sum(r["q"] for r in q_rows)) <= 1.0  # Q ∈ [-1, 1]
+
+    nf = {r["t"]: r["pairs"] for r in lg.neighborhood_function().collect()}
+    assert nf[0] == len(set(labels))  # t=0: self pairs
+    ts = sorted(nf)
+    assert all(nf[a] < nf[b] for a, b in zip(ts, ts[1:]))  # strictly grows
+
 
 def test_cli_new_algorithms(spark, tmp_path):
     """CLI runs the new algorithm names and writes one parquet per algo."""
@@ -224,11 +234,13 @@ def test_cli_new_algorithms(spark, tmp_path):
     cfg = JobConfig(
         corpus=str(tmp_path / "corpus.parquet"),
         output=str(tmp_path / "out"),
-        algorithms=["scc", "build_order", "stats", "clustering"],
+        algorithms=["scc", "build_order", "stats", "clustering", "louvain", "neighborhood"],
         num_blocks=4,
         master="local[4]",
     )
     summary = cli_run(cfg)
-    assert set(summary["outputs"]) == {"scc", "build_order", "stats", "clustering"}
+    assert set(summary["outputs"]) == {
+        "scc", "build_order", "stats", "clustering", "louvain", "neighborhood"
+    }
     for path in summary["outputs"].values():
         assert os.path.exists(os.path.join(path, "_SUCCESS"))
