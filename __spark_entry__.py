@@ -756,6 +756,24 @@ def q_doc_lsh_candidates(spark, sf_dir):
     )
 
 
+INCR_NEW_MOD = 10  # doc_id % 10 == 3 → the "this week's crawl" batch
+INCR_NEW_REM = 3
+
+
+def q_doc_incremental_dups(spark, sf_dir):
+    """Incremental dedup (dedup.lsh_candidates_against): near-dup
+    candidates of a NEW ingest batch against the EXISTING corpus — the
+    production dedup shape at 100 TB (new ⨝ corpus buckets only; the
+    corpus-internal quadratic term is never re-paid). Same portable
+    MinHash family as doc_lsh_candidates, so persisted corpus signatures
+    keep working across batches."""
+    docs = _t(spark, sf_dir, "documents")
+    is_new = (F.col("doc_id") % INCR_NEW_MOD) == INCR_NEW_REM
+    return dd.lsh_candidates_against(
+        docs.where(is_new), docs.where(~is_new), num_hashes=4, bands=2, n=3
+    )
+
+
 def q_doc_containment_pairs(spark, sf_dir):
     """Containment near-dups (dedup.containment_pairs): pairs where one
     doc's shingle set is ≥ 80% inside the other's — the
@@ -1140,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "doc_minhash": q_doc_minhash,
         "doc_lsh_candidates": q_doc_lsh_candidates,
+        "doc_incremental_dups": q_doc_incremental_dups,
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_dup_spans": q_doc_dup_spans,
         "doc_containment_pairs": q_doc_containment_pairs,
@@ -2389,6 +2408,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.id AS id_a, b.id AS id_b
             FROM buckets a
             JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+        """,
+        "doc_incremental_dups": f"""
+            WITH {_SHINGLES_CTE},
+            sig AS (
+                SELECT id,
+                       MIN({_PORTABLE_HASH.format(seed=0)}) AS mh_0,
+                       MIN({_PORTABLE_HASH.format(seed=1)}) AS mh_1,
+                       MIN({_PORTABLE_HASH.format(seed=2)}) AS mh_2,
+                       MIN({_PORTABLE_HASH.format(seed=3)}) AS mh_3
+                FROM sh GROUP BY id
+            ),
+            buckets AS (
+                SELECT id, 0 AS band,
+                       md5(concat(CAST(mh_0 AS VARCHAR), '|', CAST(mh_1 AS VARCHAR))) AS bucket
+                FROM sig
+                UNION ALL
+                SELECT id, 1 AS band,
+                       md5(concat(CAST(mh_2 AS VARCHAR), '|', CAST(mh_3 AS VARCHAR))) AS bucket
+                FROM sig
+            )
+            SELECT DISTINCT a.id, b.id AS corpus_id
+            FROM buckets a
+            JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+            WHERE a.id % {INCR_NEW_MOD} = {INCR_NEW_REM}
+              AND b.id % {INCR_NEW_MOD} <> {INCR_NEW_REM}
         """,
         "embed_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

@@ -99,6 +99,7 @@ OPERATOR_QUERIES = [
     "doc_tokens",
     "doc_jaccard_pairs",
     "doc_lsh_candidates",
+    "doc_incremental_dups",
     "doc_simhash_pairs",
     "embed_topk",
     "embed_ann",

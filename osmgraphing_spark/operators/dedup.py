@@ -193,6 +193,27 @@ def minhash_signatures(
     return sh.groupBy("id").agg(*aggs)
 
 
+def _band_buckets(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Signature frame → (id, band, bucket): one row per LSH band, bucket =
+    md5 over that band's minhash rows; a single projection + explode, no
+    re-derivation of the signature plan per band."""
+    rows_per_band = num_hashes // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [
+            F.col(f"mh_{i}").cast("string")
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket")
+            )
+        )
+    return sig.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     num_hashes: int = 16,
@@ -215,21 +236,7 @@ def lsh_candidate_pairs(
         minhash_signatures(docs, num_hashes, n, id_col, text_col, shingles_df),
         "lsh_sig",
     )
-    rows_per_band = num_hashes // bands
-    band_structs = []
-    for b in range(bands):
-        cols = [
-            F.col(f"mh_{i}").cast("string")
-            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-        ]
-        band_structs.append(
-            F.struct(
-                F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket")
-            )
-        )
-    all_buckets = sig.select(
-        "id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    all_buckets = _band_buckets(sig, num_hashes, bands)
     a = all_buckets.select("band", "bucket", F.col("id").alias("id_a"))
     b_ = all_buckets.select("band", "bucket", F.col("id").alias("id_b"))
     return (
@@ -237,6 +244,91 @@ def lsh_candidate_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: a NEW batch against an existing corpus
+# ---------------------------------------------------------------------------
+#
+# The production shape of dedup at 100 TB is rarely corpus × corpus — it is
+# "this week's crawl against everything already ingested". Both tiers below
+# join new-side keys against corpus-side keys ONLY, so the quadratic
+# corpus-internal term (already paid when the corpus was built) never
+# reappears: cost is O(|new| + matching corpus buckets), not O(|corpus|²).
+
+
+def exact_duplicates_against(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (id, corpus_id): new docs whose text already exists verbatim in
+    the corpus; corpus_id = the smallest matching corpus id (deterministic
+    witness). One digest groupBy on the corpus side, one hash join."""
+    nd = new_docs.select(
+        F.md5(F.col(text_col)).alias("digest"), F.col(id_col).alias("id")
+    )
+    cd = (
+        corpus.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col).alias("cid"))
+        .groupBy("digest")
+        .agg(F.min("cid").alias("corpus_id"))
+    )
+    return nd.join(cd, "digest").select("id", "corpus_id")
+
+
+def lsh_candidates_against(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates of the new batch AGAINST the corpus
+    → (id, corpus_id): new doc shares ≥1 full band with the corpus doc.
+    Signatures use the same portable hash family as `lsh_candidate_pairs`,
+    so a persisted corpus signature/bucket table keeps working across
+    ingest batches (recompute here is only for self-containedness). Each
+    side is scanned once; the join is new-buckets ⨝ corpus-buckets — never
+    corpus ⨝ corpus."""
+    sig_new = _materialize(
+        minhash_signatures(new_docs, num_hashes, n, id_col, text_col), "inc_sig_new"
+    )
+    sig_cor = _materialize(
+        minhash_signatures(corpus, num_hashes, n, id_col, text_col), "inc_sig_cor"
+    )
+    nb = _band_buckets(sig_new, num_hashes, bands)
+    cb = _band_buckets(sig_cor, num_hashes, bands).select(
+        "band", "bucket", F.col("id").alias("corpus_id")
+    )
+    return (
+        nb.join(cb, ["band", "bucket"])
+        .select("id", "corpus_id")
+        .distinct()
+    )
+
+
+def filter_new_against(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The ingest gate: new docs surviving BOTH tiers (no verbatim copy in
+    the corpus, no shared LSH band) — two anti-joins on the id."""
+    exact = exact_duplicates_against(new_docs, corpus, id_col, text_col)
+    near = lsh_candidates_against(
+        new_docs, corpus, num_hashes, bands, n, id_col, text_col
+    )
+    hits = exact.select("id").unionByName(near.select("id")).distinct()
+    return new_docs.join(
+        hits.withColumnRenamed("id", id_col), id_col, "left_anti"
     )
 
 

@@ -411,3 +411,43 @@ def test_sample_rows_deterministic_and_partition_invariant(spark):
     assert 0.07 < len(a) / 10_000 < 0.13  # ~fraction
     assert sampling.sample_edges(df, 0.0).count() == 0
     assert sampling.sample_edges(df, 1.0).count() == 10_000
+
+
+def test_incremental_exact_and_lsh_against(spark, docs):
+    """Incremental tiers: new batch {1, 2, 4} vs corpus {0, 3, 5, 6} —
+    doc 1 is a verbatim copy of corpus doc 0, doc 2 a near-dup of it,
+    doc 4 unrelated."""
+    new = docs.where(F.col("doc_id").isin(1, 2, 4))
+    corpus = docs.where(~F.col("doc_id").isin(1, 2, 4))
+
+    exact = {(r["id"], r["corpus_id"]) for r in
+             dd.exact_duplicates_against(new, corpus).collect()}
+    assert exact == {(1, 0)}
+
+    near = {(r["id"], r["corpus_id"]) for r in
+            dd.lsh_candidates_against(new, corpus, num_hashes=8, bands=4).collect()}
+    assert (1, 0) in near          # exact copy always shares every band
+    assert all(i in (1, 2, 4) and c not in (1, 2, 4) for i, c in near)
+
+    survivors = {r["doc_id"] for r in
+                 dd.filter_new_against(new, corpus, num_hashes=8, bands=4).collect()}
+    assert 1 not in survivors      # verbatim dup gated
+    assert 4 in survivors          # unrelated text passes
+
+
+def test_incremental_agrees_with_symmetric_lsh(spark, docs):
+    """new-vs-corpus candidates must be exactly the symmetric LSH pairs
+    that cross the split (same hash family, same banding)."""
+    new_ids = {1, 2, 4}
+    pairs = dd.lsh_candidate_pairs(docs, num_hashes=8, bands=4).collect()
+    want = set()
+    for r in pairs:
+        a, b = r["id_a"], r["id_b"]
+        if (a in new_ids) != (b in new_ids):
+            n, c = (a, b) if a in new_ids else (b, a)
+            want.add((n, c))
+    new = docs.where(F.col("doc_id").isin(*new_ids))
+    corpus = docs.where(~F.col("doc_id").isin(*new_ids))
+    got = {(r["id"], r["corpus_id"]) for r in
+           dd.lsh_candidates_against(new, corpus, num_hashes=8, bands=4).collect()}
+    assert got == want
