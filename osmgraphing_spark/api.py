@@ -186,6 +186,25 @@ class LinkGraph:
 
         return _kcore.coreness(self.graph, **kw)
 
+    def betweenness(
+        self, sources: list[int] | None = None, scale: bool = True, **kw
+    ) -> DataFrame:
+        """Brandes betweenness → (vid, betweenness); ``sources=None`` uses
+        every vertex as a pivot (exact — only sane on small graphs; at
+        scale pass a deterministic landmark sample and the n/k estimator
+        normalization applies when ``scale``)."""
+        from .operators import betweenness as _bt
+
+        if sources is None:
+            sources = [r["vid"] for r in self.graph.vertices.select("vid").collect()]
+            scale = False
+        return _bt.betweenness(
+            self.graph.edges,
+            sources,
+            scale_to_n=self.graph.num_vertices if scale else None,
+            **kw,
+        )
+
     def louvain(self, **kw) -> DataFrame:
         """Louvain communities (modularity-maximizing) → (vid, label)."""
         from .operators import louvain as _louvain

@@ -226,6 +226,9 @@ def test_api_new_algorithms_surface(spark, tmp_path):
     ts = sorted(nf)
     assert all(nf[a] < nf[b] for a, b in zip(ts, ts[1:]))  # strictly grows
 
+    btw = {r["vid"]: r["betweenness"] for r in lg.betweenness().collect()}
+    assert btw and all(v > 0 for v in btw.values())  # absent = 0 convention
+
 
 def test_cli_new_algorithms(spark, tmp_path):
     """CLI runs the new algorithm names and writes one parquet per algo."""
