@@ -67,8 +67,9 @@ class JobConfig:
     VALID_ALGOS = (
         "pagerank", "cc", "lpa", "triangles", "degrees", "sssp", "metrics",
         "scc", "build_order", "coreness", "harmonic", "stats", "clustering",
-        "louvain", "neighborhood",
+        "louvain", "neighborhood", "betweenness",
     )
+    betweenness: dict = field(default_factory=dict)
 
     @classmethod
     def from_file(cls, path: str) -> "JobConfig":
@@ -179,6 +180,15 @@ def run(cfg: JobConfig, resume: bool = False) -> dict:
             df = lg.with_keys(lg.louvain())
         elif algo == "neighborhood":
             df = lg.neighborhood_function()
+        elif algo == "betweenness":
+            opts = dict(cfg.betweenness)
+            keys = opts.pop("sources", None)
+            if keys:
+                verts = lg.graph.vertices
+                opts["sources"] = [
+                    r["vid"] for r in verts.where(verts["key"].isin(list(keys))).collect()
+                ]
+            df = lg.with_keys(lg.betweenness(**opts))
         elif algo == "metrics":
             from pyspark.sql import functions as F
 

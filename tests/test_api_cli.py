@@ -237,13 +237,17 @@ def test_cli_new_algorithms(spark, tmp_path):
     cfg = JobConfig(
         corpus=str(tmp_path / "corpus.parquet"),
         output=str(tmp_path / "out"),
-        algorithms=["scc", "build_order", "stats", "clustering", "louvain", "neighborhood"],
+        algorithms=[
+            "scc", "build_order", "stats", "clustering", "louvain",
+            "neighborhood", "betweenness",
+        ],
         num_blocks=4,
         master="local[4]",
     )
     summary = cli_run(cfg)
     assert set(summary["outputs"]) == {
-        "scc", "build_order", "stats", "clustering", "louvain", "neighborhood"
+        "scc", "build_order", "stats", "clustering", "louvain",
+        "neighborhood", "betweenness",
     }
     for path in summary["outputs"].values():
         assert os.path.exists(os.path.join(path, "_SUCCESS"))
