@@ -187,6 +187,12 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
             F.coalesce("lb", F.col("b")).alias("lb"),
         )
     )
+    # materialize ONCE: three consumers below (two union branches + intra)
+    # would otherwise each recompute the dedup + both label joins — at
+    # corpus scale that's 3× the dominant cost (caught by the plan test)
+    from ..plans.checkpoint import EphemeralTruncator
+
+    lab = EphemeralTruncator(edges.sparkSession, "modularity-lab").truncate(lab)
     m = lab.count()
     if m == 0:
         raise ValueError("modularity of an empty edge set is undefined")

@@ -338,3 +338,69 @@ def test_stratified_sample_prefilter_before_window(spark):
     assert "500000" in plan[window_at:] or "500000" in plan[:window_at]
     filter_at = plan.index("500000")
     assert filter_at > window_at  # executedPlan prints top-down: deeper = later
+
+
+def test_modularity_exchange_budget(spark):
+    """graphstats.modularity must shuffle at most 5× (canonical-edge
+    dedup, two vid-keyed label joins, the endpoint-union label groupBy,
+    the intra groupBy + final label join share partitioning) and keep the
+    community aggregate algebraic — no window, no collect, and dimension
+    joins may broadcast (batch op, not loop-scoped)."""
+    from osmgraphing_spark.operators import graphstats
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3)], "src long, dst long"
+    )
+    labels = spark.createDataFrame(
+        [(i, i % 2) for i in range(4)], "vid long, label long"
+    )
+    plan = _plan(graphstats.modularity(edges, labels))
+    n_exchange = sum("Exchange hashpartitioning" in ln for ln in plan.splitlines())
+    assert n_exchange <= 5, f"{n_exchange} exchanges in modularity:\n{plan}"
+    assert "Window" not in plan, plan
+
+
+def test_neighborhood_round_exchange_budget(spark):
+    """One exact-tier sketch-merge round (edge ⨝ state + bit_or groupBy)
+    must shuffle only state-sized frames and at most 2× beyond the resting
+    edge layout, with the bit_or computed as a partial_bit_or map-side
+    combine (the hub-skew guard) and no broadcast under loop policy."""
+    from pyspark.sql import Window as W
+
+    g, _, _ = build_fixture(spark, ("small", "stuttgart"))
+    with iterative_conf(spark):
+        e = (
+            g.edges.select("src", "dst")
+            .join(
+                g.vertices.select(F.col("vid").alias("dst")), "dst"
+            )
+            .select(F.col("src").alias("vid"), F.col("dst").alias("nbr"))
+            .repartition("nbr")
+            .persist()
+        )
+        e.count()
+        idx = g.vertices.select(
+            F.col("vid"),
+            (F.col("vid") / 64).cast("int").alias("word"),
+            F.expr("shiftleft(cast(1 as bigint), cast(vid % 64 as int))").alias("bits"),
+        )
+        state = idx
+        pulled = e.join(state.withColumnRenamed("vid", "nbr"), "nbr").select(
+            "vid", "word", "bits"
+        )
+        merged = (
+            state.unionByName(pulled)
+            .groupBy("vid", "word")
+            .agg(F.bit_or("bits").alias("bits"))
+        )
+        plan = _plan(merged)
+        e.unpersist()
+    lines = plan.splitlines()
+    cut = next(
+        (i for i, ln in enumerate(lines) if "InMemoryTableScan" in ln), len(lines)
+    )
+    prefix = lines[:cut]
+    n_exchange = sum("Exchange hashpartitioning" in ln for ln in prefix)
+    assert n_exchange <= 2, f"{n_exchange} exchanges in NF round:\n{plan}"
+    assert not any("BroadcastExchange" in ln for ln in prefix), plan
+    assert "partial_bit_or" in plan or "partial bit_or" in plan.lower(), plan
