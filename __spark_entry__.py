@@ -990,6 +990,27 @@ def q_harmonic_nations(spark, sf_dir):
     )
 
 
+def q_betweenness_nations(spark, sf_dir):
+    """Betweenness centrality (operators/betweenness: k-pivot Brandes as
+    two BSP sweeps) in EXACT mode — every nation a pivot — on the directed
+    ring/spine digraph. The oracle recomputes it from the pair-dependency
+    identity b(v) = Σ_{s≠v≠t} σ(s,v)·σ(v,t)/σ(s,t) over triples where
+    d(s,v)+d(v,t)=d(s,t), with σ counted by shortest-walk enumeration —
+    an entirely different formulation than the Spark backward sweep, so
+    agreement pins both the BFS σ counting and the δ accumulation."""
+    from osmgraphing_spark.operators import betweenness as btw_op
+
+    e = _nation_ring_edges(spark, sf_dir)
+    sources = [
+        int(r[0])
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    res = btw_op.betweenness(e, sources=sorted(sources))
+    return res.select(
+        F.col("vid").cast("int").alias("node_id"), "betweenness"
+    )
+
+
 KCORE_K = 10
 KCORE_ROUNDS = 2
 
@@ -1125,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_dist_hist": q_link_dist_hist,
         "modularity_nations": q_modularity_nations,
         "scc_build_order": q_scc_build_order,
+        "betweenness_nations": q_betweenness_nations,
         "link_reciprocity": q_link_reciprocity,
         "link_assortativity": q_link_assortativity,
         "link_clustering": q_link_clustering,
@@ -1955,6 +1977,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT verts.v AS node_id, LEAST(verts.v, COALESCE(MIN(w), verts.v)) AS scc
             FROM verts LEFT JOIN mutual ON mutual.v = verts.v
             GROUP BY verts.v
+        """,
+        # Betweenness via the pair-dependency identity (Brandes 2001, eq. σ_st(v)
+        # = σ_sv·σ_vt when d(s,v)+d(v,t)=d(s,t)): enumerate shortest walks to
+        # get d and σ, then one triple self-join — independent of the Spark
+        # side's forward/backward sweep formulation. Walk cap 40 ≥ diameter.
+        "betweenness_nations": f"""
+            WITH RECURSIVE {_NATION_RING_CTES},
+            walk(source, vid, hops) AS (
+                SELECT n_nationkey, n_nationkey, 0 FROM nation
+                UNION ALL
+                SELECT p.source, e.dst, p.hops + 1
+                FROM walk p JOIN e ON e.src = p.vid
+                WHERE p.hops < 40
+            ),
+            d AS (
+                SELECT source, vid, MIN(hops) AS dist
+                FROM walk GROUP BY source, vid
+            ),
+            sig AS (
+                SELECT w.source, w.vid, d.dist,
+                       CAST(COUNT(*) AS DOUBLE) AS sigma
+                FROM walk w
+                JOIN d ON w.source = d.source AND w.vid = d.vid
+                      AND w.hops = d.dist
+                GROUP BY w.source, w.vid, d.dist
+            )
+            SELECT CAST(sv.vid AS INTEGER) AS node_id,
+                   ROUND(SUM(sv.sigma * vt.sigma / st.sigma), 6) AS betweenness
+            FROM sig sv
+            JOIN sig vt ON vt.source = sv.vid
+            JOIN sig st ON st.source = sv.source AND st.vid = vt.vid
+            WHERE sv.source <> sv.vid
+              AND vt.source <> vt.vid
+              AND sv.source <> vt.vid
+              AND sv.dist + vt.dist = st.dist
+            GROUP BY sv.vid
+            HAVING SUM(sv.sigma * vt.sigma / st.sigma) > 0
         """,
         "link_reciprocity": f"""
             WITH {_NATION_RING_CTES},
