@@ -1011,6 +1011,41 @@ def q_betweenness_nations(spark, sf_dir):
     )
 
 
+TRUSS_K = 4
+TRUSS_ROUNDS = 2
+
+
+def q_truss_nations(spark, sf_dir):
+    """k-truss (operators/truss: triangle-support peel, bounded rounds so
+    the DuckDB oracle is a finite CTE chain — peeling is idempotent at the
+    fixpoint, so early convergence matches a bigger budget exactly) at
+    k=TRUSS_K on the mixed nation graph; surviving canonical edges with
+    their support inside the surviving subgraph."""
+    from osmgraphing_spark.operators import truss as truss_op
+
+    res = truss_op.truss_edges(
+        _nation_mixed_edges(spark, sf_dir), k=TRUSS_K, rounds=TRUSS_ROUNDS
+    )
+    return res.select(
+        F.col("a").cast("int").alias("a"),
+        F.col("b").cast("int").alias("b"),
+        "support",
+    )
+
+
+def q_closeness_nations(spark, sf_dir):
+    """Inbound closeness centrality (operators/sssp.closeness_centrality):
+    r(v)/Σd(s,v) over weighted shortest paths on the nation digraph, every
+    vertex a source (exact mode; at scale: landmark sample) — the same
+    single multi-source BSP run as harmonic, different final aggregate."""
+    g = build_graph(_nation_weighted_raw_edges(spark, sf_dir), num_blocks=4)
+    res = sssp_op.closeness_centrality(g, weighted=True)
+    out = _vid_to_nationkey(g, res, ["vid"])
+    return out.select(
+        F.col("vid").cast("int").alias("n_nationkey"), "n_reach", "closeness"
+    )
+
+
 KCORE_K = 10
 KCORE_ROUNDS = 2
 
@@ -1147,6 +1182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_nations": q_modularity_nations,
         "scc_build_order": q_scc_build_order,
         "betweenness_nations": q_betweenness_nations,
+        "truss_nations": q_truss_nations,
+        "closeness_nations": q_closeness_nations,
         "link_reciprocity": q_link_reciprocity,
         "link_assortativity": q_link_assortativity,
         "link_clustering": q_link_clustering,
@@ -1331,6 +1368,56 @@ _NATION_RING_CTES = """
         SELECT src, dst FROM crosse WHERE dst IS NOT NULL
     )
 """
+
+
+def _truss_sql(k: int, rounds: int) -> str:
+    """Chained-CTE replay of truss_edges(k, rounds) on the mixed nation
+    graph: per round, count each canonical triangle (x<y<z, one row each —
+    no orientation needed at oracle scale) into its three edges, keep
+    support ≥ k−2; after the last round recount support inside the
+    survivors (the operator's reporting contract)."""
+    parts = [
+        f"WITH {_NATION_RING_CTES},",
+        """
+        m AS (
+            SELECT src, dst FROM e
+            UNION
+            SELECT a.n_nationkey, b.n_nationkey
+            FROM nation a JOIN nation b
+              ON a.n_regionkey = b.n_regionkey
+             AND a.n_nationkey <> b.n_nationkey
+        ),
+        live0 AS (
+            SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM m WHERE src <> dst
+        )""",
+    ]
+    for r in range(rounds + 1):
+        parts.append(f""",
+        tri{r} AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM live{r} e1
+            JOIN live{r} e2 ON e1.a = e2.a AND e1.b < e2.b
+            JOIN live{r} e3 ON e3.a = e1.b AND e3.b = e2.b
+        ),
+        sup{r} AS (
+            SELECT l.a, l.b, COALESCE(c.n, 0) AS support
+            FROM live{r} l LEFT JOIN (
+                SELECT a, b, COUNT(*) AS n FROM (
+                    SELECT x AS a, y AS b FROM tri{r}
+                    UNION ALL SELECT x, z FROM tri{r}
+                    UNION ALL SELECT y, z FROM tri{r}
+                ) GROUP BY a, b
+            ) c ON c.a = l.a AND c.b = l.b
+        ),
+        live{r + 1} AS (
+            SELECT a, b FROM sup{r} WHERE support >= {k - 2}
+        )""")
+    parts.append(f"""
+        SELECT CAST(a AS INTEGER) AS a, CAST(b AS INTEGER) AS b, support
+        FROM sup{rounds}
+    """)
+    return "".join(parts)
 
 
 def _walks_sql(length: int = 3, wpv: int = 2) -> str:
@@ -2615,6 +2702,32 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(cnt / AVG(cnt) OVER (), 6) AS cnt_n,
                    ROUND(qty / AVG(qty) OVER (), 6) AS qty_n
             FROM m
+        """,
+        "truss_nations": _truss_sql(TRUSS_K, TRUSS_ROUNDS),
+        "closeness_nations": """
+            WITH RECURSIVE e AS (
+                SELECT a.n_nationkey AS src, b.n_nationkey AS dst,
+                       1.0 + ((a.n_nationkey * 7 + b.n_nationkey) % 5) AS w
+                FROM nation a JOIN nation b
+                  ON a.n_regionkey = b.n_regionkey
+                 AND a.n_nationkey <> b.n_nationkey
+            ),
+            walk(source, vid, dist, hops) AS (
+                SELECT n_nationkey, n_nationkey, CAST(0 AS DOUBLE), 0
+                FROM nation
+                UNION ALL
+                SELECT p.source, e.dst, p.dist + e.w, p.hops + 1
+                FROM walk p JOIN e ON e.src = p.vid
+                WHERE p.hops < 6
+            ),
+            d AS (
+                SELECT source, vid, MIN(dist) AS dist
+                FROM walk GROUP BY source, vid
+            )
+            SELECT CAST(vid AS INTEGER) AS n_nationkey,
+                   COUNT(*) AS n_reach,
+                   ROUND(COUNT(*) / SUM(dist), 6) AS closeness
+            FROM d WHERE source <> vid GROUP BY vid
         """,
         "harmonic_nations": """
             WITH RECURSIVE e AS (

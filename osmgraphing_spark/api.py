@@ -186,6 +186,13 @@ class LinkGraph:
 
         return _kcore.coreness(self.graph, **kw)
 
+    def truss(self, k: int, **kw) -> DataFrame:
+        """k-truss (triangle-support peel) → surviving canonical edges
+        (a, b, support) with support inside the surviving subgraph."""
+        from .operators import truss as _truss
+
+        return _truss.truss_edges(self.graph.edges, k, **kw)
+
     def betweenness(
         self, sources: list[int] | None = None, scale: bool = True, **kw
     ) -> DataFrame:
@@ -232,6 +239,15 @@ class LinkGraph:
         """Inbound harmonic centrality (exact, or landmark-sampled via
         `sources`) → (vid, harmonic)."""
         return _sssp.harmonic_centrality(self.graph, sources=sources, weighted=weighted)
+
+    def closeness_centrality(
+        self, sources: list[int] | None = None, weighted: bool = False
+    ) -> DataFrame:
+        """Inbound closeness r(v)/Σd (exact, or landmark-sampled via
+        `sources`) → (vid, n_reach, closeness)."""
+        return _sssp.closeness_centrality(
+            self.graph, sources=sources, weighted=weighted
+        )
 
     def graph_stats(self) -> DataFrame:
         """One-row shape summary: edges, reciprocity, degree assortativity."""

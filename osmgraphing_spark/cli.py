@@ -66,10 +66,11 @@ class JobConfig:
 
     VALID_ALGOS = (
         "pagerank", "cc", "lpa", "triangles", "degrees", "sssp", "metrics",
-        "scc", "build_order", "coreness", "harmonic", "stats", "clustering",
-        "louvain", "neighborhood", "betweenness",
+        "scc", "build_order", "coreness", "harmonic", "closeness", "stats",
+        "clustering", "louvain", "neighborhood", "betweenness", "truss",
     )
     betweenness: dict = field(default_factory=dict)
+    truss: dict = field(default_factory=lambda: {"k": 4})
 
     @classmethod
     def from_file(cls, path: str) -> "JobConfig":
@@ -172,6 +173,10 @@ def run(cfg: JobConfig, resume: bool = False) -> dict:
             df = lg.with_keys(lg.coreness())
         elif algo == "harmonic":
             df = lg.with_keys(lg.harmonic_centrality())
+        elif algo == "closeness":
+            df = lg.with_keys(lg.closeness_centrality())
+        elif algo == "truss":
+            df = lg.truss(**cfg.truss)
         elif algo == "stats":
             df = lg.graph_stats()
         elif algo == "clustering":

@@ -270,6 +270,36 @@ def harmonic_centrality(
     )
 
 
+def closeness_centrality(
+    graph: Graph,
+    sources: list[int] | None = None,
+    weighted: bool = False,
+    max_iter: int = 100,
+) -> DataFrame:
+    """→ (vid, n_reach, closeness): inbound closeness in the
+    disconnected-graph-safe Lin/Wasserman–Faust form,
+
+        c(v) = r(v) / Σ_{s ∈ sources, s ≠ v, d(s,v) < ∞} d(s, v)
+
+    with r(v) = |{s ≠ v : d(s,v) < ∞}| — the raw reach count is returned
+    alongside so callers can apply the (r/(n-1))² connectedness weight of
+    the classic estimator themselves. Same landmark discipline and the
+    same single multi-source BSP run as ``harmonic_centrality`` (the two
+    differ only in the final aggregate); vertices no source reaches are
+    absent (centrality 0)."""
+    if sources is None:
+        sources = [r["vid"] for r in graph.vertices.select("vid").collect()]
+    d = run(graph, sources, weighted=weighted, max_iter=max_iter)
+    return (
+        d.where((F.col("source") != F.col("vid")) & (F.col("dist") > 0))
+        .groupBy("vid")
+        .agg(
+            F.count("*").alias("n_reach"),
+            F.round(F.count("*") / F.sum("dist"), 6).alias("closeness"),
+        )
+    )
+
+
 def route_costs(graph: Graph, pairs: DataFrame, weighted: bool = True) -> DataFrame:
     """(src, dst) pairs → (src, dst, cost) keeping only pairs with a real
     path — the reference generator's contract (random_or_all.rs:32-158),

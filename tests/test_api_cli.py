@@ -229,6 +229,15 @@ def test_api_new_algorithms_surface(spark, tmp_path):
     btw = {r["vid"]: r["betweenness"] for r in lg.betweenness().collect()}
     assert btw and all(v > 0 for v in btw.values())  # absent = 0 convention
 
+    clo = {r["vid"]: r["closeness"] for r in lg.closeness_centrality().collect()}
+    assert clo and all(c > 0 for c in clo.values())
+
+    # k=2 demands support >= 0: the 2-truss is the whole canonical simple
+    # edge set, each edge with its triangle support
+    tr = {(r["a"], r["b"]): r["support"] for r in lg.truss(k=2).collect()}
+    canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    assert set(tr) == canon and all(s >= 0 for s in tr.values())
+
 
 def test_cli_new_algorithms(spark, tmp_path):
     """CLI runs the new algorithm names and writes one parquet per algo."""
@@ -239,15 +248,16 @@ def test_cli_new_algorithms(spark, tmp_path):
         output=str(tmp_path / "out"),
         algorithms=[
             "scc", "build_order", "stats", "clustering", "louvain",
-            "neighborhood", "betweenness",
+            "neighborhood", "betweenness", "closeness", "truss",
         ],
+        truss={"k": 2},
         num_blocks=4,
         master="local[4]",
     )
     summary = cli_run(cfg)
     assert set(summary["outputs"]) == {
         "scc", "build_order", "stats", "clustering", "louvain",
-        "neighborhood", "betweenness",
+        "neighborhood", "betweenness", "closeness", "truss",
     }
     for path in summary["outputs"].values():
         assert os.path.exists(os.path.join(path, "_SUCCESS"))
