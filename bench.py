@@ -126,6 +126,9 @@ OPERATOR_QUERIES = [
     "doc_tfidf_terms",
     "doc_stratified_sample",
     "harmonic_nations",
+    "closeness_nations",
+    "betweenness_nations",
+    "truss_nations",
     "link_dist_hist",
     "modularity_nations",
     "scc_build_order",

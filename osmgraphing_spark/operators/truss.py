@@ -55,11 +55,18 @@ def _canonical(edges: DataFrame) -> DataFrame:
     )
 
 
-def _support(live: DataFrame) -> DataFrame:
+def _support(live: DataFrame, trunc: EphemeralTruncator | None = None) -> DataFrame:
     """→ (a, b, support) for every live edge (support 0 kept explicit).
 
     Triangles are enumerated once each via the min-(degree, vid) apex
-    orientation, then credited to their three canonical edges."""
+    orientation, then credited to their three canonical edges. The
+    oriented frame is consumed by BOTH wedge-join scans, so it is
+    materialized through a parquet round-trip (the triangles.py
+    discipline — file bytes are re-read instead of the degree joins being
+    recomputed per consumer, and no executor-storage blocks outlive the
+    pass)."""
+    if trunc is None:
+        trunc = EphemeralTruncator(live.sparkSession, "truss-oriented")
     sym = live.unionAll(
         live.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
@@ -68,22 +75,34 @@ def _support(live: DataFrame) -> DataFrame:
         sym.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("adeg")), "a")
         .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("bdeg")), "b")
     )
-    o = e.where(
-        (F.col("adeg") < F.col("bdeg"))
-        | ((F.col("adeg") == F.col("bdeg")) & (F.col("a") < F.col("b")))
-    ).select("a", "b")
+    o = trunc.truncate(
+        e.where(
+            (F.col("adeg") < F.col("bdeg"))
+            | ((F.col("adeg") == F.col("bdeg")) & (F.col("a") < F.col("b")))
+        ).select("a", "b")
+    )
     w1 = o.select(F.col("a").alias("x"), F.col("b").alias("y"))
     w2 = o.select(F.col("a").alias("x"), F.col("b").alias("z"))
     wedges = w1.join(w2, "x").where(F.col("y") < F.col("z"))
     tris = wedges.join(live.select(F.col("a").alias("y"), F.col("b").alias("z")),
                        ["y", "z"], "left_semi")
+    # one scan of the triangle stream (an explode, not a 3-way union whose
+    # branches would each recompute the wedge join), then one algebraic count
     credit = (
-        tris.select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
-        .unionAll(
-            tris.select(F.least("x", "z").alias("a"), F.greatest("x", "z").alias("b"))
+        tris.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+                    ),
+                    F.struct(
+                        F.least("x", "z").alias("a"), F.greatest("x", "z").alias("b")
+                    ),
+                    F.struct(F.col("y").alias("a"), F.col("z").alias("b")),
+                )
+            ).alias("t")
         )
-        .unionAll(tris.select("y", "z").withColumnRenamed("y", "a")
-                  .withColumnRenamed("z", "b"))
+        .select("t.a", "t.b")
         .groupBy("a", "b")
         .agg(F.count("*").alias("support"))
     )
@@ -114,12 +133,13 @@ def _peel_loop(edges, k, rounds, truncate_every):
     scope = BlockScope(spark)
     t_live = EphemeralTruncator(spark, "truss-live")
     t_res = EphemeralTruncator(spark, "truss-result")
+    t_orient = EphemeralTruncator(spark, "truss-oriented")
 
     live = t_live.truncate(_canonical(edges))
     n_prev = live.count()
     r = 0
     while rounds is None or r < rounds:
-        sup = _support(live)
+        sup = _support(live, t_orient)
         live = sup.where(F.col("support") >= k - 2).select("a", "b")
         r += 1
         boundary = r % truncate_every == 0 or (rounds is not None and r >= rounds)
@@ -134,6 +154,6 @@ def _peel_loop(edges, k, rounds, truncate_every):
         if n_live == n_prev:
             break  # fixpoint: another round reproduces the same edge set
         n_prev = n_live
-    result = t_res.truncate(_support(live))
+    result = t_res.truncate(_support(live, t_orient))
     scope.release_new()
     return result

@@ -220,6 +220,34 @@ def test_kcore_round_exchange_budget(spark, tmp_path):
     assert "BroadcastExchange" not in plan, plan
 
 
+def test_truss_support_pass_exchange_budget(spark, tmp_path):
+    """One k-truss support pass on truncation-backed live edges must
+    shuffle at most 5 times — wedge apex (the second wedge side reuses the
+    first's exchange), the two closing semi-join sides, the per-edge credit
+    count (a single explode scan of the triangle stream, NOT a 3-way union
+    that would recompute the wedge join per branch), and the final
+    live-⨝-credit — with no BroadcastExchange (loop policy)."""
+    import random
+
+    from osmgraphing_spark.operators import truss as tr
+
+    rng = random.Random(3)
+    edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(120)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with iterative_conf(spark):
+        ldir = str(tmp_path / "truss_live")
+        tr._canonical(df).write.mode("overwrite").parquet(ldir)
+        live = spark.read.parquet(ldir)
+        plan = _plan(tr._support(live))
+    real = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "ReusedExchange" not in ln
+    ]
+    assert len(real) <= 5, f"{len(real)} exchanges in truss support pass:\n{plan}"
+    assert "BroadcastExchange" not in plan, plan
+
+
 def test_adamic_adar_cap_below_wedge_join(spark):
     """The max_center_degree cut must land BELOW the wedge self-join: the
     physical plan's join inputs are already degree-filtered (the deg² hub
