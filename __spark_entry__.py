@@ -1011,6 +1011,26 @@ def q_betweenness_nations(spark, sf_dir):
     )
 
 
+COPURCHASE_MIN = 5
+COPURCHASE_MAX_PD = 45
+
+
+def q_link_copurchase(spark, sf_dir):
+    """Bipartite projection (operators/linkpred.bipartite_project): the
+    customer co-purchase graph — customer pairs sharing ≥ COPURCHASE_MIN
+    distinct parts, jaccard over the full partner sets, with hot parts
+    (degree > COPURCHASE_MAX_PD) cut BEFORE the deg² self-join (the
+    adamic_adar/max_df hub discipline; the oracle applies the same cut)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return linkpred.bipartite_project(
+        e, min_shared=COPURCHASE_MIN, max_partner_degree=COPURCHASE_MAX_PD
+    )
+
+
 TRUSS_K = 4
 TRUSS_ROUNDS = 2
 
@@ -1171,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_edges": q_link_edges,
         "link_degrees": q_link_degrees,
         "link_adamic_adar": q_link_adamic_adar,
+        "link_copurchase": q_link_copurchase,
         "link_degree_hist": q_link_degree_hist,
         "link_edge_sample": q_link_edge_sample,
         "part_type_revenue": q_part_type_revenue,
@@ -1927,6 +1948,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(length(CAST(deg AS VARCHAR)) AS INT) AS magnitude,
                    COUNT(*) AS n_vertices, MIN(deg) AS min_deg, MAX(deg) AS max_deg
             FROM deg GROUP BY 1
+        """,
+        "link_copurchase": f"""
+            WITH e AS (
+                SELECT DISTINCT o_custkey AS m, l_partkey AS p
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            ),
+            pd AS (
+                SELECT p FROM e GROUP BY p
+                HAVING COUNT(*) <= {COPURCHASE_MAX_PD}
+            ),
+            nb AS (SELECT e.m, e.p FROM e JOIN pd ON e.p = pd.p),
+            sh AS (
+                SELECT a.m AS u, b.m AS v, COUNT(*) AS shared
+                FROM nb a JOIN nb b ON a.p = b.p AND a.m < b.m
+                GROUP BY a.m, b.m
+                HAVING COUNT(*) >= {COPURCHASE_MIN}
+            ),
+            md AS (SELECT m, COUNT(*) AS d FROM e GROUP BY m)
+            SELECT sh.u, sh.v, sh.shared,
+                   ROUND(CAST(sh.shared AS DOUBLE)
+                         / (du.d + dv.d - sh.shared), 6) AS jaccard
+            FROM sh JOIN md du ON du.m = sh.u JOIN md dv ON dv.m = sh.v
         """,
         "link_adamic_adar": f"""
             WITH e AS ({SQL_BIPARTITE_EDGES}),

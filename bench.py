@@ -111,6 +111,7 @@ OPERATOR_QUERIES = [
     "doc_dup_clusters",
     "doc_containment_pairs",
     "link_adamic_adar",
+    "link_copurchase",
     "link_degree_hist",
     "link_edge_sample",
     "part_type_revenue",

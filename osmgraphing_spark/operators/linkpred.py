@@ -99,3 +99,53 @@ def adamic_adar_edges(
             "left_anti",
         )
     return scored
+
+
+def bipartite_project(
+    edges: DataFrame,
+    min_shared: int = 1,
+    max_partner_degree: int | None = None,
+) -> DataFrame:
+    """Project a bipartite (member ``src``, partner ``dst``) edge list onto
+    the member side → (u, v, shared, jaccard) for member pairs u < v with
+    ≥ ``min_shared`` partners in common; jaccard = |P(u) ∩ P(v)| /
+    |P(u) ∪ P(v)| over the partner sets (the co-purchase / co-citation /
+    shared-dependency graph — Newman 2001 collaboration projections).
+
+    Scale contract (100 TB): a partner of degree D fans out D² projected
+    pairs — hub partners ARE the job. ``max_partner_degree`` drops them
+    BEFORE the self-join (the adamic_adar cap discipline), which is also
+    the principled estimator: a partner shared by millions of members
+    carries ~zero association signal. Jaccard denominators use the TRUE
+    member degrees (full partner sets), so the cap only thins the shared
+    count — documented estimator semantics, not silent truncation. The
+    distinct edge list is materialized once (parquet round-trip) and
+    reused by both degree counts and both wedge legs."""
+    e = EphemeralTruncator(edges.sparkSession, "biproj").truncate(
+        edges.select("src", "dst").distinct()
+    )
+    pdeg = e.groupBy("dst").agg(F.count("*").alias("pd"))
+    if max_partner_degree is not None:
+        pdeg = pdeg.where(F.col("pd") <= max_partner_degree)
+    nb = e.join(pdeg.select("dst"), "dst").select(
+        F.col("dst").alias("p"), F.col("src").alias("m")
+    )
+    shared = (
+        nb.select("p", F.col("m").alias("u"))
+        .join(nb.select("p", F.col("m").alias("v")), "p")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    mdeg = e.groupBy("src").agg(F.count("*").alias("md"))
+    return (
+        shared.join(mdeg.select(F.col("src").alias("u"), F.col("md").alias("du")), "u")
+        .join(mdeg.select(F.col("src").alias("v"), F.col("md").alias("dv")), "v")
+        .select(
+            "u", "v", "shared",
+            F.round(
+                F.col("shared") / (F.col("du") + F.col("dv") - F.col("shared")), 6
+            ).alias("jaccard"),
+        )
+    )

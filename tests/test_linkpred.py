@@ -91,3 +91,52 @@ def test_adamic_adar_excludes_existing_edges(spark):
     vid = {r["key"]: r["vid"] for r in g.vertices.collect()}
     assert (vid["a"], vid["b"]) not in got
     assert (min(vid["a"], vid["d"]), max(vid["a"], vid["d"])) in got
+
+
+def _brute_project(edges, min_shared=1, max_partner_degree=None):
+    """edges: (member, partner); returns {(u,v): (shared, jaccard)} with
+    true-degree jaccard denominators and capped partners excluded from
+    the shared counts (the operator's estimator contract)."""
+    partners = defaultdict(set)   # member -> full partner set
+    members = defaultdict(set)    # partner -> member set
+    for m, p in edges:
+        partners[m].add(p)
+        members[p].add(m)
+    shared = defaultdict(int)
+    for p, ms in members.items():
+        if max_partner_degree is not None and len(ms) > max_partner_degree:
+            continue
+        ms_sorted = sorted(ms)
+        for i, u in enumerate(ms_sorted):
+            for v in ms_sorted[i + 1 :]:
+                shared[(u, v)] += 1
+    return {
+        (u, v): (
+            s,
+            round(s / (len(partners[u]) + len(partners[v]) - s), 6),
+        )
+        for (u, v), s in shared.items()
+        if s >= min_shared
+    }
+
+
+def test_bipartite_project_vs_brute(spark):
+    rng = random.Random(13)
+    edges = list({(rng.randrange(20), 100 + rng.randrange(12)) for _ in range(120)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    for kw in ({}, {"min_shared": 3}, {"max_partner_degree": 8},
+               {"min_shared": 2, "max_partner_degree": 6}):
+        got = {
+            (r["u"], r["v"]): (r["shared"], r["jaccard"])
+            for r in linkpred.bipartite_project(df, **kw).collect()
+        }
+        assert got == _brute_project(edges, **kw), kw
+
+    # duplicate rows collapse before counting (distinct edge contract)
+    noisy = spark.createDataFrame(edges + edges[:30], "src long, dst long")
+    got = {
+        (r["u"], r["v"]): (r["shared"], r["jaccard"])
+        for r in linkpred.bipartite_project(noisy, min_shared=2).collect()
+    }
+    assert got == _brute_project(edges, min_shared=2)
