@@ -1011,6 +1011,16 @@ def q_betweenness_nations(spark, sf_dir):
     )
 
 
+def q_doc_filter_funnel(spark, sf_dir):
+    """Quality-filter funnel (operators/funnel): the Gopher-ish default
+    chain (token floor → repetition cap → stopword floor) over documents,
+    with per-rule drop accounting — verdicts fuse into ONE corpus scan
+    (map-only), the summary shuffles only |rules|+1 verdict counts."""
+    from osmgraphing_spark.operators import funnel
+
+    return funnel.summary(_t(spark, sf_dir, "documents"), funnel.default_rules())
+
+
 COPURCHASE_MIN = 5
 COPURCHASE_MAX_PD = 45
 
@@ -1231,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": q_doc_langid,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_repetition": q_doc_repetition,
+        "doc_filter_funnel": q_doc_filter_funnel,
         "doc_pii": q_doc_pii,
         "media_image_stats": q_media_image_stats,
         "media_audio_stats": q_media_audio_stats,
@@ -2371,6 +2382,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+'), ' ')) AS fp
             FROM documents
+        """,
+        # funnel: verdict = FIRST failing keep-rule (CASE chain, same order
+        # as funnel.default_rules); drop accounting over the verdict counts.
+        # Thresholds compare UNROUNDED doubles, identical IEEE ops both sides.
+        "doc_filter_funnel": f"""
+            WITH m AS (
+                SELECT doc_id,
+                       {_DOC_TOKS} AS ntok,
+                       CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\\s+')) <= 0
+                            THEN 0.0
+                            ELSE 1.0 - CAST(len(list_distinct(
+                                     regexp_split_to_array(lower(trim(text)), '\\s+')
+                                 )) AS DOUBLE)
+                                 / len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                       END AS dupfrac,
+                       CASE WHEN {_DOC_TOKS} = 0 THEN 0.0
+                            ELSE CAST({_DOC_STOP_HITS} AS DOUBLE) / {_DOC_TOKS}
+                       END AS stopr
+                FROM documents
+            ),
+            v AS (
+                SELECT CASE
+                    WHEN NOT (ntok >= 20) THEN 'min_tokens'
+                    WHEN NOT (dupfrac <= 0.65) THEN 'max_repetition'
+                    WHEN NOT (stopr >= 0.01) THEN 'min_stopwords'
+                    ELSE 'kept' END AS verdict
+                FROM m
+            ),
+            c AS (SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY verdict),
+            r(rule_order, rule) AS (
+                VALUES (0, 'min_tokens'), (1, 'max_repetition'), (2, 'min_stopwords')
+            ),
+            pr AS (
+                SELECT r.rule_order, r.rule,
+                       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_dropped
+                FROM r LEFT JOIN c ON c.verdict = r.rule
+            ),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+            acc AS (
+                SELECT rule_order, rule, n_dropped,
+                       CAST((SELECT total FROM t)
+                            - COALESCE(SUM(n_dropped) OVER (
+                                  ORDER BY rule_order
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                              ), 0) AS BIGINT) AS n_in
+                FROM pr
+            )
+            SELECT rule_order, rule, n_in, n_dropped,
+                   CASE WHEN n_in = 0 THEN 0.0
+                        ELSE ROUND(CAST(n_dropped AS DOUBLE) / n_in, 6)
+                   END AS drop_frac
+            FROM acc
         """,
         "doc_repetition": """
             WITH toks AS (

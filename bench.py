@@ -118,6 +118,7 @@ OPERATOR_QUERIES = [
     "supplier_region_stats",
     "link_walks",
     "doc_repetition",
+    "doc_filter_funnel",
     "doc_pii",
     "media_image_stats",
     "scc_nations",

@@ -1,0 +1,119 @@
+"""Quality-filter funnel — ordered keep-rules with per-rule drop accounting.
+
+The cleaning-pipeline composition layer over `functions/text`: real
+training-data pipelines (C4, Gopher, RefinedWeb — public literature)
+chain document filters and report a FUNNEL — how many documents each
+rule dropped, in order — because the drop accounting is what gets
+audited, tuned, and compared across corpus snapshots. The reference's
+analogue is the config-declared filter chain applied during parsing
+(vehicle-profile predicate + tag classifier dropping ways,
+/root/reference/src/network/graph/building.rs:123-217); here the chain
+is declared as (name, keep-condition) pairs and the accounting is
+first-class.
+
+Scale design: the per-document verdict is ONE pure-column `when` chain —
+every rule built from `functions/text` expressions fuses into the corpus
+scan (whole-stage codegen, map-only, zero shuffle); the only shuffle in
+the summary is a groupBy over the |rules|+1 verdict values (algebraic
+count, map-side combine), and the cumulative reach arithmetic runs over
+that |rules|-row aggregate, never the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+
+KEPT = "kept"
+
+
+def default_rules(
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_dup_fraction: float = 0.65,
+    min_stopword_ratio: float = 0.01,
+) -> list[tuple[str, Column]]:
+    """The Gopher-ish starter chain: length floor → repetition cap →
+    stopword (language/naturalness) floor. Order matters: cheap,
+    high-precision rules first so downstream rules see fewer rows in the
+    accounting (the drop is attributed to the FIRST failing rule)."""
+    c = F.col(text_col)
+    return [
+        ("min_tokens", X.token_count(c) >= min_tokens),
+        ("max_repetition", X.dup_token_fraction(c) <= max_dup_fraction),
+        ("min_stopwords", X.stopword_ratio(c) >= min_stopword_ratio),
+    ]
+
+
+def verdicts(
+    docs: DataFrame,
+    rules: list[tuple[str, Column]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (doc_id, verdict): ``KEPT`` or the name of the FIRST rule whose
+    keep-condition fails — one fused column expression per document."""
+    expr = None
+    for name, keep in rules:
+        expr = (
+            F.when(~keep, F.lit(name))
+            if expr is None
+            else expr.when(~keep, F.lit(name))
+        )
+    expr = F.lit(KEPT) if expr is None else expr.otherwise(F.lit(KEPT))
+    return docs.select(F.col(id_col).alias("doc_id"), expr.alias("verdict"))
+
+
+def summary(
+    docs: DataFrame,
+    rules: list[tuple[str, Column]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (rule_order, rule, n_in, n_dropped, drop_frac) per rule, in
+    chain order: n_in = documents reaching the rule (total minus all
+    earlier drops), drop_frac = n_dropped / n_in (0.0 when nothing
+    reaches the rule). One corpus scan + one tiny verdict groupBy."""
+    spark = docs.sparkSession
+    counts = verdicts(docs, rules, id_col).groupBy("verdict").agg(
+        F.count("*").alias("n")
+    )
+    order = spark.createDataFrame(
+        [(i, name) for i, (name, _) in enumerate(rules)],
+        "rule_order int, rule string",
+    )
+    per_rule = order.join(
+        counts.withColumnRenamed("verdict", "rule"), "rule", "left"
+    ).select(
+        "rule_order", "rule", F.coalesce("n", F.lit(0)).alias("n_dropped")
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    w = Window.orderBy("rule_order").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        per_rule.crossJoin(total)  # |rules| × 1 — driver-sized, not corpus
+        .withColumn(
+            "n_in",
+            F.col("total") - F.coalesce(F.sum("n_dropped").over(w), F.lit(0)),
+        )
+        .select(
+            "rule_order",
+            "rule",
+            "n_in",
+            "n_dropped",
+            F.when(F.col("n_in") == 0, F.lit(0.0))
+            .otherwise(F.round(F.col("n_dropped") / F.col("n_in"), 6))
+            .alias("drop_frac"),
+        )
+    )
+
+
+def kept(
+    docs: DataFrame,
+    rules: list[tuple[str, Column]],
+) -> DataFrame:
+    """The surviving documents (every keep-condition true) — the funnel's
+    output corpus, same fused single-scan plan as `verdicts`."""
+    cond = F.lit(True)
+    for _, keep in rules:
+        cond = cond & keep
+    return docs.where(cond)

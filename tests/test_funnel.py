@@ -1,0 +1,96 @@
+"""Filter-funnel mechanics (operators/funnel) vs a python mirror:
+first-failing-rule attribution, chain accounting identities, and the
+kept() corpus; the default text rules are value-pinned end-to-end by the
+driver's doc_filter_funnel SQL oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from osmgraphing_spark.operators import funnel
+
+
+def _mirror(rows, rules):
+    """rows: dict id -> value; rules: (name, predicate) python callables."""
+    verdicts = {}
+    for i, x in rows.items():
+        verdicts[i] = funnel.KEPT
+        for name, keep in rules:
+            if not keep(x):
+                verdicts[i] = name
+                break
+    return verdicts
+
+
+def test_first_failing_rule_attribution(spark):
+    rows = {i: i for i in range(40)}
+    df = spark.createDataFrame(list(rows.items()), "doc_id long, x long")
+    spark_rules = [
+        ("ge10", F.col("x") >= 10),
+        ("even", F.col("x") % 2 == 0),
+        ("lt36", F.col("x") < 36),
+    ]
+    py_rules = [
+        ("ge10", lambda x: x >= 10),
+        ("even", lambda x: x % 2 == 0),
+        ("lt36", lambda x: x < 36),
+    ]
+    got = {
+        r["doc_id"]: r["verdict"]
+        for r in funnel.verdicts(df, spark_rules, id_col="doc_id").collect()
+    }
+    want = _mirror(rows, py_rules)
+    assert got == want
+    # a doc failing BOTH ge10 and even is attributed to ge10 (first)
+    assert got[7] == "ge10"
+
+    kept_ids = {r["doc_id"] for r in funnel.kept(df, spark_rules).collect()}
+    assert kept_ids == {i for i, v in want.items() if v == funnel.KEPT}
+
+
+def test_summary_accounting_identities(spark):
+    rows = {i: i for i in range(40)}
+    df = spark.createDataFrame(list(rows.items()), "doc_id long, x long")
+    rules = [
+        ("ge10", F.col("x") >= 10),
+        ("even", F.col("x") % 2 == 0),
+        ("lt36", F.col("x") < 36),
+    ]
+    s = {
+        r["rule"]: r for r in funnel.summary(df, rules, id_col="doc_id").collect()
+    }
+    # chain: 40 in; ge10 drops 0..9 (10); even drops odd >=10 (15);
+    # lt36 drops even >= 36 (36, 38)
+    assert (s["ge10"]["n_in"], s["ge10"]["n_dropped"]) == (40, 10)
+    assert (s["even"]["n_in"], s["even"]["n_dropped"]) == (30, 15)
+    assert (s["lt36"]["n_in"], s["lt36"]["n_dropped"]) == (15, 2)
+    assert s["even"]["drop_frac"] == 0.5
+    # identity: last n_in - last dropped = kept count
+    kept_n = funnel.kept(df, rules).count()
+    assert s["lt36"]["n_in"] - s["lt36"]["n_dropped"] == kept_n == 13
+    assert [s[k]["rule_order"] for k in ("ge10", "even", "lt36")] == [0, 1, 2]
+
+
+def test_rule_nobody_reaches_or_fails(spark):
+    df = spark.createDataFrame([(i, i) for i in range(6)], "doc_id long, x long")
+    rules = [
+        ("all_fail", F.col("x") < 0),
+        ("unreached", F.col("x") >= 0),
+    ]
+    s = {r["rule"]: r for r in funnel.summary(df, rules, id_col="doc_id").collect()}
+    assert (s["all_fail"]["n_in"], s["all_fail"]["n_dropped"]) == (6, 6)
+    assert (s["unreached"]["n_in"], s["unreached"]["n_dropped"]) == (0, 0)
+    assert s["unreached"]["drop_frac"] == 0.0
+    assert funnel.kept(df, rules).count() == 0
+
+
+def test_default_rules_single_scan_plan(spark):
+    """The default-rule verdict fuses into ONE scan of documents — no
+    shuffle, no second scan (the whole funnel verdict is map-only)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        funnel.verdicts(docs, funnel.default_rules())
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Exchange" not in plan, plan
