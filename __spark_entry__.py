@@ -1011,6 +1011,18 @@ def q_betweenness_nations(spark, sf_dir):
     )
 
 
+def q_doc_source_stats(spark, sf_dir):
+    """Per-source reputation table (operators/funnel.source_stats): doc
+    count, within-source exact-dup fraction, mean tokens, mean quality —
+    the source-level gate real pipelines apply before per-document work.
+    One fused corpus scan + two-stage algebraic aggregation (the second
+    stage sees one row per distinct content, so hot sources combine
+    map-side)."""
+    from osmgraphing_spark.operators import funnel
+
+    return funnel.source_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_doc_filter_funnel(spark, sf_dir):
     """Quality-filter funnel (operators/funnel): the Gopher-ish default
     chain (token floor → repetition cap → stopword floor) over documents,
@@ -1242,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "doc_repetition": q_doc_repetition,
         "doc_filter_funnel": q_doc_filter_funnel,
+        "doc_source_stats": q_doc_source_stats,
         "doc_pii": q_doc_pii,
         "media_image_stats": q_media_image_stats,
         "media_audio_stats": q_media_audio_stats,
@@ -2382,6 +2395,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+'), ' ')) AS fp
             FROM documents
+        """,
+        "doc_source_stats": f"""
+            WITH pd AS (
+                SELECT source, md5(text) AS digest, {_DOC_TOKS} AS ntok,
+                       ROUND(
+                           LEAST(CAST({_DOC_TOKS} AS DOUBLE) / 100.0, 1.0)
+                           * (1.0 - LEAST(
+                                 (CASE WHEN length(text) = 0 THEN 0.0
+                                  ELSE CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                                       / length(text) END) * 5.0, 1.0))
+                           * (0.5 + 0.5 * LEAST(
+                                 (CASE WHEN {_DOC_TOKS} = 0 THEN 0.0
+                                  ELSE CAST({_DOC_STOP_HITS} AS DOUBLE) / {_DOC_TOKS} END) * 5.0,
+                                 1.0)),
+                       6) AS q
+                FROM documents
+            ),
+            pc AS (
+                SELECT source, digest, CAST(COUNT(*) AS BIGINT) AS c,
+                       SUM(ntok) AS toksum, SUM(q) AS qsum
+                FROM pd GROUP BY source, digest
+            )
+            SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+                   ROUND(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                         / SUM(c), 6) AS dup_frac,
+                   ROUND(CAST(SUM(toksum) AS DOUBLE) / SUM(c), 6) AS avg_tokens,
+                   ROUND(SUM(qsum) / SUM(c), 6) AS avg_quality
+            FROM pc GROUP BY source
         """,
         # funnel: verdict = FIRST failing keep-rule (CASE chain, same order
         # as funnel.default_rules); drop accounting over the verdict counts.

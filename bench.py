@@ -119,6 +119,7 @@ OPERATOR_QUERIES = [
     "link_walks",
     "doc_repetition",
     "doc_filter_funnel",
+    "doc_source_stats",
     "doc_pii",
     "media_image_stats",
     "scc_nations",

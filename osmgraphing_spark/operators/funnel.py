@@ -107,6 +107,47 @@ def summary(
     )
 
 
+def source_stats(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (source, n_docs, dup_frac, avg_tokens, avg_quality): the
+    per-source reputation table real pipelines gate ingestion on (the
+    CCNet/RefinedWeb practice: drop or down-weight whole sources whose
+    duplication or quality profile is bad, BEFORE paying per-document
+    cost on their volume). dup_frac = fraction of the source's documents
+    whose exact content digest occurs more than once within that source.
+
+    Scale: one corpus scan computing (digest, tokens, quality) fused into
+    the read; a groupBy (source, digest) with algebraic sums; then a
+    groupBy (source) over group-sized rows. Hot sources are exactly the
+    skew case the two-stage aggregation handles — the second stage sees
+    one row per distinct content, not per document."""
+    c = F.col(text_col)
+    per_doc = docs.select(
+        F.col(source_col).alias("source"),
+        F.md5(c).alias("digest"),
+        X.token_count(c).alias("ntok"),
+        X.quality_score(c).alias("quality"),
+    )
+    per_content = per_doc.groupBy("source", "digest").agg(
+        F.count("*").alias("c"),
+        F.sum("ntok").alias("toksum"),
+        F.sum("quality").alias("qsum"),
+    )
+    return per_content.groupBy("source").agg(
+        F.sum("c").alias("n_docs"),
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+            / F.sum("c"),
+            6,
+        ).alias("dup_frac"),
+        F.round(F.sum("toksum") / F.sum("c"), 6).alias("avg_tokens"),
+        F.round(F.sum("qsum") / F.sum("c"), 6).alias("avg_quality"),
+    )
+
+
 def kept(
     docs: DataFrame,
     rules: list[tuple[str, Column]],

@@ -94,3 +94,24 @@ def test_default_rules_single_scan_plan(spark):
     )
     assert plan.count("Scan parquet") == 1, plan
     assert "Exchange" not in plan, plan
+
+
+def test_source_stats_planted_duplicates(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "s1"),
+            (2, "alpha beta gamma", "s1"),   # exact dup within s1
+            (3, "delta epsilon", "s1"),
+            (4, "alpha beta gamma", "s2"),   # same text, OTHER source: not a dup there
+            (5, "zeta eta theta iota", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    s = {
+        r["source"]: r for r in funnel.source_stats(docs).collect()
+    }
+    assert (s["s1"]["n_docs"], s["s2"]["n_docs"]) == (3, 2)
+    assert s["s1"]["dup_frac"] == round(2 / 3, 6)   # the two copies count
+    assert s["s2"]["dup_frac"] == 0.0               # cross-source copy doesn't
+    assert s["s1"]["avg_tokens"] == round((3 + 3 + 2) / 3, 6)
+    assert s["s2"]["avg_tokens"] == round((3 + 4) / 2, 6)
