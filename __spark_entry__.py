@@ -619,6 +619,58 @@ def q_sessionize_events(spark, sf_dir):
     )
 
 
+def q_event_cohort_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-activity day, distinct
+    actives per (cohort, day offset) — the classic engagement query. Two
+    shuffles: the per-user min (algebraic) and the distinct-count rollup;
+    the user→cohort join is on the grouped key, so it rides the first
+    shuffle's partitioning."""
+    ev = _t(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("d"))
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.col("d"), F.col("cohort")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+def q_event_value_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles (p50/p95/p99) of event value per
+    type — Spark's `percentile` and DuckDB's `quantile_cont` share the
+    linear-interpolation definition, so the oracle hash-matches to 1e-6.
+    At 100 TB the same query swaps in `percentile_approx` (t-digest,
+    mergeable map-side); the exact tier is the oracle tier, same split as
+    embed_topk vs embed_ann."""
+    ev = _t(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.5D, 0.95D, 0.99D))").alias("qs"),
+        F.count("*").alias("n_events"),
+    )
+    return q.select(
+        "event_type",
+        "n_events",
+        F.round(F.element_at("qs", 1), 6).alias("p50"),
+        F.round(F.element_at("qs", 2), 6).alias("p95"),
+        F.round(F.element_at("qs", 3), 6).alias("p99"),
+    )
+
+
+def q_event_props_k(spark, sf_dir):
+    """Semi-structured column handling: extract props.k from the JSON
+    string per row (get_json_object — fused into the scan, no UDF) and
+    aggregate per event type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.max(k.cast("long")).alias("max_k"),
+    )
+
+
 def q_hourly_events(spark, sf_dir):
     """Time-bucketed aggregation (tumbling-window analog)."""
     ev = _t(spark, sf_dir, "events")
@@ -1248,6 +1300,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_ranks": q_order_ranks,
         "sessionize_events": q_sessionize_events,
         "hourly_events": q_hourly_events,
+        "event_cohort_retention": q_event_cohort_retention,
+        "event_value_quantiles": q_event_value_quantiles,
+        "event_props_k": q_event_props_k,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
@@ -2350,6 +2405,38 @@ def oracle_sql() -> dict[str, str]:
                        ) > 1800 THEN 1 ELSE 0 END AS new_sess
                 FROM events
             )
+        """,
+        "event_cohort_retention": """
+            WITH f AS (
+                SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
+                FROM events GROUP BY user_id
+            )
+            SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+                   CAST(date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS INTEGER)
+                       AS day_offset,
+                   CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+            FROM events e JOIN f USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "event_value_quantiles": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(quantile_cont(value, 0.5), 6) AS p50,
+                   ROUND(quantile_cont(value, 0.95), 6) AS p95,
+                   ROUND(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type
+        """,
+        "event_props_k": """
+            WITH x AS (
+                SELECT event_type,
+                       CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS DOUBLE) AS k
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(AVG(k), 6) AS avg_k,
+                   CAST(MAX(k) AS BIGINT) AS max_k
+            FROM x GROUP BY event_type
         """,
         "hourly_events": """
             SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -104,6 +104,9 @@ OPERATOR_QUERIES = [
     "embed_topk",
     "embed_ann",
     "sessionize_events",
+    "event_cohort_retention",
+    "event_value_quantiles",
+    "event_props_k",
     "sssp_nations",
     "multi_metric_edges",
     "kcore_links",
