@@ -918,6 +918,58 @@ def q_doc_stratified_sample(spark, sf_dir):
     return sampling.stratified_sample(docs, ["lang"], 20, key_cols=["doc_id"])
 
 
+PACK_CAPACITY = 512
+PACK_SHARDS = 8
+PACK_SEED = 1
+MIXTURE_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+def q_doc_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle (operators/packing.epoch_shuffle):
+    shard + within-shard position as a pure function of (seed, doc_id) via
+    the portable md5 hash — the reproducible data-loader order primitive
+    (df.orderBy(rand(seed)) changes with partitioning; this never does)."""
+    from osmgraphing_spark.operators import packing
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return packing.epoch_shuffle(
+        docs, seed=PACK_SEED, n_shards=PACK_SHARDS, key_cols=["doc_id"]
+    ).select("doc_id", "shard", "pos")
+
+
+def q_doc_pack_sequences(spark, sf_dir):
+    """Greedy next-fit sequence packing (operators/packing.pack_sequences):
+    documents in epoch-shard order are packed into fixed-capacity token
+    sequences; every bin boundary is value-checked by a recursive-CTE
+    replay of the same next-fit state machine."""
+    from osmgraphing_spark.operators import packing
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", X.token_count(F.col("text")).alias("n_toks")
+    )
+    return packing.pack_sequences(
+        docs,
+        capacity=PACK_CAPACITY,
+        seed=PACK_SEED,
+        n_shards=PACK_SHARDS,
+        id_col="doc_id",
+        tokens_col="n_toks",
+    )
+
+
+def q_doc_mixture_sample(spark, sf_dir):
+    """Training-mixture sampling (operators/sampling.mixture_sample):
+    per-source keep rates as a pure hash function of doc_id — map-only,
+    reproducible across engines, value-checked (sources outside the
+    mixture are dropped)."""
+    from osmgraphing_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.mixture_sample(
+        docs, MIXTURE_WEIGHTS, "source", key_cols=["doc_id"]
+    )
+
+
 SIMHASH_MAX_HAMMING = 3  # 4 chunks × 16 bits: the scale-sane blocking width
 
 
@@ -1334,6 +1386,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_nll": q_doc_unigram_nll,
         "doc_tfidf_terms": q_doc_tfidf_terms,
         "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_epoch_shuffle": q_doc_epoch_shuffle,
+        "doc_pack_sequences": q_doc_pack_sequences,
+        "doc_mixture_sample": q_doc_mixture_sample,
     }
 
 
@@ -3039,6 +3094,72 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, tok AS term, tf, tfidf, rnk
             FROM ranked WHERE rnk <= 3
+        """,
+        "doc_epoch_shuffle": f"""
+            WITH b AS (
+                SELECT doc_id,
+                       md5('{PACK_SEED}|' || CAST(doc_id AS VARCHAR)) AS h
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, h,
+                       CAST(CAST(concat('0x', substr(h, 1, 14)) AS BIGINT)
+                            % {PACK_SHARDS} AS INT) AS shard
+                FROM b
+            )
+            SELECT doc_id, shard,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY shard ORDER BY h, doc_id
+                   ) - 1 AS BIGINT) AS pos
+            FROM s
+        """,
+        "doc_pack_sequences": f"""
+            WITH RECURSIVE b AS (
+                SELECT doc_id,
+                       md5('{PACK_SEED}|' || CAST(doc_id AS VARCHAR)) AS h,
+                       CAST({_DOC_TOKS} AS BIGINT) AS n
+                FROM documents
+            ),
+            ordered AS (
+                SELECT CAST(CAST(concat('0x', substr(h, 1, 14)) AS BIGINT)
+                            % {PACK_SHARDS} AS INT) AS shard,
+                       doc_id, n, h
+                FROM b
+            ),
+            pos AS (
+                SELECT shard, doc_id, n,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY shard ORDER BY h, doc_id
+                       ) - 1 AS BIGINT) AS pos
+                FROM ordered
+            ),
+            packed AS (
+                SELECT shard, pos, doc_id, n,
+                       CAST(0 AS BIGINT) AS seq_id, n AS fill
+                FROM pos WHERE pos = 0
+                UNION ALL
+                SELECT o.shard, o.pos, o.doc_id, o.n,
+                       CASE WHEN p.fill + o.n > {PACK_CAPACITY}
+                            THEN p.seq_id + 1 ELSE p.seq_id END,
+                       CASE WHEN p.fill + o.n > {PACK_CAPACITY}
+                            THEN o.n ELSE p.fill + o.n END
+                FROM packed p
+                JOIN pos o ON o.shard = p.shard AND o.pos = p.pos + 1
+            )
+            SELECT shard, pos, doc_id, n AS n_tokens, seq_id FROM packed
+        """,
+        "doc_mixture_sample": f"""
+            SELECT doc_id, source
+            FROM documents
+            WHERE CAST(concat('0x',
+                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))
+                      AS BIGINT) % 1000000
+                  < CASE source
+                        WHEN 'src0' THEN 1000000
+                        WHEN 'src1' THEN 500000
+                        WHEN 'src2' THEN 250000
+                        WHEN 'src3' THEN 100000
+                        ELSE 0 END
         """,
         "doc_stratified_sample": """
             WITH b AS (

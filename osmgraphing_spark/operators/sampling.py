@@ -54,6 +54,34 @@ def sample_edges(edges: DataFrame, fraction: float) -> DataFrame:
     return sample_rows(edges, fraction, key_cols=["src", "dst"])
 
 
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    strata_col: str,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-stratum deterministic rate sampling — the training-MIXTURE
+    primitive ("keep 100 % of books, 30 % of web, 5 % of logs"). Strata
+    absent from ``weights`` are dropped (weight 0). Same hash contract as
+    ``sample_rows``: membership is a pure function of the row key, so the
+    exact mixture is reproducible across runs/retries/engines and is
+    value-checkable in SQL.
+
+    Scale: map-only — one ``when`` chain over the stratum column against
+    the hash bucket; no shuffle, composes with scan-level column pruning
+    (unlike ``df.sampleBy``, which is per-partition-RNG nondeterministic).
+    """
+    for s, w in weights.items():
+        if not 0.0 <= w <= 1.0:
+            raise ValueError(f"weight for {s!r} must be in [0, 1], got {w}")
+    cols = [F.col(c) for c in (key_cols or df.columns)]
+    b = _bucket(cols)
+    thresh = F.lit(0)
+    for s, w in sorted(weights.items()):
+        thresh = F.when(F.col(strata_col) == s, F.lit(round(w * RESOLUTION))).otherwise(thresh)
+    return df.where(b < thresh)
+
+
 def stratified_sample(
     df: DataFrame,
     strata_cols: list[str],
