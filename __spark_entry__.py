@@ -1011,6 +1011,24 @@ def q_embed_ivf(spark, sf_dir):
     return sim.ivf_topk_portable(emb, queries, dim=ANN_DIM, k=5, n_cells=8, nprobe=3)
 
 
+KMEANS_K = 6
+KMEANS_ITERS = 2
+
+
+def q_embed_kmeans(spark, sf_dir):
+    """Distributed Lloyd k-means (operators/kmeans): exact-integer-grid
+    centroids and means make every iteration — and therefore the final
+    (cell, dist) assignment — bit-reproducible in DuckDB; the oracle
+    replays both update rounds and the final assignment value-for-value."""
+    from osmgraphing_spark.operators import kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans.lloyd_kmeans(
+        emb, dim=ANN_DIM, k=KMEANS_K, iters=KMEANS_ITERS
+    )
+    return assigned
+
+
 def q_embed_ann(spark, sf_dir):
     """LSH-bucketed ANN via the portable integer-quantized hyperplanes: the
     candidate set (and hence the exact top-k) is SQL-reproducible, so this
@@ -1377,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_topk": q_embed_topk,
         "embed_ann": q_embed_ann,
         "embed_ivf": q_embed_ivf,
+        "embed_kmeans": q_embed_kmeans,
         "embed_near_dups": q_embed_near_dups,
         "sssp_nations": q_sssp_nations,
         "multi_metric_edges": q_multi_metric_edges,
@@ -2026,6 +2045,66 @@ def _embed_ivf_sql(
         )
         SELECT query_id, neighbor_id, score, CAST(rk AS INT) AS rk
         FROM ranked WHERE rk <= {k}
+    """
+
+
+def _embed_kmeans_sql(dim: int = ANN_DIM, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """DuckDB replica of kmeans.lloyd_kmeans: chained CTEs replay every
+    Lloyd iteration — assignment by exact-int squared L2 (lowest cell id on
+    ties), centroid update as FLOOR((2·Σx + n) / 2n) per component (the
+    same round-half-up the Spark side computes on Python ints), empty
+    cells retired — then the final assignment under the final centroids."""
+    from osmgraphing_spark.operators.kmeans import int_centroids
+
+    cents = int_centroids(dim, k)
+    vals = ", ".join(
+        f"({j + 1}, CAST([{', '.join(str(float(x)) for x in c)}] AS DOUBLE[]))"
+        for j, c in enumerate(cents)
+    )
+    parts = [
+        f"""WITH qv AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> round(x * 1024, 0)) AS q
+            FROM embeddings
+        ),
+        c0 AS (SELECT * FROM (VALUES {vals}) AS t(cell, c))"""
+    ]
+    assign_tpl = """
+        a{t} AS (
+            SELECT vec_id, q, cell, dist FROM (
+                SELECT vec_id, q, cell, dist,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vec_id ORDER BY dist ASC, cell ASC
+                       ) AS rk
+                FROM (
+                    SELECT v.vec_id, v.q, c.cell,
+                           list_dot_product(v.q, v.q)
+                           - 2 * list_dot_product(v.q, c.c)
+                           + list_dot_product(c.c, c.c) AS dist
+                    FROM qv v CROSS JOIN c{t} c
+                )
+            ) WHERE rk = 1
+        )"""
+    update_tpl = """
+        u{t} AS (
+            SELECT cell, i,
+                   CAST(FLOOR((2 * SUM(x) + COUNT(*)) / (2.0 * COUNT(*)))
+                        AS DOUBLE) AS cv
+            FROM (SELECT cell, unnest(q) AS x,
+                         generate_subscripts(q, 1) AS i
+                  FROM a{t})
+            GROUP BY cell, i
+        ),
+        c{t1} AS (SELECT cell, list(cv ORDER BY i) AS c FROM u{t} GROUP BY cell)"""
+    for t in range(iters):
+        parts.append(assign_tpl.format(t=t))
+        parts.append(update_tpl.format(t=t, t1=t + 1))
+    parts.append(assign_tpl.format(t=iters))
+    body = ",".join(parts)
+    return f"""{body}
+        SELECT vec_id, CAST(cell AS INT) AS cell, CAST(dist AS BIGINT) AS dist
+        FROM a{iters}
     """
 
 
@@ -2943,6 +3022,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash_pairs": _simhash_pairs_sql(),
         "embed_ann": _embed_ann_sql(),
         "embed_ivf": _embed_ivf_sql(),
+        "embed_kmeans": _embed_kmeans_sql(),
         "embed_near_dups": _embed_near_dups_sql(),
         "sssp_nations": f"""
             WITH RECURSIVE e AS (
