@@ -479,6 +479,22 @@ def q_cc_nations(spark, sf_dir):
     )
 
 
+MIS_ROUNDS = 3
+
+
+def q_mis_nations(spark, sf_dir):
+    """Luby maximal independent set (operators/mis) on the nation cliques:
+    md5-priority rounds, each selected vertex tagged with its round. The
+    chained-CTE oracle replays every round; vids are reproduced in SQL as
+    the dense rank of the sorted vertex keys (the build contract)."""
+    from osmgraphing_spark.operators import mis as mis_op
+
+    g = build_graph(_nation_raw_edges(spark, sf_dir), num_blocks=4)
+    sel = mis_op.luby_mis(g, rounds=MIS_ROUNDS)
+    out = _vid_to_nationkey(g, sel, ["vid"])
+    return out.select(F.col("vid").alias("n_nationkey"), "rnd")
+
+
 def q_lpa_nations(spark, sf_dir):
     """G9: 2 synchronous LPA supersteps, min-label ties."""
     g = build_graph(_nation_raw_edges(spark, sf_dir), num_blocks=4)
@@ -1342,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_region_stats": q_supplier_region_stats,
         "pagerank5": q_pagerank5,
         "cc_nations": q_cc_nations,
+        "mis_nations": q_mis_nations,
         "scc_nations": q_scc_nations,
         "link_dist_hist": q_link_dist_hist,
         "modularity_nations": q_modularity_nations,
@@ -2045,6 +2062,68 @@ def _embed_ivf_sql(
         )
         SELECT query_id, neighbor_id, score, CAST(rk AS INT) AS rk
         FROM ranked WHERE rk <= {k}
+    """
+
+
+def _mis_nations_sql(rounds: int = MIS_ROUNDS) -> str:
+    """DuckDB replica of mis.luby_mis on the nation-clique graph: vids =
+    dense rank of sorted keys; ``rounds`` chained round blocks, each
+    selecting the vertices whose fixed-width md5 key beats every live
+    neighbor's, then removing winners + neighborhoods."""
+    parts = [
+        """WITH verts AS (
+            SELECT n_nationkey,
+                   CAST(ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1
+                        AS BIGINT) AS vid
+            FROM nation
+        ),
+        k AS (
+            SELECT vid,
+                   md5(CAST(vid AS VARCHAR)) || '|' ||
+                   lpad(CAST(vid AS VARCHAR), 12, '0') AS key
+            FROM verts
+        ),
+        a0 AS (SELECT vid FROM verts),
+        e0 AS (
+            SELECT va.vid AS src, vb.vid AS dst
+            FROM nation a JOIN nation b
+              ON a.n_regionkey = b.n_regionkey
+             AND a.n_nationkey <> b.n_nationkey
+            JOIN verts va ON va.n_nationkey = a.n_nationkey
+            JOIN verts vb ON vb.n_nationkey = b.n_nationkey
+        )"""
+    ]
+    round_tpl = """
+        m{r} AS (
+            SELECT a.vid, CAST({r} AS INT) AS rnd
+            FROM a{p} a JOIN k ON k.vid = a.vid
+            LEFT JOIN (
+                SELECT e.src AS vid, MIN(kd.key) AS nmin
+                FROM e{p} e JOIN k kd ON kd.vid = e.dst
+                GROUP BY e.src
+            ) nm ON nm.vid = a.vid
+            WHERE nm.nmin IS NULL OR k.key < nm.nmin
+        ),
+        rm{r} AS (
+            SELECT vid FROM m{r}
+            UNION
+            SELECT e.dst AS vid FROM e{p} e JOIN m{r} m ON e.src = m.vid
+        ),
+        a{r} AS (
+            SELECT vid FROM a{p}
+            WHERE vid NOT IN (SELECT vid FROM rm{r})
+        ),
+        e{r} AS (
+            SELECT src, dst FROM e{p}
+            WHERE src IN (SELECT vid FROM a{r})
+              AND dst IN (SELECT vid FROM a{r})
+        )"""
+    for r in range(1, rounds + 1):
+        parts.append(round_tpl.format(r=r, p=r - 1))
+    unions = " UNION ALL ".join(f"SELECT * FROM m{r}" for r in range(1, rounds + 1))
+    return f"""{",".join(parts)}
+        SELECT v.n_nationkey, m.rnd
+        FROM ({unions}) m JOIN verts v ON v.vid = m.vid
     """
 
 
@@ -3023,6 +3102,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_ann": _embed_ann_sql(),
         "embed_ivf": _embed_ivf_sql(),
         "embed_kmeans": _embed_kmeans_sql(),
+        "mis_nations": _mis_nations_sql(),
         "embed_near_dups": _embed_near_dups_sql(),
         "sssp_nations": f"""
             WITH RECURSIVE e AS (
