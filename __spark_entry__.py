@@ -1128,6 +1128,37 @@ def q_harmonic_nations(spark, sf_dir):
     )
 
 
+def q_mst_nations(spark, sf_dir):
+    """Minimum spanning forest (operators/mst: distributed Borůvka) of the
+    weighted nation co-region graph. The MSF is unique under the total edge
+    order (w, u, v), so the cycle-property SQL oracle — edge ∈ MSF iff its
+    endpoints are NOT connected using only strictly-smaller edges, checked
+    with a per-rank recursive-closure CTE — must agree EXACTLY (a different
+    algorithm than Borůvka, so agreement pins both)."""
+    from osmgraphing_spark.operators import mst as mst_op
+
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    a = n.select(F.col("n_nationkey").alias("a"), F.col("n_regionkey").alias("r"))
+    b = n.select(F.col("n_nationkey").alias("b"), F.col("n_regionkey").alias("r"))
+    e = (
+        a.join(b, "r")
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.col("a").cast("long").alias("src"),
+            F.col("b").cast("long").alias("dst"),
+            (F.lit(1.0) + (F.col("a") * 7 + F.col("b")) % 5)
+            .cast("double")
+            .alias("weight"),
+        )
+    )
+    f = mst_op.boruvka_msf(e)
+    return f.select(
+        F.col("u").cast("int").alias("u"),
+        F.col("v").cast("int").alias("v"),
+        F.round("w", 6).alias("w"),
+    )
+
+
 def q_betweenness_nations(spark, sf_dir):
     """Betweenness centrality (operators/betweenness: k-pivot Brandes as
     two BSP sweeps) in EXACT mode — every nation a pivot — on the directed
@@ -1364,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_nations": q_modularity_nations,
         "scc_build_order": q_scc_build_order,
         "betweenness_nations": q_betweenness_nations,
+        "mst_nations": q_mst_nations,
         "truss_nations": q_truss_nations,
         "closeness_nations": q_closeness_nations,
         "link_reciprocity": q_link_reciprocity,
@@ -2399,6 +2431,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT verts.v AS node_id, LEAST(verts.v, COALESCE(MIN(w), verts.v)) AS scc
             FROM verts LEFT JOIN mutual ON mutual.v = verts.v
             GROUP BY verts.v
+        """,
+        # MSF cycle property: edge ∈ MSF iff its endpoints are not connected
+        # using only edges of strictly smaller (w, u, v) rank. reach(r, a, b)
+        # is the connectivity closure of the sub-graph of edges ranked < r —
+        # Kruskal re-derived in SQL, a different algorithm than the Spark
+        # side's Borůvka contraction; the (w, u, v) total order makes the
+        # forest unique so the two must agree exactly.
+        "mst_nations": """
+            WITH RECURSIVE ce AS (
+                SELECT LEAST(a.n_nationkey, b.n_nationkey) AS u,
+                       GREATEST(a.n_nationkey, b.n_nationkey) AS v,
+                       MIN(CAST(1.0 + ((a.n_nationkey * 7 + b.n_nationkey) % 5)
+                           AS DOUBLE)) AS w
+                FROM nation a JOIN nation b
+                  ON a.n_regionkey = b.n_regionkey
+                 AND a.n_nationkey <> b.n_nationkey
+                GROUP BY 1, 2
+            ),
+            rk AS (
+                SELECT u, v, w, ROW_NUMBER() OVER (ORDER BY w, u, v) AS r
+                FROM ce
+            ),
+            sym AS (
+                SELECT r, u AS a, v AS b FROM rk
+                UNION ALL
+                SELECT r, v AS a, u AS b FROM rk
+            ),
+            reach(r, a, b) AS (
+                SELECT h.r, s.a, s.b FROM sym s JOIN rk h ON s.r < h.r
+                UNION
+                SELECT re.r, re.a, s.b
+                FROM reach re JOIN sym s ON s.r < re.r AND s.a = re.b
+            )
+            SELECT CAST(k.u AS INTEGER) AS u, CAST(k.v AS INTEGER) AS v,
+                   CAST(ROUND(k.w, 6) AS DOUBLE) AS w
+            FROM rk k
+            WHERE NOT EXISTS (
+                SELECT 1 FROM reach re
+                WHERE re.r = k.r AND re.a = k.u AND re.b = k.v
+            )
         """,
         # Betweenness via the pair-dependency identity (Brandes 2001, eq. σ_st(v)
         # = σ_sv·σ_vt when d(s,v)+d(v,t)=d(s,t)): enumerate shortest walks to
