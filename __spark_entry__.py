@@ -922,6 +922,49 @@ def q_doc_tfidf_terms(spark, sf_dir):
     )
 
 
+def q_doc_top_terms(spark, sf_dir):
+    """Exact corpus-wide top-20 tokens (operators/heavyhitters.top_terms):
+    the oracle tier of heavy hitters — algebraic groupBy, deterministic
+    (cnt DESC, term ASC) tie-break."""
+    from osmgraphing_spark.operators import heavyhitters as hh
+
+    return hh.top_terms(_t(spark, sf_dir, "documents"), k=20).select(
+        "term", "cnt", F.col("rank").alias("rnk")
+    )
+
+
+HEAVY_BIGRAM_MIN = 20
+
+
+def q_doc_heavy_bigrams(spark, sf_dir):
+    """Frequent bigrams via the 100 TB heavy-hitters path
+    (operators/heavyhitters.frequent_terms): count-min sketch pass →
+    no-false-negative candidate cut (per-occurrence broadcast lookups, the
+    bigram vocabulary never shuffles) → exact verify over candidates only.
+    The oracle is the trivially-correct full GROUP BY ... HAVING — the
+    sketch composition must reproduce it exactly."""
+    from osmgraphing_spark.operators import heavyhitters as hh
+
+    return hh.frequent_terms(
+        _t(spark, sf_dir, "documents"),
+        min_count=HEAVY_BIGRAM_MIN,
+        depth=4,
+        width=2048,
+        n=2,
+    )
+
+
+def q_doc_cms_sketch(spark, sf_dir):
+    """The count-min sketch itself (depth=3, width=256) over the token
+    stream — every cell value-checked: the portable md5 double-hash family
+    (shared with MinHash) lets DuckDB rebuild the identical sketch."""
+    from osmgraphing_spark.operators import heavyhitters as hh
+
+    return hh.cms_sketch(
+        _t(spark, sf_dir, "documents"), depth=3, width=256
+    ).select(F.col("r").cast("int").alias("r"), F.col("c").alias("c"), "cnt")
+
+
 def q_doc_stratified_sample(spark, sf_dir):
     """Deterministic per-language quota sample (operators/sampling
     .stratified_sample): exactly min(20, |stratum|) docs per lang, the k
@@ -1453,6 +1496,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": q_doc_decontaminate,
         "doc_unigram_nll": q_doc_unigram_nll,
         "doc_tfidf_terms": q_doc_tfidf_terms,
+        "doc_top_terms": q_doc_top_terms,
+        "doc_heavy_bigrams": q_doc_heavy_bigrams,
+        "doc_cms_sketch": q_doc_cms_sketch,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_epoch_shuffle": q_doc_epoch_shuffle,
         "doc_pack_sequences": q_doc_pack_sequences,
@@ -3326,6 +3372,65 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, tok AS term, tf, tfidf, rnk
             FROM ranked WHERE rnk <= 3
+        """,
+        "doc_top_terms": """
+            WITH tok AS (
+                SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                           AS term
+                FROM documents
+            ),
+            cnt AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+            ranked AS (
+                SELECT term, cnt,
+                       CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC)
+                            AS INTEGER) AS rnk
+                FROM cnt
+            )
+            SELECT term, cnt, rnk FROM ranked WHERE rnk <= 20
+        """,
+        # trivially-correct full GROUP BY ... HAVING; the Spark side must
+        # reproduce it through the sketch → candidate-cut → verify path
+        # (CMS never underestimates, so the cut has no false negatives)
+        "doc_heavy_bigrams": f"""
+            WITH arr AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id, unnest(toks) AS t,
+                       generate_subscripts(toks, 1) AS ord
+                FROM arr
+            ),
+            bg AS (
+                SELECT doc_id,
+                       t || ' ' ||
+                       LEAD(t) OVER (PARTITION BY doc_id ORDER BY ord) AS term
+                FROM tok
+            )
+            SELECT term, COUNT(*) AS cnt
+            FROM bg WHERE term IS NOT NULL
+            GROUP BY term HAVING COUNT(*) >= {HEAVY_BIGRAM_MIN}
+        """,
+        # the sketch rebuilt cell-for-cell from the same portable md5
+        # double-hash family the MinHash oracle uses
+        "doc_cms_sketch": """
+            WITH tok AS (
+                SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                           AS term
+                FROM documents
+            ),
+            h AS (
+                SELECT CAST(concat('0x', substr(md5(term), 1, 14)) AS BIGINT) AS u,
+                       CAST(concat('0x', substr(md5(term), 15, 14)) AS BIGINT) AS v
+                FROM tok
+            ),
+            cells AS (
+                SELECT CAST(d.r AS INTEGER) AS r,
+                       CAST((u + d.r * v) % 256 AS INTEGER) AS c
+                FROM h, (VALUES (0), (1), (2)) AS d(r)
+            )
+            SELECT r, c, COUNT(*) AS cnt FROM cells GROUP BY r, c
         """,
         "doc_epoch_shuffle": f"""
             WITH b AS (

@@ -141,6 +141,8 @@ OPERATOR_QUERIES = [
     "link_reciprocity",
     "link_assortativity",
     "link_clustering",
+    "mst_nations",
+    "doc_heavy_bigrams",
 ]
 
 
