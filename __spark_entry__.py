@@ -977,6 +977,19 @@ def q_doc_stratified_sample(spark, sf_dir):
     return sampling.stratified_sample(docs, ["lang"], 20, key_cols=["doc_id"])
 
 
+def q_doc_weighted_sample(spark, sf_dir):
+    """Quality-weighted corpus subsample (operators/sampling
+    .weighted_sample): Efraimidis-Spirakis exponential race over portable
+    md5 uniforms, weight = n_chars — inclusion ∝ weight, WITHOUT
+    replacement, deterministic across engines (the race key is rounded to
+    9 decimals and is itself the cross-engine contract). Compiles to
+    TakeOrderedAndProject — no full sort at any scale."""
+    from osmgraphing_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return sampling.weighted_sample(docs, 25, "n_chars", key_cols=["doc_id"])
+
+
 PACK_CAPACITY = 512
 PACK_SHARDS = 8
 PACK_SEED = 1
@@ -1500,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_heavy_bigrams": q_doc_heavy_bigrams,
         "doc_cms_sketch": q_doc_cms_sketch,
         "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_weighted_sample": q_doc_weighted_sample,
         "doc_epoch_shuffle": q_doc_epoch_shuffle,
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_mixture_sample": q_doc_mixture_sample,
@@ -3515,5 +3529,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM b
             )
             SELECT doc_id, lang FROM r WHERE rn <= 20
+        """,
+        # A-ES exponential race rebuilt in SQL: u from 48 md5 bits (exact
+        # in a double), race = round(-ln(u)/w, 9) — the rounded value is
+        # the cross-engine contract, md5 hex breaks ties
+        "doc_weighted_sample": """
+            WITH r AS (
+                SELECT doc_id, lang, n_chars,
+                       ROUND(-ln((CAST(concat('0x',
+                                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                                 AS BIGINT) + 0.5) / 281474976710656.0)
+                             / CAST(n_chars AS DOUBLE), 9) AS race,
+                       md5(CAST(doc_id AS VARCHAR)) AS tie
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 0
+            )
+            SELECT doc_id, lang, n_chars
+            FROM r ORDER BY race, tie LIMIT 25
         """,
     }

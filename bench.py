@@ -143,6 +143,7 @@ OPERATOR_QUERIES = [
     "link_clustering",
     "mst_nations",
     "doc_heavy_bigrams",
+    "doc_weighted_sample",
 ]
 
 

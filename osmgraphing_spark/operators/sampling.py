@@ -82,6 +82,79 @@ def mixture_sample(
     return df.where(b < thresh)
 
 
+#: 2^48 — the race uniform uses 48 md5 bits so the integer is EXACT in a
+#: double (2^48 < 2^53); a 56-bit slice would round differently nowhere,
+#: but exactness makes the cross-engine contract trivially auditable
+_RACE_DENOM = 1 << 48
+
+
+def _race_key(cols: list[Column], weight: Column) -> Column:
+    """Efraimidis-Spirakis exponential race key r = −ln(u)/w, u ∈ (0,1)
+    from the first 48 bits of md5(key): selecting the k SMALLEST r draws
+    a weighted sample without replacement, P(i ∈ sample) ∝ w_i (the
+    classic distributed weighted-sampling reduction — top-k is algebraic,
+    so it map-side combines). Rounded to 9 decimals so the value — not
+    just the order — is the cross-engine contract; ties break on md5."""
+    key = F.concat_ws("|", *[c.cast("string") for c in cols])
+    u48 = F.conv(F.substring(F.md5(key), 1, 12), 16, 10).cast("double")
+    u = (u48 + F.lit(0.5)) / F.lit(float(_RACE_DENOM))
+    return F.round(-F.log(u) / weight.cast("double"), 9)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exactly ``min(k, |rows with weight > 0|)`` rows, inclusion
+    probability ∝ ``weight_col`` (A-ES weighted reservoir semantics) —
+    THE quality-weighted corpus subsampling primitive ("sample 1B docs
+    ∝ quality score"), deterministic across runs/retries/partitionings/
+    engines. Rows with weight ≤ 0 or NULL are never selected.
+
+    Scale: ``orderBy().limit(k)`` compiles to TakeOrderedAndProject —
+    per-partition top-k then a k-row merge; no full sort, no shuffle of
+    the corpus, no driver involvement beyond k rows."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cols = [F.col(c) for c in (key_cols or df.columns)]
+    tie = F.md5(F.concat_ws("|", *[c.cast("string") for c in cols]))
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .orderBy(_race_key(cols, F.col(weight_col)), tie)
+        .limit(k)
+    )
+
+
+def weighted_stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    weight_col: str,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-stratum A-ES: ``min(k, |stratum ∩ w>0|)`` rows per stratum,
+    inclusion ∝ weight within the stratum — weighted quota balancing
+    (per-language caps where better docs win the slots). One shuffle by
+    stratum, same hot-key profile as ``stratified_sample``."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    cols = [F.col(c) for c in (key_cols or df.columns)]
+    tie = F.md5(F.concat_ws("|", *[c.cast("string") for c in cols]))
+    w = Window.partitionBy(*strata_cols).orderBy(
+        _race_key(cols, F.col(weight_col)), tie
+    )
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_cols: list[str],

@@ -218,3 +218,90 @@ def test_stratified_sample_prefilter_composes_exactly(spark):
         df, ["lang"], 5, key_cols=["doc_id"], prefilter_fraction=0.5
     )
     assert sorted(map(tuple, pre.collect())) == sorted(map(tuple, base.collect()))
+
+
+# ---------------------------------------------------------------------------
+# weighted (A-ES) sampling
+# ---------------------------------------------------------------------------
+
+def _py_race(i, w):
+    """Mirror of sampling._race_key: r = round(-ln(u)/w, 9), u from the
+    first 48 md5 bits; tie-break = full md5 hex."""
+    h = hashlib.md5(str(i).encode()).hexdigest()
+    u = (int(h[:12], 16) + 0.5) / float(1 << 48)
+    return (round(-math.log(u) / w, 9), h)
+
+
+def test_weighted_sample_matches_mirror_and_partitioning(spark):
+    rows = [(i, float(1 + (i * 13) % 7)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = sorted(
+        r["doc_id"]
+        for r in sampling.weighted_sample(df, 20, "w", key_cols=["doc_id"]).collect()
+    )
+    exp = sorted(
+        i for i, w in sorted(rows, key=lambda t: _py_race(t[0], t[1]))[:20]
+    )
+    assert got == exp
+    again = sorted(
+        r["doc_id"]
+        for r in sampling.weighted_sample(
+            df.repartition(17), 20, "w", key_cols=["doc_id"]
+        ).collect()
+    )
+    assert again == got
+
+
+def test_weighted_sample_zero_and_null_weights_excluded(spark):
+    rows = [(1, 0.0), (2, None), (3, -1.0), (4, 2.0), (5, 1.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = {r["doc_id"] for r in sampling.weighted_sample(df, 10, "w").collect()}
+    assert got == {4, 5}
+
+
+def test_weighted_sample_monotone_in_weight(spark):
+    """A-ES with fixed uniforms: raising one row's weight can only lower
+    its race key — a selected row stays selected as its weight grows."""
+    base = [(i, 1.0) for i in range(100)]
+    df = spark.createDataFrame(base, ["doc_id", "w"])
+    sel = {
+        r["doc_id"]
+        for r in sampling.weighted_sample(df, 10, "w", key_cols=["doc_id"]).collect()
+    }
+    target = sorted(sel)[0]
+    boosted = [(i, 50.0 if i == target else w) for i, w in base]
+    df2 = spark.createDataFrame(boosted, ["doc_id", "w"])
+    sel2 = {
+        r["doc_id"]
+        for r in sampling.weighted_sample(df2, 10, "w", key_cols=["doc_id"]).collect()
+    }
+    assert target in sel2
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """With weights 1000 vs 1, the heavy rows should dominate the sample
+    (deterministic, but the proportionality shows through)."""
+    rows = [(i, 1000.0 if i < 20 else 1.0) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = [
+        r["doc_id"]
+        for r in sampling.weighted_sample(df, 20, "w", key_cols=["doc_id"]).collect()
+    ]
+    heavy = sum(1 for i in got if i < 20)
+    assert heavy >= 15  # 20 heavy rows carry 1000:1 odds per slot
+
+
+def test_weighted_stratified_sample_quota_and_mirror(spark):
+    rows = [(i, "en" if i % 3 else "de", float(1 + i % 5)) for i in range(150)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "w"])
+    got = sampling.weighted_stratified_sample(
+        df, ["lang"], 7, "w", key_cols=["doc_id"]
+    ).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert {k: len(v) for k, v in by_lang.items()} == {"en": 7, "de": 7}
+    for lang, ids in by_lang.items():
+        stratum = [(i, w) for i, lg, w in rows if lg == lang]
+        exp = [i for i, w in sorted(stratum, key=lambda t: _py_race(t[0], t[1]))[:7]]
+        assert sorted(ids) == sorted(exp)
