@@ -1184,6 +1184,32 @@ def q_harmonic_nations(spark, sf_dir):
     )
 
 
+KATZ_ALPHA, KATZ_ITERS = 0.1, 6
+
+
+def q_katz_nations(spark, sf_dir):
+    """Katz centrality (operators/katz): 6 exact iterations of
+    x ← β + α·Aᵀx on the nation ring/spine digraph. Fixed-iteration Katz
+    is a polynomial in A, so the oracle re-derives it as bounded-hop walk
+    ENUMERATION (katz(v) = β Σ_j α^j · #walks of length j ending at v) —
+    a different formulation than the Spark relax loop; agreement pins
+    both."""
+    from osmgraphing_spark.operators import katz as katz_op
+
+    e = _nation_ring_edges(spark, sf_dir).select(
+        F.format_string("n%03d", F.col("src")).alias("src_key"),
+        F.format_string("n%03d", F.col("dst")).alias("dst_key"),
+        F.lit(1.0).alias("weight"),
+    )
+    g = build_graph(e, num_blocks=4)
+    res = katz_op.run(g, alpha=KATZ_ALPHA, beta=1.0, max_iter=KATZ_ITERS)
+    out = _vid_to_nationkey(g, res, ["vid"])
+    return out.select(
+        F.col("vid").cast("int").alias("n_nationkey"),
+        F.round("katz", 6).alias("katz"),
+    )
+
+
 def q_mst_nations(spark, sf_dir):
     """Minimum spanning forest (operators/mst: distributed Borůvka) of the
     weighted nation co-region graph. The MSF is unique under the total edge
@@ -1452,6 +1478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_build_order": q_scc_build_order,
         "betweenness_nations": q_betweenness_nations,
         "mst_nations": q_mst_nations,
+        "katz_nations": q_katz_nations,
         "truss_nations": q_truss_nations,
         "closeness_nations": q_closeness_nations,
         "link_reciprocity": q_link_reciprocity,
@@ -2491,6 +2518,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT verts.v AS node_id, LEAST(verts.v, COALESCE(MIN(w), verts.v)) AS scc
             FROM verts LEFT JOIN mutual ON mutual.v = verts.v
             GROUP BY verts.v
+        """,
+        # fixed-iteration Katz as bounded-hop walk enumeration: a row of
+        # walk(vid, hops=j) is one distinct walk of length j ending at vid
+        # (UNION ALL keeps multiplicity), so SUM(beta * alpha^hops) per vid
+        # is exactly beta * sum_j alpha^j * W_j(v)
+        "katz_nations": f"""
+            WITH RECURSIVE {_NATION_RING_CTES},
+            walk(vid, hops) AS (
+                SELECT n_nationkey, 0 FROM nation
+                UNION ALL
+                SELECT e.dst, w.hops + 1
+                FROM walk w JOIN e ON e.src = w.vid
+                WHERE w.hops < {KATZ_ITERS}
+            )
+            SELECT CAST(vid AS INTEGER) AS n_nationkey,
+                   ROUND(SUM(POWER({KATZ_ALPHA}, hops)), 6) AS katz
+            FROM walk GROUP BY vid
         """,
         # MSF cycle property: edge ∈ MSF iff its endpoints are not connected
         # using only edges of strictly smaller (w, u, v) rank. reach(r, a, b)

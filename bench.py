@@ -144,6 +144,7 @@ OPERATOR_QUERIES = [
     "mst_nations",
     "doc_heavy_bigrams",
     "doc_weighted_sample",
+    "katz_nations",
 ]
 
 
