@@ -181,6 +181,30 @@ def sessionize_stream(
     )
 
 
+def cms_sketch_stream(
+    docs: DataFrame,
+    depth: int = 4,
+    width: int = 1024,
+    n: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming count-min sketch of the document stream's n-gram counts —
+    running heavy-hitter counts over an unbounded corpus stream with
+    FIXED state: the aggregation state is the sketch itself (≤ depth·width
+    counters), bounded by geometry rather than by a watermark, so no state
+    ever needs expiring and ``outputMode("complete")`` is cheap (the
+    result table is the ≤ depth·width-row sketch). Delegates to the batch
+    ``operators.heavyhitters.cms_sketch`` — the operator is a stateless
+    explode + one algebraic groupBy, so the SAME code runs in both modes
+    and the stream's final sketch equals the batch sketch over the same
+    rows exactly (pinned by test). Query estimates / heavy-hitter cuts run
+    on the sink with ``heavyhitters.cms_estimate``."""
+    from ..operators.heavyhitters import cms_sketch
+
+    return cms_sketch(docs, depth, width, n, id_col, text_col)
+
+
 def dedup_stream(
     docs: DataFrame,
     watermark: str = "1 hour",

@@ -294,3 +294,46 @@ def test_dedup_stream_drops_within_watermark(spark, tmp_path):
     assert len({k for k in kept_ids if k in (1, 2)}) == 1
     assert len({k for k in kept_ids if k in (3, 5)}) == 1
     assert 7 in kept_ids
+
+
+def test_cms_sketch_stream_equals_batch(spark, tmp_path):
+    """The streaming sketch (complete mode, two file micro-batches) must
+    equal the batch sketch over the same rows cell-for-cell — the
+    algebraic-merge property that makes CMS the streaming heavy-hitter
+    fit (state = the sketch itself, bounded by depth*width, no
+    watermark)."""
+    from osmgraphing_spark.operators.heavyhitters import cms_sketch
+    from osmgraphing_spark.streaming.windows import cms_sketch_stream
+
+    in_dir = str(tmp_path / "cin")
+    rows = [
+        (i, f"tok{i % 7} tok{i % 3} shared tail words {i % 2}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # two separate files => at least two input splits for the stream
+    df.where("doc_id < 30").coalesce(1).write.mode("overwrite").parquet(in_dir)
+    df.where("doc_id >= 30").coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir)
+    q = (
+        cms_sketch_stream(stream, depth=3, width=128)
+        .writeStream.format("memory")
+        .queryName("cms_stream_tbl")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["r"], r["c"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM cms_stream_tbl").collect()
+    }
+    exp = {
+        (r["r"], r["c"]): r["cnt"]
+        for r in cms_sketch(spark.read.parquet(in_dir), 3, 128).collect()
+    }
+    assert got == exp and len(got) > 0
