@@ -922,6 +922,17 @@ def q_doc_tfidf_terms(spark, sf_dir):
     )
 
 
+def q_doc_bigram_nll(spark, sf_dir):
+    """Bigram-LM fluency score (operators/termstats.bigram_logprob):
+    mean −ln p(w₂|w₁) per doc under the corpus's own add-k smoothed
+    bigram LM — word order now matters, unlike the unigram score."""
+    from osmgraphing_spark.operators import termstats
+
+    return termstats.bigram_logprob(
+        _t(spark, sf_dir, "documents"), k=0.5
+    ).select(F.col("id").alias("doc_id"), "n_bigrams", "avg_nll")
+
+
 def q_doc_top_terms(spark, sf_dir):
     """Exact corpus-wide top-20 tokens (operators/heavyhitters.top_terms):
     the oracle tier of heavy hitters — algebraic groupBy, deterministic
@@ -1181,6 +1192,92 @@ def q_harmonic_nations(spark, sf_dir):
     out = _vid_to_nationkey(g, res, ["vid"])
     return out.select(
         F.col("vid").cast("int").alias("n_nationkey"), "harmonic"
+    )
+
+
+MATCHING_ORACLE_ROUNDS = 3  # fixpoint needs 2 on this graph; +1 idempotent
+
+
+def q_matching_nations(spark, sf_dir):
+    """Maximal matching (operators/matching: deterministic handshake
+    rounds — Luby on the line graph, portable md5 edge priorities) on the
+    nation co-region graph. The chained-CTE oracle replays every round
+    value-for-value (priorities, per-vertex minima, mutual picks,
+    removals), one spare round past the fixpoint (idempotent)."""
+    from osmgraphing_spark.operators import matching as matching_op
+
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    a = n.select(F.col("n_nationkey").alias("a"), F.col("n_regionkey").alias("r"))
+    b = n.select(F.col("n_nationkey").alias("b"), F.col("n_regionkey").alias("r"))
+    e = (
+        a.join(b, "r")
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.col("a").cast("long").alias("src"),
+            F.col("b").cast("long").alias("dst"),
+        )
+    )
+    m = matching_op.maximal_matching(e, max_rounds=MATCHING_ORACLE_ROUNDS)
+    return m.select(
+        F.col("u").cast("int").alias("u"), F.col("v").cast("int").alias("v")
+    )
+
+
+def _matching_sql(rounds: int) -> str:
+    """Chained-CTE replay of matching._matching_loop on the nation
+    co-region graph: per round, md5(u|v|round) edge priorities, each
+    vertex's (p, u, v)-minimum incident edge, mutual picks matched, their
+    endpoints' edges removed."""
+    ctes = [
+        """live0 AS (
+            SELECT LEAST(x.n_nationkey, y.n_nationkey) AS u,
+                   GREATEST(x.n_nationkey, y.n_nationkey) AS v
+            FROM nation x JOIN nation y
+              ON x.n_regionkey = y.n_regionkey
+             AND x.n_nationkey <> y.n_nationkey
+            GROUP BY 1, 2
+        )"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""p{r} AS (
+            SELECT u, v,
+                   CAST(concat('0x', substr(md5(
+                        CAST(u AS VARCHAR) || '|' || CAST(v AS VARCHAR)
+                        || '|' || '{r}'), 1, 14)) AS BIGINT) AS p
+            FROM live{r - 1}
+        ),
+        both{r} AS (
+            SELECT u AS vtx, u, v, p FROM p{r}
+            UNION ALL
+            SELECT v AS vtx, u, v, p FROM p{r}
+        ),
+        pick{r} AS (
+            SELECT vtx, u, v FROM (
+                SELECT vtx, u, v,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vtx ORDER BY p, u, v
+                       ) AS rn
+                FROM both{r}
+            ) WHERE rn = 1
+        ),
+        m{r} AS (
+            SELECT u, v FROM pick{r} GROUP BY u, v HAVING COUNT(*) = 2
+        ),
+        dead{r} AS (
+            SELECT u AS x FROM m{r} UNION SELECT v AS x FROM m{r}
+        ),
+        live{r} AS (
+            SELECT u, v FROM live{r - 1}
+            WHERE u NOT IN (SELECT x FROM dead{r})
+              AND v NOT IN (SELECT x FROM dead{r})
+        )""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT u, v FROM m{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT CAST(u AS INTEGER) AS u, CAST(v AS INTEGER) AS v "
+        f"FROM ({union})"
     )
 
 
@@ -1479,6 +1576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_nations": q_betweenness_nations,
         "mst_nations": q_mst_nations,
         "katz_nations": q_katz_nations,
+        "matching_nations": q_matching_nations,
         "truss_nations": q_truss_nations,
         "closeness_nations": q_closeness_nations,
         "link_reciprocity": q_link_reciprocity,
@@ -1536,6 +1634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": q_doc_decontaminate,
         "doc_unigram_nll": q_doc_unigram_nll,
         "doc_tfidf_terms": q_doc_tfidf_terms,
+        "doc_bigram_nll": q_doc_bigram_nll,
         "doc_top_terms": q_doc_top_terms,
         "doc_heavy_bigrams": q_doc_heavy_bigrams,
         "doc_cms_sketch": q_doc_cms_sketch,
@@ -2519,6 +2618,8 @@ def oracle_sql() -> dict[str, str]:
             FROM verts LEFT JOIN mutual ON mutual.v = verts.v
             GROUP BY verts.v
         """,
+        # maximal matching replayed round-for-round (chained CTEs)
+        "matching_nations": _matching_sql(MATCHING_ORACLE_ROUNDS),
         # fixed-iteration Katz as bounded-hop walk enumeration: a row of
         # walk(vid, hops=j) is one distinct walk of length j ending at vid
         # (UNION ALL keeps multiplicity), so SUM(beta * alpha^hops) per vid
@@ -3430,6 +3531,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, tok AS term, tf, tfidf, rnk
             FROM ranked WHERE rnk <= 3
+        """,
+        "doc_bigram_nll": """
+            WITH arr AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id, unnest(toks) AS t,
+                       generate_subscripts(toks, 1) AS ord
+                FROM arr
+            ),
+            bg AS (
+                SELECT doc_id, term FROM (
+                    SELECT doc_id,
+                           t || ' ' ||
+                           LEAD(t) OVER (PARTITION BY doc_id ORDER BY ord)
+                               AS term
+                    FROM tok
+                ) WHERE term IS NOT NULL
+            ),
+            freq AS (SELECT term, COUNT(*) AS cnt FROM bg GROUP BY term),
+            ctx AS (
+                SELECT split_part(term, ' ', 1) AS w1, SUM(cnt) AS ctx_cnt
+                FROM freq GROUP BY 1
+            ),
+            voc AS (SELECT COUNT(DISTINCT t) AS v FROM tok)
+            SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+                   ROUND(AVG(-ln((cnt + 0.5) / (ctx_cnt + 0.5 * v))), 6)
+                       AS avg_nll
+            FROM bg JOIN freq USING (term)
+                 JOIN ctx ON split_part(bg.term, ' ', 1) = ctx.w1, voc
+            GROUP BY bg.doc_id
         """,
         "doc_top_terms": """
             WITH tok AS (

@@ -71,6 +71,63 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """→ (id, n_bigrams, avg_nll): mean −ln p(w₂|w₁) per document under an
+    add-k smoothed corpus bigram LM,
+
+        p(w₂|w₁) = (c(w₁w₂) + k) / (c(w₁·) + k·V)
+
+    (c = corpus counts, V = unigram vocabulary size) — the bigram upgrade
+    of ``unigram_logprob``: fluent word ORDER now matters, so shuffled or
+    templated text scores as gibberish even when its unigram mix is
+    normal. Only documents with ≥ 1 bigram appear.
+
+    Scale: same shape as unigram_logprob — the bigram frequency and
+    context tables are vocabulary-bounded and broadcast; the exploded
+    corpus never shuffles for the lookups, only the per-doc mean moves.
+    V and the bigram stream reuse one tokenizer definition
+    (heavyhitters.terms_of), so the SQL oracle shares it too."""
+    from .heavyhitters import terms_of
+
+    bg = terms_of(docs, 2, id_col, text_col)
+    freq = bg.groupBy("term").agg(F.count("*").alias("cnt"))
+    ctx = (
+        freq.withColumn("w1", F.split("term", " ")[0])
+        .groupBy("w1")
+        .agg(F.sum("cnt").alias("ctx_cnt"))
+    )
+    vocab = (
+        terms_of(docs, 1, id_col, text_col)
+        .agg(F.count_distinct("term").alias("v"))
+    )
+    if broadcast_vocab:
+        freq, ctx = F.broadcast(freq), F.broadcast(ctx)
+    return (
+        bg.join(freq, "term")
+        .withColumn("w1", F.split("term", " ")[0])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "nll",
+            -F.log(
+                (F.col("cnt") + F.lit(k))
+                / (F.col("ctx_cnt") + F.lit(k) * F.col("v"))
+            ),
+        )
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
+        )
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     k: int = 3,

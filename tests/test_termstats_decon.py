@@ -305,3 +305,53 @@ def test_weighted_stratified_sample_quota_and_mirror(spark):
         stratum = [(i, w) for i, lg, w in rows if lg == lang]
         exp = [i for i, w in sorted(stratum, key=lambda t: _py_race(t[0], t[1]))[:7]]
         assert sorted(ids) == sorted(exp)
+
+
+# ---------------------------------------------------------------------------
+# bigram LM scoring
+# ---------------------------------------------------------------------------
+
+def _py_bigram_nll(rows, k=0.5):
+    from collections import Counter
+
+    def toks(t):
+        return t.strip().lower().split()
+
+    bgs = {i: [" ".join(p) for p in zip(toks(t), toks(t)[1:])] for i, t in rows}
+    freq = Counter(b for bs in bgs.values() for b in bs)
+    ctx = Counter()
+    for b, c in freq.items():
+        ctx[b.split(" ")[0]] += c
+    vocab = len({w for _, t in rows for w in toks(t)})
+    out = {}
+    for i, bs in bgs.items():
+        if not bs:
+            continue
+        nll = [
+            -math.log((freq[b] + k) / (ctx[b.split(" ")[0]] + k * vocab))
+            for b in bs
+        ]
+        out[i] = (len(bs), round(sum(nll) / len(nll), 6))
+    return out
+
+
+def test_bigram_logprob_matches_mirror(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the mat"),
+        (3, "mat the on sat cat the"),   # shuffled word order
+        (4, "single"),                    # no bigrams: absent from output
+        (5, "the cat sat on the mat again"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_bigrams"], r["avg_nll"])
+        for r in termstats.bigram_logprob(df).collect()
+    }
+    exp = _py_bigram_nll(rows)
+    assert set(got) == set(exp)
+    for i in exp:
+        assert got[i][0] == exp[i][0]
+        assert abs(got[i][1] - exp[i][1]) < 1e-6
+    # word order matters: the shuffled doc scores worse than the fluent one
+    assert got[3][1] > got[1][1]
