@@ -933,6 +933,132 @@ def q_doc_bigram_nll(spark, sf_dir):
     ).select(F.col("id").alias("doc_id"), "n_bigrams", "avg_nll")
 
 
+BPE_MERGES = 8
+
+
+def q_doc_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training (operators/bpe.train_bpe): the first 8
+    merges learned from the corpus's own word histogram — each round one
+    vocab-bounded pair count + a pure fold rewrite, ties broken
+    lexicographically so the merge table is engine-reproducible. The
+    oracle replays training round-for-round with sentinel-string
+    replace()."""
+    from osmgraphing_spark.operators import bpe as bpe_op
+
+    merges = bpe_op.train_bpe(
+        _t(spark, sf_dir, "documents"), merges=BPE_MERGES
+    )
+    return bpe_op.merges_df(spark, merges)
+
+
+def q_doc_bpe_tokens(spark, sf_dir):
+    """Per-document token counts under the trained BPE merges
+    (operators/bpe.bpe_token_counts): the k-merge fold runs once per
+    DISTINCT word, then broadcast-joins onto the exploded corpus."""
+    from osmgraphing_spark.operators import bpe as bpe_op
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_op.train_bpe(docs, merges=BPE_MERGES)
+    return bpe_op.bpe_token_counts(docs, merges).select(
+        F.col("id").alias("doc_id"), "n_words", "n_tokens"
+    )
+
+
+def _bpe_train_ctes(rounds: int) -> str:
+    """Shared chained-CTE replay of bpe.train_bpe on the documents word
+    histogram: words as '<sym>'-wrapped strings; per round, adjacent-pair
+    counts (LEAD over symbol positions, weighted by word freq), the
+    (cnt DESC, lhs, rhs) winner, and a replace() application whose
+    leftmost-nonoverlapping semantics equal the Spark fold's. CTEs are
+    MATERIALIZED — inlining would re-expand each round's chain
+    exponentially."""
+    parts = [
+        """wh AS MATERIALIZED (
+            SELECT word, COUNT(*) AS freq FROM (
+                SELECT unnest(regexp_split_to_array(lower(trim(text)),
+                                                    '\\s+')) AS word
+                FROM documents
+            ) WHERE word <> '' AND regexp_matches(word, '^[a-z]+$')
+            GROUP BY word
+        ),
+        w0 AS MATERIALIZED (
+            SELECT word, freq,
+                   regexp_replace(word, '(.)', '<\\1>', 'g') AS s
+            FROM wh
+        )"""
+    ]
+    round_tpl = """
+        pc{r} AS MATERIALIZED (
+            SELECT lhs, rhs, SUM(freq) AS cnt FROM (
+                SELECT freq, sym AS lhs,
+                       LEAD(sym) OVER (
+                           PARTITION BY word ORDER BY ord
+                       ) AS rhs
+                FROM (
+                    SELECT word, freq, unnest(syms) AS sym,
+                           generate_subscripts(syms, 1) AS ord
+                    FROM (
+                        SELECT word, freq,
+                               regexp_extract_all(s, '<([^>]*)>', 1) AS syms
+                        FROM w{p}
+                    )
+                )
+            ) WHERE rhs IS NOT NULL
+            GROUP BY lhs, rhs
+        ),
+        t{r} AS MATERIALIZED (
+            SELECT lhs, rhs, cnt FROM pc{r}
+            ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1
+        ),
+        w{r} AS MATERIALIZED (
+            SELECT word, freq,
+                   replace(s, '<' || t.lhs || '><' || t.rhs || '>',
+                           '<' || t.lhs || t.rhs || '>') AS s
+            FROM w{p}, t{r} t
+        )"""
+    for r in range(1, rounds + 1):
+        parts.append(round_tpl.format(r=r, p=r - 1))
+    return ",\n".join(parts)
+
+
+def _bpe_merges_sql(rounds: int) -> str:
+    union = "\nUNION ALL\n".join(
+        f"SELECT {r} AS rank, lhs, rhs, lhs || rhs AS merged, cnt FROM t{r}"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH " + _bpe_train_ctes(rounds)
+        + f"""
+        SELECT CAST(rank AS INTEGER) AS rank, lhs, rhs, merged,
+               CAST(cnt AS BIGINT) AS pair_count
+        FROM ({union})"""
+    )
+
+
+def _bpe_tokens_sql(rounds: int) -> str:
+    return (
+        "WITH " + _bpe_train_ctes(rounds)
+        + f""",
+        wtok AS MATERIALIZED (
+            SELECT word,
+                   length(s) - length(replace(s, '<', '')) AS n_tok
+            FROM w{rounds}
+        ),
+        docw AS (
+            SELECT doc_id, word FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)),
+                                                    '\\s+')) AS word
+                FROM documents
+            ) WHERE word <> '' AND regexp_matches(word, '^[a-z]+$')
+        )
+        SELECT d.doc_id, COUNT(*) AS n_words,
+               CAST(SUM(w.n_tok) AS BIGINT) AS n_tokens
+        FROM docw d JOIN wtok w USING (word)
+        GROUP BY d.doc_id"""
+    )
+
+
 def q_doc_top_terms(spark, sf_dir):
     """Exact corpus-wide top-20 tokens (operators/heavyhitters.top_terms):
     the oracle tier of heavy hitters — algebraic groupBy, deterministic
@@ -1281,6 +1407,113 @@ def _matching_sql(rounds: int) -> str:
     )
 
 
+COLORING_ORACLE_ROUNDS = 6  # 5-clique regions need 5 JP rounds; +1 idempotent
+
+
+def q_coloring_nations(spark, sf_dir):
+    """Greedy coloring (operators/coloring: Jones-Plassmann — each round
+    the uncolored md5-priority local maxima take the smallest color
+    absent from their colored neighborhood) on the nation co-region
+    graph: five 5-cliques, so exactly 5 colors and one vertex colored
+    per clique per round. The chained-CTE oracle replays every round
+    value-for-value."""
+    from osmgraphing_spark.operators import coloring as coloring_op
+
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    a = n.select(F.col("n_nationkey").alias("a"), F.col("n_regionkey").alias("r"))
+    b = n.select(F.col("n_nationkey").alias("b"), F.col("n_regionkey").alias("r"))
+    e = (
+        a.join(b, "r")
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.col("a").cast("long").alias("src"),
+            F.col("b").cast("long").alias("dst"),
+        )
+    )
+    c = coloring_op.greedy_coloring(e, max_rounds=COLORING_ORACLE_ROUNDS)
+    return c.select(F.col("vid").cast("int").alias("n_nationkey"), "color")
+
+
+def _coloring_sql(rounds: int) -> str:
+    """Chained-CTE replay of coloring._jp_loop on the nation co-region
+    graph: per round, winners are the uncolored vertices whose
+    md5(vid)|lpad(vid) key beats every uncolored neighbor's; each winner
+    takes MIN(g) over 1..26 not already used by a colored neighbor
+    (26 > |V|, so it always exceeds any neighborhood color count —
+    the same first-missing the Spark side's sequence(1,size+1) scan
+    finds)."""
+    ctes = [
+        """e0 AS MATERIALIZED (
+            SELECT x.n_nationkey AS src, y.n_nationkey AS dst
+            FROM nation x JOIN nation y
+              ON x.n_regionkey = y.n_regionkey
+             AND x.n_nationkey <> y.n_nationkey
+        ),
+        k AS MATERIALIZED (
+            SELECT n_nationkey AS vid,
+                   md5(CAST(n_nationkey AS VARCHAR)) || '|' ||
+                   lpad(CAST(n_nationkey AS VARCHAR), 12, '0') AS key
+            FROM nation
+        ),
+        unc0 AS MATERIALIZED (SELECT DISTINCT src AS vid FROM e0),
+        col0 AS MATERIALIZED (SELECT NULL::INT AS vid, NULL::INT AS color WHERE FALSE)"""
+    ]
+    round_tpl = """
+        win{r} AS MATERIALIZED (
+            SELECT u.vid
+            FROM unc{p} u JOIN k ON k.vid = u.vid
+            LEFT JOIN (
+                SELECT e.src AS vid, MAX(kd.key) AS nmax
+                FROM e0 e JOIN kd_unc{p} kd ON kd.vid = e.dst
+                WHERE e.src IN (SELECT vid FROM unc{p})
+                GROUP BY e.src
+            ) nm ON nm.vid = u.vid
+            WHERE nm.nmax IS NULL OR k.key > nm.nmax
+        ),
+        nc{r} AS MATERIALIZED (
+            SELECT e.src AS vid, c.color
+            FROM e0 e
+            JOIN win{r} w ON w.vid = e.src
+            JOIN col{p} c ON c.vid = e.dst
+            GROUP BY 1, 2
+        ),
+        ass{r} AS MATERIALIZED (
+            SELECT w.vid,
+                   CAST(COALESCE((
+                       SELECT MIN(g) FROM generate_series(1, 26) t(g)
+                       WHERE g NOT IN (SELECT color FROM nc{r} n
+                                       WHERE n.vid = w.vid)
+                   ), 1) AS INT) AS color
+            FROM win{r} w
+        ),
+        col{r} AS MATERIALIZED (
+            SELECT vid, color FROM col{p}
+            UNION ALL SELECT vid, color FROM ass{r}
+        ),
+        unc{r} AS MATERIALIZED (
+            SELECT vid FROM unc{p}
+            WHERE vid NOT IN (SELECT vid FROM ass{r})
+        ),
+        kd_unc{r} AS MATERIALIZED (
+            SELECT k.vid, k.key FROM k
+            WHERE k.vid IN (SELECT vid FROM unc{r})
+        )"""
+    # kd_unc0 seeds the first round's neighbor-max over uncolored keys
+    ctes.append(
+        """kd_unc0 AS MATERIALIZED (
+            SELECT k.vid, k.key FROM k
+            WHERE k.vid IN (SELECT vid FROM unc0)
+        )"""
+    )
+    for r in range(1, rounds + 1):
+        ctes.append(round_tpl.format(r=r, p=r - 1))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT CAST(vid AS INTEGER) AS n_nationkey, color "
+        f"FROM col{rounds}"
+    )
+
+
 KATZ_ALPHA, KATZ_ITERS = 0.1, 6
 
 
@@ -1577,6 +1810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mst_nations": q_mst_nations,
         "katz_nations": q_katz_nations,
         "matching_nations": q_matching_nations,
+        "coloring_nations": q_coloring_nations,
         "truss_nations": q_truss_nations,
         "closeness_nations": q_closeness_nations,
         "link_reciprocity": q_link_reciprocity,
@@ -1635,6 +1869,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_nll": q_doc_unigram_nll,
         "doc_tfidf_terms": q_doc_tfidf_terms,
         "doc_bigram_nll": q_doc_bigram_nll,
+        "doc_bpe_merges": q_doc_bpe_merges,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_top_terms": q_doc_top_terms,
         "doc_heavy_bigrams": q_doc_heavy_bigrams,
         "doc_cms_sketch": q_doc_cms_sketch,
@@ -2620,6 +2856,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # maximal matching replayed round-for-round (chained CTEs)
         "matching_nations": _matching_sql(MATCHING_ORACLE_ROUNDS),
+        # Jones-Plassmann coloring replayed round-for-round (chained CTEs)
+        "coloring_nations": _coloring_sql(COLORING_ORACLE_ROUNDS),
         # fixed-iteration Katz as bounded-hop walk enumeration: a row of
         # walk(vid, hops=j) is one distinct walk of length j ending at vid
         # (UNION ALL keeps multiplicity), so SUM(beta * alpha^hops) per vid
@@ -3532,6 +3770,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, tok AS term, tf, tfidf, rnk
             FROM ranked WHERE rnk <= 3
         """,
+        # BPE training replayed round-for-round (sentinel-string replace)
+        "doc_bpe_merges": _bpe_merges_sql(BPE_MERGES),
+        "doc_bpe_tokens": _bpe_tokens_sql(BPE_MERGES),
         "doc_bigram_nll": """
             WITH arr AS (
                 SELECT doc_id,
