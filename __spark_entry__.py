@@ -430,6 +430,59 @@ def q_hits8(spark, sf_dir):
     )
 
 
+EIGEN_ITERS = 6
+
+
+def q_eigen_links(spark, sf_dir):
+    """Eigenvector centrality (operators/eigencentrality): EIGEN_ITERS
+    fixed L1-normalized power iterations on the undirected view of the
+    customer–supplier link graph — completes the link-analysis family
+    (PageRank/PPR/HITS/Katz). Fixed iterations make the result an exact
+    rational function of the adjacency, so the chained-CTE oracle replays
+    it bit-for-bit (mod 1e-6 rounding)."""
+    from osmgraphing_spark.operators import eigencentrality as eigen_op
+
+    g = build_graph(_bipartite_raw_edges(spark, sf_dir), num_blocks=8)
+    res = eigen_op.run(g, max_iter=EIGEN_ITERS)
+    return (
+        res.join(g.vertices, "vid")
+        .select(
+            _key_to_node_id(F.col("key")).alias("node_id"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+def _eigen_sql(iters: int = EIGEN_ITERS) -> str:
+    """DuckDB replica of eigencentrality.run(symmetrize=True): undirected
+    A ∨ Aᵀ view, x0 = 1/|V|, per round one gather + an L1 window
+    normalization (the _HITS_ITER pattern, single vector)."""
+    parts = [
+        "WITH e0 AS (" + SQL_BIPARTITE_EDGES + "),",
+        "e AS (SELECT src, dst FROM e0 UNION "
+        "SELECT dst AS src, src AS dst FROM e0),",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e),",
+        "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),",
+        "x0 AS (SELECT vid, CAST(1.0 AS DOUBLE)/(SELECT n FROM n) AS score FROM v)",
+    ]
+    tpl = """
+    x{K} AS (
+        SELECT vid, s / SUM(s) OVER () AS score FROM (
+            SELECT v.vid, COALESCE(g.c, 0) AS s
+            FROM v LEFT JOIN (
+                SELECT e.dst AS vid, SUM(x{P}.score) AS c
+                FROM e JOIN x{P} ON e.src = x{P}.vid GROUP BY e.dst
+            ) g ON v.vid = g.vid
+        )
+    )"""
+    for k in range(1, iters + 1):
+        parts.append("," + tpl.format(K=k, P=k - 1))
+    parts.append(
+        f"SELECT vid AS node_id, ROUND(score, 6) AS score FROM x{iters}"
+    )
+    return "\n".join(parts)
+
+
 def _bipartite_weighted_raw_edges(spark, sf_dir):
     """Same bipartite graph but weight = reference multiplicity (how many
     lineitems link the customer to the supplier)."""
@@ -1822,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank5_weighted": q_pagerank5_weighted,
         "ppr5": q_ppr5,
         "hits8": q_hits8,
+        "eigen_links": q_eigen_links,
         "kcore_links": q_kcore_links,
         "triangles_per_vertex_nations": q_triangles_per_vertex_nations,
         "pricing_summary": q_pricing_summary,
@@ -2755,6 +2809,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank5_weighted": _pagerank5_weighted_sql(),
         "ppr5": _ppr5_sql(),
         "hits8": _hits8_sql(),
+        "eigen_links": _eigen_sql(),
         "kcore_links": _kcore_sql(),
         "triangles_per_vertex_nations": """
             SELECT a.n_nationkey, CAST(COUNT(*) AS BIGINT) AS triangles

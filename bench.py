@@ -145,6 +145,8 @@ OPERATOR_QUERIES = [
     "doc_heavy_bigrams",
     "doc_weighted_sample",
     "katz_nations",
+    "doc_bpe_tokens",
+    "eigen_links",
 ]
 
 
