@@ -1687,6 +1687,48 @@ def q_link_copurchase(spark, sf_dir):
     )
 
 
+def q_link_predictors(spark, sf_dir):
+    """Full link-prediction battery (operators/linkpred
+    .link_predictor_scores): common neighbors, jaccard, cosine,
+    Adamic-Adar, resource allocation and preferential attachment for the
+    top 50 predicted pairs, all from ONE wedge pass (the three wedge-level
+    sums share a single map-side combine; jaccard/cosine/PA come from two
+    slim true-degree joins). Hub centers cut at AA_CENTER_CAP before the
+    deg² self-join, same as `link_adamic_adar`."""
+    e = q_link_edges(spark, sf_dir)
+    scored = linkpred.link_predictor_scores(e, max_center_degree=AA_CENTER_CAP)
+    return (
+        scored.select(
+            F.col("u").alias("node_a"),
+            F.col("v").alias("node_b"),
+            "common", "jaccard", "cosine", "adamic_adar",
+            "resource_alloc", "pref_attach",
+        )
+        .orderBy(F.desc("common"), "node_a", "node_b")
+        .limit(50)
+    )
+
+
+def q_link_butterflies(spark, sf_dir):
+    """Per-member butterfly (bipartite 4-cycle) counts
+    (operators/linkpred.butterfly_counts) on the customer × part purchase
+    graph: top 30 customers by butterflies = Σ_v C(shared(u,v), 2) — the
+    bipartite clustering signal. Hot parts (degree > COPURCHASE_MAX_PD)
+    cut BEFORE the partner-keyed wedge self-join; the oracle applies the
+    same cut."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return (
+        linkpred.butterfly_counts(e, max_partner_degree=COPURCHASE_MAX_PD)
+        .select(F.col("m").alias("custkey"), "butterflies", "max_shared")
+        .orderBy(F.desc("butterflies"), "custkey")
+        .limit(30)
+    )
+
+
 TRUSS_K = 4
 TRUSS_ROUNDS = 2
 
@@ -1847,6 +1889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_edges": q_link_edges,
         "link_degrees": q_link_degrees,
         "link_adamic_adar": q_link_adamic_adar,
+        "link_predictors": q_link_predictors,
+        "link_butterflies": q_link_butterflies,
         "link_copurchase": q_link_copurchase,
         "link_degree_hist": q_link_degree_hist,
         "link_edge_sample": q_link_edge_sample,
@@ -2804,6 +2848,77 @@ def oracle_sql() -> dict[str, str]:
             FROM predicted
             ORDER BY common DESC, node_a, node_b
             LIMIT 50
+        """,
+        "link_predictors": f"""
+            WITH e AS ({SQL_BIPARTITE_EDGES}),
+            und AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT dst AS src, src AS dst FROM e
+            ),
+            deg AS (SELECT src AS w, COUNT(*) AS d FROM und GROUP BY src),
+            cdeg AS (SELECT w, d FROM deg WHERE d <= {AA_CENTER_CAP}),
+            nb AS (
+                SELECT und.src AS w, und.dst AS nbr, cdeg.d
+                FROM und JOIN cdeg ON cdeg.w = und.src
+            ),
+            wedge AS (
+                SELECT a.w, a.nbr AS u, b.nbr AS v, a.d
+                FROM nb a JOIN nb b ON a.w = b.w AND a.nbr < b.nbr
+            ),
+            scored AS (
+                SELECT u, v, COUNT(*) AS common,
+                       SUM(1.0 / ln(d)) AS aa,
+                       SUM(1.0 / d) AS ra
+                FROM wedge GROUP BY u, v
+            ),
+            predicted AS (
+                SELECT s.* FROM scored s
+                LEFT JOIN und ON und.src = s.u AND und.dst = s.v
+                WHERE und.src IS NULL
+            )
+            SELECT p.u AS node_a, p.v AS node_b, p.common,
+                   ROUND(CAST(p.common AS DOUBLE)
+                         / (du.d + dv.d - p.common), 6) AS jaccard,
+                   ROUND(CAST(p.common AS DOUBLE)
+                         / sqrt(CAST(du.d AS DOUBLE) * dv.d), 6) AS cosine,
+                   ROUND(p.aa, 6) AS adamic_adar,
+                   ROUND(p.ra, 6) AS resource_alloc,
+                   CAST(du.d * dv.d AS BIGINT) AS pref_attach
+            FROM predicted p
+            JOIN deg du ON du.w = p.u
+            JOIN deg dv ON dv.w = p.v
+            ORDER BY p.common DESC, node_a, node_b
+            LIMIT 50
+        """,
+        "link_butterflies": f"""
+            WITH e AS (
+                SELECT DISTINCT o_custkey AS m, l_partkey AS p
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            ),
+            pd AS (
+                SELECT p FROM e GROUP BY p
+                HAVING COUNT(*) <= {COPURCHASE_MAX_PD}
+            ),
+            nb AS (SELECT e.m, e.p FROM e JOIN pd ON e.p = pd.p),
+            sh AS (
+                SELECT a.m AS u, b.m AS v, COUNT(*) AS s
+                FROM nb a JOIN nb b ON a.p = b.p AND a.m < b.m
+                GROUP BY a.m, b.m
+                HAVING COUNT(*) >= 2
+            ),
+            per_pair AS (
+                SELECT u, v, CAST(s * (s - 1) / 2 AS BIGINT) AS bf, s FROM sh
+            ),
+            credits AS (
+                SELECT u AS m, bf, s FROM per_pair
+                UNION ALL
+                SELECT v AS m, bf, s FROM per_pair
+            )
+            SELECT m AS custkey, SUM(bf) AS butterflies, MAX(s) AS max_shared
+            FROM credits GROUP BY m
+            ORDER BY butterflies DESC, custkey
+            LIMIT 30
         """,
         "pagerank5": _pagerank5_sql(),
         "pagerank5_weighted": _pagerank5_weighted_sql(),
