@@ -866,6 +866,18 @@ def q_doc_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_doc_prefix_jaccard(spark, sf_dir):
+    """EXACT Jaccard ≥ 0.5 pairs via prefix filtering
+    (operators/dedup.prefix_jaccard_pairs): the lossless scale path —
+    rarest-first prefixes bound the candidate join so no max_df cut (and
+    no recall loss) is needed. The oracle is the brute-force
+    inverted-index join with NO frequency cut: values must match exactly
+    because prefix filtering only prunes non-qualifying candidates."""
+    return dd.prefix_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, n=3
+    )
+
+
 def q_doc_minhash(spark, sf_dir):
     return dd.minhash_signatures(_t(spark, sf_dir, "documents"), num_hashes=4, n=3)
 
@@ -1947,6 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_stats": q_media_audio_stats,
         "doc_exact_dups": q_doc_exact_dups,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
+        "doc_prefix_jaccard": q_doc_prefix_jaccard,
         "doc_minhash": q_doc_minhash,
         "doc_lsh_candidates": q_doc_lsh_candidates,
         "doc_incremental_dups": q_doc_incremental_dups,
@@ -3624,6 +3637,21 @@ def oracle_sql() -> dict[str, str]:
             common AS (
                 SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
                 FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.id < b.id
+                GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b,
+                   ROUND(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON common.id_a = sa.id
+            JOIN sizes sb ON common.id_b = sb.id
+            WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5
+        """,
+        "doc_prefix_jaccard": f"""
+            WITH {_SHINGLES_CTE},
+            sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+            common AS (
+                SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
                 GROUP BY a.id, b.id
             )
             SELECT id_a, id_b,

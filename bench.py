@@ -147,6 +147,11 @@ OPERATOR_QUERIES = [
     "katz_nations",
     "doc_bpe_tokens",
     "eigen_links",
+    "link_predictors",
+    "link_butterflies",
+    "embed_kmeans",
+    "doc_pack_sequences",
+    "doc_prefix_jaccard",
 ]
 
 

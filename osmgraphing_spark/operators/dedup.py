@@ -143,6 +143,90 @@ def jaccard_pairs(
     )
 
 
+def prefix_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT all-pairs Jaccard join via prefix filtering (Bayardo et al.
+    WWW'07 / PPJoin, VLDB'11 problem setting): → (id_a, id_b, jaccard)
+    with id_a < id_b and shingle-set Jaccard ≥ ``threshold`` — the SAME
+    answer as `jaccard_pairs(max_df=None)` but without ever joining on a
+    hot shingle. Lossless: if J(r, s) ≥ t then under ANY global token
+    order the first ``|r| - ceil(t*|r|) + 1`` tokens of r and of s share
+    at least one token, so joining on rarest-first prefixes misses no
+    qualifying pair.
+
+    Scale contract (100 TB): candidate cost is Σ df² over PREFIX
+    occurrences only — tokens are ordered rarest-first (global df asc),
+    so stop-shingles sit at the tail and almost never enter a prefix;
+    the hot-key problem `max_df` papers over in `jaccard_pairs` is
+    removed structurally, with zero recall loss. Verification fetches the
+    two per-doc sorted shingle arrays (bounded by doc length) for the
+    surviving candidates only and intersects row-locally. Size filter
+    ceil(t*sz_a) ≤ sz_b prunes before the pair distinct.
+
+    Reference parity: the exact-dedup role of
+    /root/reference/src/network/graph/building.rs:503-573 at document
+    granularity, threshold semantics per SURVEY §2.6 D3."""
+    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    # per-doc shingle array in global rarest-first (df asc, shingle asc)
+    # order; array_sort on (df, shingle) structs gives exactly that.
+    per_doc = _materialize(
+        sh.join(dfreq, "shingle")
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("shingle")))
+            ).alias("ordered")
+        )
+        .select(
+            "id",
+            F.transform(F.col("ordered"), lambda s: s["shingle"]).alias("toks"),
+            F.size("ordered").alias("sz"),
+        ),
+        "ppj_docs",
+    )
+    # prefix length |r| - ceil(t*|r|) + 1 (≥ 1 whenever the doc has tokens)
+    plen = F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")).cast("int") + 1
+    prefix = per_doc.select(
+        "id", "sz", F.explode(F.slice(F.col("toks"), 1, plen)).alias("tok")
+    )
+    a = prefix.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "tok")
+    b = prefix.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "tok")
+    cands = (
+        a.join(b, "tok")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("sz_b") >= F.ceil(F.lit(float(threshold)) * F.col("sz_a")))
+            & (F.col("sz_a") >= F.ceil(F.lit(float(threshold)) * F.col("sz_b")))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    docs_a = per_doc.select(
+        F.col("id").alias("id_a"), F.col("toks").alias("toks_a"), F.col("sz").alias("sz_a")
+    )
+    docs_b = per_doc.select(
+        F.col("id").alias("id_b"), F.col("toks").alias("toks_b"), F.col("sz").alias("sz_b")
+    )
+    return (
+        cands.join(docs_a, "id_a")
+        .join(docs_b, "id_b")
+        .withColumn("common", F.size(F.array_intersect("toks_a", "toks_b")))
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("common")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -451,3 +451,56 @@ def test_incremental_agrees_with_symmetric_lsh(spark, docs):
     got = {(r["id"], r["corpus_id"]) for r in
            dd.lsh_candidates_against(new, corpus, num_hashes=8, bands=4).collect()}
     assert got == want
+
+
+def _random_noisy_docs(seed, n_docs=40):
+    """Corpus with planted near-dup pairs and heavy stop-shingle overlap
+    (every doc shares the same preamble) — the hot-token case prefix
+    filtering exists for."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(n_docs):
+        body = [rng.choice(vocab) for _ in range(rng.randrange(6, 18))]
+        rows.append((i, "common start here " + " ".join(body)))
+        if rng.random() < 0.3:  # planted near-dup: mutate one token
+            mut = list(body)
+            mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            rows.append((1000 + i, "common start here " + " ".join(mut)))
+    return rows
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8, 1.0])
+def test_prefix_jaccard_matches_unfiltered(spark, threshold):
+    """Prefix filtering is lossless: same pairs and values as the plain
+    inverted-index join with no max_df cut, at every threshold."""
+    docs = spark.createDataFrame(
+        _random_noisy_docs(17), "doc_id long, text string"
+    )
+    want = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.jaccard_pairs(docs, threshold=threshold, n=2).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.prefix_jaccard_pairs(docs, threshold=threshold, n=2).collect()
+    }
+    assert got == want
+    if threshold <= 0.5:
+        assert want  # the corpus must actually exercise the join
+
+
+def test_prefix_jaccard_exact_dup_and_short_docs(spark):
+    d = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma delta"),   # exact dup -> jaccard 1.0
+            (2, "alpha"),                    # < n tokens: no shingles
+            (3, "zeta eta theta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dd.prefix_jaccard_pairs(d, threshold=0.9, n=3).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in rows] == [(0, 1, 1.0)]
