@@ -1303,6 +1303,38 @@ def q_embed_kmeans(spark, sf_dir):
     return assigned
 
 
+PQ_M = 2       # subspaces (dsub = ANN_DIM / PQ_M = 32)
+PQ_K = 4       # cells per subspace codebook
+PQ_ITERS = 2   # Lloyd rounds per subspace (replayed by the oracle)
+
+
+def q_embed_pq(spark, sf_dir):
+    """Product-quantization codes (operators/pq): per-subspace
+    exact-integer Lloyd codebooks (one corpus pass per iteration for ALL
+    subspaces), then the (vec_id, sub, cell, dist) code table. The whole
+    pipeline — init codebooks, both update rounds per subspace, final
+    assignment — is bit-reproducible in DuckDB, so codes AND distances
+    are value-checked."""
+    from osmgraphing_spark.operators import pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq.train_pq(emb, dim=ANN_DIM, m=PQ_M, k=PQ_K, iters=PQ_ITERS)
+    return pq.pq_encode(emb, books)
+
+
+def q_embed_pq_topk(spark, sf_dir):
+    """ADC top-5 per query over PQ codes (operators/pq.pq_topk): distances
+    come from the broadcast (query × sub × cell) lookup table joined to
+    the code table — raw database vectors are never re-read. Exact
+    integers end to end; value-checked against a full SQL replay."""
+    from osmgraphing_spark.operators import pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq.train_pq(emb, dim=ANN_DIM, m=PQ_M, k=PQ_K, iters=PQ_ITERS)
+    queries = emb.where(F.col("vec_id") < 10)
+    return pq.pq_topk(emb, queries, books, k=5)
+
+
 def q_embed_ann(spark, sf_dir):
     """LSH-bucketed ANN via the portable integer-quantized hyperplanes: the
     candidate set (and hence the exact top-k) is SQL-reproducible, so this
@@ -1971,6 +2003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ann": q_embed_ann,
         "embed_ivf": q_embed_ivf,
         "embed_kmeans": q_embed_kmeans,
+        "embed_pq": q_embed_pq,
+        "embed_pq_topk": q_embed_pq_topk,
         "embed_near_dups": q_embed_near_dups,
         "sssp_nations": q_sssp_nations,
         "multi_metric_edges": q_multi_metric_edges,
@@ -2749,6 +2783,106 @@ def _embed_kmeans_sql(dim: int = ANN_DIM, k: int = KMEANS_K, iters: int = KMEANS
     return f"""{body}
         SELECT vec_id, CAST(cell AS INT) AS cell, CAST(dist AS BIGINT) AS dist
         FROM a{iters}
+    """
+
+
+def _pq_cte(dim: int = ANN_DIM, m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS) -> str:
+    """Shared CTE body replaying operators/pq end to end in DuckDB:
+    subvector split, per-subspace exact-int Lloyd (round-half-up means,
+    lowest-cell ties, retired empties), final per-sub assignment a{iters}
+    and final codebooks c{iters}. Same integer algebra as
+    _embed_kmeans_sql, vectorized over the (sub) dimension."""
+    from osmgraphing_spark.operators import pq as pqmod
+
+    dsub = dim // m
+    books = pqmod.init_codebooks(dim, m, k)
+    vals = ", ".join(
+        f"({s}, {cid}, CAST([{', '.join(str(float(x)) for x in comps)}] AS DOUBLE[]))"
+        for s, book in enumerate(books)
+        for cid, comps in book
+    )
+    slices = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS sub, q[{s * dsub + 1}:{(s + 1) * dsub}] AS qs FROM qv"
+        for s in range(m)
+    )
+    parts = [
+        f"""qv AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> round(x * 1024, 0)) AS q
+            FROM embeddings
+        ),
+        sv AS ({slices}),
+        c0 AS (SELECT * FROM (VALUES {vals}) AS t(sub, cell, c))"""
+    ]
+    assign_tpl = """
+        a{t} AS (
+            SELECT vec_id, sub, qs, cell, dist FROM (
+                SELECT vec_id, sub, qs, cell, dist,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vec_id, sub
+                           ORDER BY dist ASC, cell ASC
+                       ) AS rk
+                FROM (
+                    SELECT v.vec_id, v.sub, v.qs, c.cell,
+                           list_dot_product(v.qs, v.qs)
+                           - 2 * list_dot_product(v.qs, c.c)
+                           + list_dot_product(c.c, c.c) AS dist
+                    FROM sv v JOIN c{t} c ON v.sub = c.sub
+                )
+            ) WHERE rk = 1
+        )"""
+    update_tpl = """
+        u{t} AS (
+            SELECT sub, cell, i,
+                   CAST(FLOOR((2 * SUM(x) + COUNT(*)) / (2.0 * COUNT(*)))
+                        AS DOUBLE) AS cv
+            FROM (SELECT sub, cell, unnest(qs) AS x,
+                         generate_subscripts(qs, 1) AS i
+                  FROM a{t})
+            GROUP BY sub, cell, i
+        ),
+        c{t1} AS (SELECT sub, cell, list(cv ORDER BY i) AS c
+                  FROM u{t} GROUP BY sub, cell)"""
+    for t in range(iters):
+        parts.append(assign_tpl.format(t=t))
+        parts.append(update_tpl.format(t=t, t1=t + 1))
+    parts.append(assign_tpl.format(t=iters))
+    return ",".join(parts)
+
+
+def _embed_pq_sql() -> str:
+    return f"""WITH {_pq_cte()}
+        SELECT vec_id, CAST(sub AS INT) AS sub, CAST(cell AS INT) AS cell,
+               CAST(dist AS BIGINT) AS dist
+        FROM a{PQ_ITERS}
+    """
+
+
+def _embed_pq_topk_sql() -> str:
+    return f"""WITH {_pq_cte()},
+        codes AS (SELECT vec_id AS neighbor_id, sub, cell FROM a{PQ_ITERS}),
+        queries AS (SELECT vec_id AS query_id, sub, qs FROM sv WHERE vec_id < 10),
+        lut AS (
+            SELECT q.query_id, q.sub, c.cell,
+                   list_dot_product(q.qs, q.qs)
+                   - 2 * list_dot_product(q.qs, c.c)
+                   + list_dot_product(c.c, c.c) AS d
+            FROM queries q JOIN c{PQ_ITERS} c ON q.sub = c.sub
+        ),
+        adc AS (
+            SELECT l.query_id, codes.neighbor_id, SUM(l.d) AS adc_dist
+            FROM codes JOIN lut l
+              ON codes.sub = l.sub AND codes.cell = l.cell
+            GROUP BY l.query_id, codes.neighbor_id
+        )
+        SELECT query_id, neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+               CAST(rk AS INT) AS rk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC
+            ) AS rk FROM adc
+        ) WHERE rk <= 5
     """
 
 
@@ -3815,6 +3949,8 @@ def oracle_sql() -> dict[str, str]:
         "embed_ann": _embed_ann_sql(),
         "embed_ivf": _embed_ivf_sql(),
         "embed_kmeans": _embed_kmeans_sql(),
+        "embed_pq": _embed_pq_sql(),
+        "embed_pq_topk": _embed_pq_topk_sql(),
         "mis_nations": _mis_nations_sql(),
         "embed_near_dups": _embed_near_dups_sql(),
         "sssp_nations": f"""

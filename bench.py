@@ -152,6 +152,7 @@ OPERATOR_QUERIES = [
     "embed_kmeans",
     "doc_pack_sequences",
     "doc_prefix_jaccard",
+    "embed_pq_topk",
 ]
 
 
