@@ -1303,6 +1303,22 @@ def q_embed_kmeans(spark, sf_dir):
     return assigned
 
 
+SEMDEDUP_TAU = 0.40  # this corpus's near-dup band (max cosine ≈ 0.51)
+
+
+def q_embed_semdedup(spark, sf_dir):
+    """SemDeDup pairs (operators/semdedup.semantic_pairs): exact-integer
+    k-means cells (same replayable Lloyd as `embed_kmeans`) → within-cell
+    cosine ≥ τ. The V² cosine join becomes per-cell joins; the oracle
+    replays clustering and scores value-for-value."""
+    from osmgraphing_spark.operators import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup.semantic_pairs(
+        emb, dim=ANN_DIM, k=KMEANS_K, iters=KMEANS_ITERS, threshold=SEMDEDUP_TAU
+    )
+
+
 PQ_M = 2       # subspaces (dsub = ANN_DIM / PQ_M = 32)
 PQ_K = 4       # cells per subspace codebook
 PQ_ITERS = 2   # Lloyd rounds per subspace (replayed by the oracle)
@@ -2003,6 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ann": q_embed_ann,
         "embed_ivf": q_embed_ivf,
         "embed_kmeans": q_embed_kmeans,
+        "embed_semdedup": q_embed_semdedup,
         "embed_pq": q_embed_pq,
         "embed_pq_topk": q_embed_pq_topk,
         "embed_near_dups": q_embed_near_dups,
@@ -2726,12 +2743,13 @@ def _mis_nations_sql(rounds: int = MIS_ROUNDS) -> str:
     """
 
 
-def _embed_kmeans_sql(dim: int = ANN_DIM, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
-    """DuckDB replica of kmeans.lloyd_kmeans: chained CTEs replay every
-    Lloyd iteration — assignment by exact-int squared L2 (lowest cell id on
-    ties), centroid update as FLOOR((2·Σx + n) / 2n) per component (the
-    same round-half-up the Spark side computes on Python ints), empty
-    cells retired — then the final assignment under the final centroids."""
+def _kmeans_cte(dim: int = ANN_DIM, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """DuckDB replica of kmeans.lloyd_kmeans as a reusable CTE chain:
+    chained CTEs replay every Lloyd iteration — assignment by exact-int
+    squared L2 (lowest cell id on ties), centroid update as
+    FLOOR((2·Σx + n) / 2n) per component (the same round-half-up the
+    Spark side computes on Python ints), empty cells retired — ending at
+    a{iters}, the final assignment under the final centroids."""
     from osmgraphing_spark.operators.kmeans import int_centroids
 
     cents = int_centroids(dim, k)
@@ -2740,7 +2758,7 @@ def _embed_kmeans_sql(dim: int = ANN_DIM, k: int = KMEANS_K, iters: int = KMEANS
         for j, c in enumerate(cents)
     )
     parts = [
-        f"""WITH qv AS (
+        f"""qv AS (
             SELECT vec_id,
                    list_transform(CAST(embedding AS DOUBLE[]),
                                   x -> round(x * 1024, 0)) AS q
@@ -2779,10 +2797,40 @@ def _embed_kmeans_sql(dim: int = ANN_DIM, k: int = KMEANS_K, iters: int = KMEANS
         parts.append(assign_tpl.format(t=t))
         parts.append(update_tpl.format(t=t, t1=t + 1))
     parts.append(assign_tpl.format(t=iters))
-    body = ",".join(parts)
-    return f"""{body}
+    return ",".join(parts)
+
+
+def _embed_kmeans_sql(dim: int = ANN_DIM, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    return f"""WITH {_kmeans_cte(dim, k, iters)}
         SELECT vec_id, CAST(cell AS INT) AS cell, CAST(dist AS BIGINT) AS dist
         FROM a{iters}
+    """
+
+
+def _embed_semdedup_sql(threshold: float, iters: int = KMEANS_ITERS) -> str:
+    """SemDeDup oracle: k-means replay → within-cell self-join → exact
+    cosine on the raw vectors (list_dot_product folds in the same order
+    as the Spark-side F.aggregate, so doubles match bit-for-bit)."""
+    return f"""WITH {_kmeans_cte()},
+        cells AS (SELECT vec_id, CAST(cell AS INT) AS cell FROM a{iters}),
+        v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        cand AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell
+            FROM cells a JOIN cells b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+        )
+        SELECT c.id_a, c.id_b, c.cell,
+               ROUND(
+                   list_dot_product(va.vec, vb.vec)
+                   / (sqrt(list_dot_product(va.vec, va.vec))
+                      * sqrt(list_dot_product(vb.vec, vb.vec))), 6) AS score
+        FROM cand c
+        JOIN v va ON c.id_a = va.vec_id
+        JOIN v vb ON c.id_b = vb.vec_id
+        WHERE ROUND(
+                  list_dot_product(va.vec, vb.vec)
+                  / (sqrt(list_dot_product(va.vec, va.vec))
+                     * sqrt(list_dot_product(vb.vec, vb.vec))), 6) >= {threshold}
     """
 
 
@@ -3949,6 +3997,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_ann": _embed_ann_sql(),
         "embed_ivf": _embed_ivf_sql(),
         "embed_kmeans": _embed_kmeans_sql(),
+        "embed_semdedup": _embed_semdedup_sql(SEMDEDUP_TAU),
         "embed_pq": _embed_pq_sql(),
         "embed_pq_topk": _embed_pq_topk_sql(),
         "mis_nations": _mis_nations_sql(),

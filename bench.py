@@ -153,6 +153,7 @@ OPERATOR_QUERIES = [
     "doc_pack_sequences",
     "doc_prefix_jaccard",
     "embed_pq_topk",
+    "embed_semdedup",
 ]
 
 
