@@ -1192,6 +1192,27 @@ def q_doc_weighted_sample(spark, sf_dir):
     return sampling.weighted_sample(docs, 25, "n_chars", key_cols=["doc_id"])
 
 
+DSIR_N = 25
+DSIR_K = 0.5
+
+
+def q_doc_dsir_sample(spark, sf_dir):
+    """DSIR importance resampling (operators/dsir): target LM = the
+    English subset, raw LM = the whole corpus; per-doc log ratio under
+    add-k smoothed unigram LMs, then Gumbel-top-n (md5 uniforms, log
+    space — overflow-free) selects the sample ∝ importance weight.
+    Weights AND the selected set are replayed value-for-value by the
+    oracle."""
+    from osmgraphing_spark.operators import dsir
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    return (
+        dsir.dsir_sample(docs, target, n=DSIR_N, k=DSIR_K)
+        .select(F.col("id").alias("doc_id"), "n_tokens", "log_ratio", "gumbel")
+    )
+
+
 PACK_CAPACITY = 512
 PACK_SHARDS = 8
 PACK_SEED = 1
@@ -2008,6 +2029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dups": q_doc_exact_dups,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "doc_prefix_jaccard": q_doc_prefix_jaccard,
+        "doc_dsir_sample": q_doc_dsir_sample,
         "doc_minhash": q_doc_minhash,
         "doc_lsh_candidates": q_doc_lsh_candidates,
         "doc_incremental_dups": q_doc_incremental_dups,
@@ -4112,6 +4134,53 @@ def oracle_sql() -> dict[str, str]:
                        AS overlap_frac
             FROM corpus c LEFT JOIN bench b ON c.shingle = b.shingle
             GROUP BY c.id HAVING COUNT(b.shingle) >= 1
+        """,
+        "doc_dsir_sample": f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                           AS tok
+                FROM documents
+            ),
+            ttok AS (
+                SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                           AS tok
+                FROM documents WHERE lang = 'en'
+            ),
+            tfreq AS (SELECT tok, COUNT(*) AS t_cnt FROM ttok GROUP BY tok),
+            rfreq AS (SELECT tok, COUNT(*) AS r_cnt FROM tok GROUP BY tok),
+            vocab AS (
+                SELECT COUNT(*) AS v FROM (
+                    SELECT tok FROM rfreq UNION SELECT tok FROM tfreq
+                )
+            ),
+            ttot AS (SELECT SUM(t_cnt) AS t_total FROM tfreq),
+            rtot AS (SELECT SUM(r_cnt) AS r_total FROM rfreq),
+            lw AS (
+                SELECT doc_id, COUNT(*) AS n_tokens,
+                       ROUND(SUM(
+                           ln((COALESCE(t_cnt, 0) + {DSIR_K})
+                              / (t_total + {DSIR_K} * v))
+                           - ln((r_cnt + {DSIR_K}) / (r_total + {DSIR_K} * v))
+                       ), 6) AS log_ratio
+                FROM tok
+                LEFT JOIN tfreq USING (tok)
+                JOIN rfreq USING (tok), vocab, ttot, rtot
+                GROUP BY doc_id
+            ),
+            keyed AS (
+                SELECT doc_id, n_tokens, log_ratio,
+                       ROUND(log_ratio - ln(-ln(
+                           (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                                     1, 12)) AS BIGINT) + 0.5)
+                           / {float(1 << 48)}
+                       )), 6) AS gumbel
+                FROM lw
+            )
+            SELECT doc_id, n_tokens, log_ratio, gumbel
+            FROM keyed
+            ORDER BY gumbel DESC, md5(CAST(doc_id AS VARCHAR))
+            LIMIT {DSIR_N}
         """,
         "doc_unigram_nll": """
             WITH tok AS (

@@ -154,6 +154,7 @@ OPERATOR_QUERIES = [
     "doc_prefix_jaccard",
     "embed_pq_topk",
     "embed_semdedup",
+    "doc_dsir_sample",
 ]
 
 
