@@ -282,6 +282,26 @@ def q_link_walks(spark, sf_dir):
     )
 
 
+N2V_BIAS = (1, 2, 4)  # (ret_w, d1_w, d2_w): p = d1/ret = 2, q = d1/d2 = 0.5
+
+
+def q_link_n2v_walks(spark, sf_dir):
+    """node2vec-style second-order biased walks (operators/walks
+    .node2vec_walks) on the symmetrized nation digraph: the
+    Grover-Leskovec return/triangle/explore bias with exact INTEGER
+    weights and the portable md5 draw, so the whole biased walk corpus —
+    candidate weights, cumulative race, every hop — is value-checked
+    against the unrolled SQL replay."""
+    from osmgraphing_spark.operators import walks as walks_op
+
+    e = _nation_ring_edges(spark, sf_dir)
+    sym = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    rw, d1, d2 = N2V_BIAS
+    return walks_op.node2vec_walks(
+        sym, length=3, ret_w=rw, d1_w=d1, d2_w=d2, walks_per_vertex=1
+    ).select("walker", "step", F.col("node").cast("long").alias("node"))
+
+
 AA_CENTER_CAP = 50  # hub-center cut: the wedge self-join costs deg² per center
 
 
@@ -1970,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_edges": q_link_edges,
         "link_degrees": q_link_degrees,
         "link_adamic_adar": q_link_adamic_adar,
+        "link_n2v_walks": q_link_n2v_walks,
         "link_predictors": q_link_predictors,
         "link_butterflies": q_link_butterflies,
         "link_copurchase": q_link_copurchase,
@@ -2279,6 +2300,75 @@ def _walks_sql(length: int = 3, wpv: int = 2) -> str:
         s0 AS (
             SELECT CAST(v AS BIGINT) * {wpv} + j AS walker, v AS node
             FROM verts CROSS JOIN (VALUES {js}) t(j)
+        ),
+        {', '.join(steps)}
+        {' UNION ALL '.join(selects)}
+    """
+
+
+def _n2v_walks_sql(length: int = 3) -> str:
+    """Chained-CTE oracle for q_link_n2v_walks: step 1 is the uniform
+    md5-mod-degree choice; steps ≥ 2 replay the biased race — candidate
+    expansion against adj, the is-neighbor-of-prev probe, integer bias
+    weights, dst-ordered cumulative sum and the H mod Σw draw."""
+    rw, d1, d2 = N2V_BIAS
+
+    def h(s):
+        return (
+            "CAST(concat('0x', substr(md5(concat(CAST(walker AS VARCHAR), "
+            f"'|', '{s}')), 1, 14)) AS BIGINT)"
+        )
+
+    steps = [
+        "s1 AS (SELECT p.walker, p.node AS prev, adj.dst AS node "
+        "FROM s0 p JOIN adj ON adj.src = p.node AND adj.idx = "
+        "CAST(concat('0x', substr(md5(concat(CAST(p.walker AS VARCHAR), "
+        "'|', '1')), 1, 14)) AS BIGINT) % adj.od)"
+    ]
+    for s in range(2, length + 1):
+        steps.append(
+            f"""c{s} AS (
+                SELECT p.walker, p.node AS cur, a.dst AS nxt, a.idx,
+                       CASE WHEN a.dst = p.prev THEN {rw}
+                            WHEN e2.src IS NOT NULL THEN {d1}
+                            ELSE {d2} END AS w
+                FROM s{s - 1} p
+                JOIN adj a ON a.src = p.node
+                LEFT JOIN und e2 ON e2.src = p.prev AND e2.dst = a.dst
+            )"""
+        )
+        steps.append(
+            f"""r{s} AS (
+                SELECT walker, cur, nxt, w,
+                       SUM(w) OVER (PARTITION BY walker ORDER BY idx) AS cum,
+                       SUM(w) OVER (PARTITION BY walker) AS tot
+                FROM c{s}
+            )"""
+        )
+        steps.append(
+            f"""s{s} AS (
+                SELECT walker, cur AS prev, nxt AS node FROM r{s}
+                WHERE {h(s)} % tot >= cum - w AND {h(s)} % tot < cum
+            )"""
+        )
+    selects = ["SELECT walker, 0 AS step, CAST(node AS BIGINT) AS node FROM s0"] + [
+        f"SELECT walker, {s} AS step, CAST(node AS BIGINT) AS node FROM s{s}"
+        for s in range(1, length + 1)
+    ]
+    return f"""
+        WITH {_NATION_RING_CTES},
+        und AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+        adj AS (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+                   COUNT(*) OVER (PARTITION BY src) AS od
+            FROM und
+        ),
+        verts AS (SELECT src AS v FROM und UNION SELECT dst AS v FROM und),
+        s0 AS (
+            SELECT CAST(v AS BIGINT) AS walker,
+                   CAST(NULL AS BIGINT) AS prev, v AS node
+            FROM verts
         ),
         {', '.join(steps)}
         {' UNION ALL '.join(selects)}
@@ -3460,6 +3550,7 @@ def oracle_sql() -> dict[str, str]:
             FROM paths GROUP BY v
         """,
         "link_walks": _walks_sql(),
+        "link_n2v_walks": _n2v_walks_sql(),
         "lpa_nations": _lpa2_sql(),
         "triangles_nations": """
             SELECT COUNT(*) AS n_triangles

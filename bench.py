@@ -155,6 +155,7 @@ OPERATOR_QUERIES = [
     "embed_pq_topk",
     "embed_semdedup",
     "doc_dsir_sample",
+    "link_n2v_walks",
 ]
 
 
