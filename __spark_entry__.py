@@ -282,6 +282,41 @@ def q_link_walks(spark, sf_dir):
     )
 
 
+FEATPROP_ROUNDS = 2
+
+
+def q_link_featprop(spark, sf_dir):
+    """GraphSAGE-mean feature propagation (operators/featprop) on the
+    symmetrized nation digraph: integer feature vectors smoothed by the
+    exact round-half-up neighborhood mean for 2 rounds — every round is
+    bit-replayable in SQL, so the final vectors are value-checked. The
+    per-round shuffle is (dst, i, x) triples with map-side combine
+    absorbing hub fan-in."""
+    from osmgraphing_spark.operators import featprop
+
+    e = _nation_ring_edges(spark, sf_dir)
+    sym = (
+        e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    n = _t(spark, sf_dir, "nation")
+    feats = n.select(
+        F.col("n_nationkey").alias("vid"),
+        F.array(
+            F.col("n_nationkey").cast("long"),
+            (F.col("n_regionkey") * 10).cast("long"),
+            (F.lit(100) - F.col("n_nationkey")).cast("long"),
+        ).alias("f"),
+    )
+    out = featprop.propagate_features(sym, feats, rounds=FEATPROP_ROUNDS)
+    return out.select(
+        "vid",
+        F.element_at("f", 1).alias("f0"),
+        F.element_at("f", 2).alias("f1"),
+        F.element_at("f", 3).alias("f2"),
+    )
+
+
 N2V_BIAS = (1, 2, 4)  # (ret_w, d1_w, d2_w): p = d1/ret = 2, q = d1/d2 = 0.5
 
 
@@ -1991,6 +2026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_degrees": q_link_degrees,
         "link_adamic_adar": q_link_adamic_adar,
         "link_n2v_walks": q_link_n2v_walks,
+        "link_featprop": q_link_featprop,
         "link_predictors": q_link_predictors,
         "link_butterflies": q_link_butterflies,
         "link_copurchase": q_link_copurchase,
@@ -2303,6 +2339,47 @@ def _walks_sql(length: int = 3, wpv: int = 2) -> str:
         ),
         {', '.join(steps)}
         {' UNION ALL '.join(selects)}
+    """
+
+
+def _featprop_sql(rounds: int = FEATPROP_ROUNDS) -> str:
+    """Unrolled-round oracle for q_link_featprop: per round, explode each
+    inbox vector into (id, i, x), take the exact round-half-up mean per
+    component, reassemble the list."""
+    parts = [
+        """f0 AS (
+            SELECT n_nationkey AS id,
+                   [CAST(n_nationkey AS BIGINT),
+                    CAST(10 * n_regionkey AS BIGINT),
+                    CAST(100 - n_nationkey AS BIGINT)] AS f
+            FROM nation
+        )"""
+    ]
+    for t in range(rounds):
+        parts.append(
+            f"""m{t} AS (
+                SELECT und.dst AS id, f.f FROM und JOIN f{t} f ON f.id = und.src
+                UNION ALL SELECT id, f FROM f{t}
+            )"""
+        )
+        parts.append(
+            f"""a{t} AS (
+                SELECT id, i,
+                       CAST(FLOOR((2 * SUM(x) + COUNT(*)) / (2.0 * COUNT(*)))
+                            AS BIGINT) AS m
+                FROM (SELECT id, generate_subscripts(f, 1) AS i, unnest(f) AS x
+                      FROM m{t})
+                GROUP BY id, i
+            )"""
+        )
+        parts.append(
+            f"f{t + 1} AS (SELECT id, list(m ORDER BY i) AS f FROM a{t} GROUP BY id)"
+        )
+    return f"""
+        WITH {_NATION_RING_CTES},
+        und AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+        {', '.join(parts)}
+        SELECT id AS vid, f[1] AS f0, f[2] AS f1, f[3] AS f2 FROM f{rounds}
     """
 
 
@@ -3551,6 +3628,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "link_walks": _walks_sql(),
         "link_n2v_walks": _n2v_walks_sql(),
+        "link_featprop": _featprop_sql(),
         "lpa_nations": _lpa2_sql(),
         "triangles_nations": """
             SELECT COUNT(*) AS n_triangles

@@ -156,6 +156,7 @@ OPERATOR_QUERIES = [
     "embed_semdedup",
     "doc_dsir_sample",
     "link_n2v_walks",
+    "link_featprop",
 ]
 
 
