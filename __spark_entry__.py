@@ -282,6 +282,21 @@ def q_link_walks(spark, sf_dir):
     )
 
 
+WL_ROUNDS = 3
+
+
+def q_link_wl_roles(spark, sf_dir):
+    """Weisfeiler-Lehman structural-role colors (operators/wl) after 3
+    refinement rounds on the symmetrized nation digraph: hashed-WL with a
+    COMMUTATIVE neighbor-hash sum (map-side combinable — no hub color
+    list ever materializes). Per-vertex colors value-checked against the
+    round-for-round SQL replay."""
+    from osmgraphing_spark.operators import wl as wl_op
+
+    e = _nation_ring_edges(spark, sf_dir)
+    return wl_op.wl_colors(e, rounds=WL_ROUNDS).orderBy("vid")
+
+
 FEATPROP_ROUNDS = 2
 
 
@@ -2027,6 +2042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_adamic_adar": q_link_adamic_adar,
         "link_n2v_walks": q_link_n2v_walks,
         "link_featprop": q_link_featprop,
+        "link_wl_roles": q_link_wl_roles,
         "link_predictors": q_link_predictors,
         "link_butterflies": q_link_butterflies,
         "link_copurchase": q_link_copurchase,
@@ -2339,6 +2355,50 @@ def _walks_sql(length: int = 3, wpv: int = 2) -> str:
         ),
         {', '.join(steps)}
         {' UNION ALL '.join(selects)}
+    """
+
+
+def _wl_sql(rounds: int = WL_ROUNDS) -> str:
+    """Round-for-round oracle for q_link_wl_roles (hashed 1-WL): degree
+    seed color, commutative Σ h(neighbor color) mod 1e9, md5 re-color."""
+    from osmgraphing_spark.operators.wl import H_MOD
+
+    parts = [
+        """deg AS (SELECT src, COUNT(*) AS deg FROM und GROUP BY src),
+        c0 AS (SELECT src AS id, md5(CAST(deg AS VARCHAR)) AS color, deg
+               FROM deg)"""
+    ]
+    for t in range(rounds):
+        parts.append(
+            f"""h{t} AS (
+                SELECT und.src AS id,
+                       CAST(concat('0x', substr(md5(c.color), 1, 12)) AS BIGINT)
+                           % {H_MOD} AS hc
+                FROM und JOIN c{t} c ON c.id = und.dst
+            )"""
+        )
+        parts.append(
+            f"s{t} AS (SELECT id, SUM(hc) AS s FROM h{t} GROUP BY id)"
+        )
+        parts.append(
+            f"""c{t + 1} AS (
+                SELECT c.id,
+                       md5(concat(c.color, '|', CAST(s.s AS VARCHAR), '|',
+                                  CAST(c.deg AS VARCHAR))) AS color,
+                       c.deg
+                FROM c{t} c JOIN s{t} s USING (id)
+            )"""
+        )
+    return f"""
+        WITH {_NATION_RING_CTES},
+        und AS (
+            SELECT src, dst FROM (
+                SELECT src, dst FROM e
+                UNION SELECT dst AS src, src AS dst FROM e
+            ) WHERE src <> dst
+        ),
+        {', '.join(parts)}
+        SELECT id AS vid, color FROM c{rounds}
     """
 
 
@@ -3629,6 +3689,7 @@ def oracle_sql() -> dict[str, str]:
         "link_walks": _walks_sql(),
         "link_n2v_walks": _n2v_walks_sql(),
         "link_featprop": _featprop_sql(),
+        "link_wl_roles": _wl_sql(),
         "lpa_nations": _lpa2_sql(),
         "triangles_nations": """
             SELECT COUNT(*) AS n_triangles

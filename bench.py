@@ -157,6 +157,7 @@ OPERATOR_QUERIES = [
     "doc_dsir_sample",
     "link_n2v_walks",
     "link_featprop",
+    "link_wl_roles",
 ]
 
 
