@@ -1262,6 +1262,22 @@ def q_doc_weighted_sample(spark, sf_dir):
     return sampling.weighted_sample(docs, 25, "n_chars", key_cols=["doc_id"])
 
 
+BM25_QUERIES = [(0, "sort merge join"), (1, "window agg scan"), (2, "customer data")]
+BM25_TOPK = 10
+
+
+def q_doc_bm25_topk(spark, sf_dir):
+    """BM25 top-10 per seed query (operators/retrieval): postings built
+    in one corpus pass, df/N/avgdl broadcast, query terms broadcast onto
+    the postings — the corpus shuffles once regardless of query count.
+    Lucene idf variant; scores and ranks value-checked."""
+    from osmgraphing_spark.operators import retrieval
+
+    docs = _t(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(BM25_QUERIES, "query_id long, text string")
+    return retrieval.bm25_topk(docs, qdf, k=BM25_TOPK)
+
+
 DSIR_N = 25
 DSIR_K = 0.5
 
@@ -2103,6 +2119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "doc_prefix_jaccard": q_doc_prefix_jaccard,
         "doc_dsir_sample": q_doc_dsir_sample,
+        "doc_bm25_topk": q_doc_bm25_topk,
         "doc_minhash": q_doc_minhash,
         "doc_lsh_candidates": q_doc_lsh_candidates,
         "doc_incremental_dups": q_doc_incremental_dups,
@@ -4364,6 +4381,46 @@ def oracle_sql() -> dict[str, str]:
                        AS overlap_frac
             FROM corpus c LEFT JOIN bench b ON c.shingle = b.shingle
             GROUP BY c.id HAVING COUNT(b.shingle) >= 1
+        """,
+        "doc_bm25_topk": f"""
+            WITH tok AS (
+                SELECT doc_id AS id,
+                       unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                           AS tok
+                FROM documents
+            ),
+            postings AS (SELECT id, tok, COUNT(*) AS tf FROM tok GROUP BY id, tok),
+            dl AS (SELECT id, COUNT(*) AS dl FROM tok GROUP BY id),
+            dfq AS (SELECT tok, COUNT(*) AS df FROM postings GROUP BY tok),
+            nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+            ad AS (SELECT AVG(dl) AS avgdl FROM dl),
+            q AS (
+                SELECT qid,
+                       unnest(regexp_split_to_array(lower(trim(qt)), '\\s+')) AS tok
+                FROM (VALUES {", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES)})
+                     AS t(qid, qt)
+            ),
+            qterms AS (SELECT qid, tok, COUNT(*) AS qtf FROM q GROUP BY qid, tok),
+            scored AS (
+                SELECT qt.qid, p.id,
+                       SUM(qt.qtf
+                           * ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                           * (p.tf * (1.2 + 1.0))
+                           / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / ad.avgdl))
+                       ) AS s
+                FROM postings p
+                JOIN qterms qt USING (tok)
+                JOIN dfq USING (tok)
+                JOIN dl ON dl.id = p.id, nd, ad
+                GROUP BY qt.qid, p.id
+            )
+            SELECT qid AS query_id, id AS doc_id,
+                   ROUND(s, 6) AS score, CAST(rk AS INT) AS rk
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY qid ORDER BY ROUND(s, 6) DESC, id ASC
+                ) AS rk FROM scored
+            ) WHERE rk <= {BM25_TOPK}
         """,
         "doc_dsir_sample": f"""
             WITH tok AS (

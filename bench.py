@@ -158,6 +158,7 @@ OPERATOR_QUERIES = [
     "link_n2v_walks",
     "link_featprop",
     "link_wl_roles",
+    "doc_bm25_topk",
 ]
 
 
