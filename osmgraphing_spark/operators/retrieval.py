@@ -49,7 +49,9 @@ def bm25_scores(
     least one term with the query (score is rounded to 6)."""
     toks = _tokens(docs, id_col, text_col)
     postings = toks.groupBy("id", "tok").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy("id").agg(F.count("*").alias("dl"))
+    # dl folds out of the postings (Σ tf per doc) — the raw token stream
+    # is scanned and shuffled exactly once
+    dl = postings.groupBy("id").agg(F.sum("tf").alias("dl"))
     dfreq = postings.groupBy("tok").agg(F.count("*").alias("df"))
     nd = docs.agg(F.count("*").alias("n_docs"))
     avgdl = dl.agg(F.avg("dl").alias("avgdl"))

@@ -432,3 +432,31 @@ def test_neighborhood_round_exchange_budget(spark):
     assert n_exchange <= 2, f"{n_exchange} exchanges in NF round:\n{plan}"
     assert not any("BroadcastExchange" in ln for ln in prefix), plan
     assert "partial_bit_or" in plan or "partial bit_or" in plan.lower(), plan
+
+
+def test_bm25_broadcasts_stats_and_queries(spark):
+    """BM25's contract: the query-term table, df table and the two scalar
+    aggregates all enter via BroadcastExchange — the corpus-sized postings
+    stream is never sort-merge-joined against any of them."""
+    from osmgraphing_spark.operators import retrieval
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    qdf = spark.createDataFrame(
+        [(0, "sort merge join")], "query_id long, text string"
+    )
+    plan = _plan(retrieval.bm25_scores(docs, qdf))
+    assert plan.count("BroadcastHashJoin") >= 2  # qterms + dfreq
+    assert plan.count("BroadcastNestedLoopJoin") >= 2  # the 1-row scalars
+    assert "SortMergeJoin" not in plan
+
+
+def test_prefix_jaccard_docs_frame_materialized_once(spark):
+    """prefix_jaccard_pairs' contract: the ordered per-doc frame is
+    materialized once and every consumer (prefix explode, both verify
+    sides) reads the parquet intermediate — no re-derivation of the
+    shingle scan (the documents table must not appear in the final plan)."""
+    from osmgraphing_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = _plan(dd.prefix_jaccard_pairs(docs, threshold=0.5, n=3))
+    assert "documents.parquet" not in plan
