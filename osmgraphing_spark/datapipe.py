@@ -1,0 +1,232 @@
+"""Config-driven training-data pipeline runner.
+
+The document-side sibling of `cli.py` (which runs the graph pipeline):
+a JSON or YAML config declares an ORDERED list of cleaning stages —
+quality funnel, dedup tiers, benchmark decontamination, sampling — and
+the runner applies them to a documents parquet, writes the surviving
+corpus, and emits a per-stage accounting report (n_in / n_out / dropped
+per stage, plus the per-rule funnel breakdown), mirroring how production
+pipelines (C4 / Gopher / RefinedWeb, public literature) audit their
+cleaning chains. The reference's analogue is the config-declared filter
+chain applied during parsing (/root/reference/src/configs/parsing/
+mod.rs:86-142 three-stage lowering); here the vocabulary is document
+operators instead of way filters.
+
+    {
+      "documents": "/data/crawl.parquet",
+      "output": "/data/clean",
+      "stages": [
+        {"op": "filter_funnel", "min_tokens": 20},
+        {"op": "exact_dedup"},
+        {"op": "near_dedup", "threshold": 0.5, "num_hashes": 8, "bands": 4},
+        {"op": "decontaminate", "benchmark": "/data/eval.parquet"},
+        {"op": "mixture_sample", "weights": {"web": 0.3, "books": 1.0},
+         "strata_col": "source"}
+      ]
+    }
+
+Run: ``python -m osmgraphing_spark.datapipe --config pipeline.json``
+
+Scale notes: each stage's SURVIVOR frame is materialized through the
+ephemeral truncator before the next stage, so (a) the per-stage counts
+are one cheap aggregate each, (b) no stage re-executes its
+predecessors, and (c) lineage stays flat across arbitrarily long
+chains — the same discipline the iterative graph loops use. Every
+stage is one of the engine's shuffle-audited operators; the runner adds
+no joins of its own beyond the id semi-join that maps a sample's id set
+back to full rows.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .plans.checkpoint import EphemeralTruncator
+
+
+def _load_config(path: str) -> dict:
+    if path.endswith((".yaml", ".yml")):
+        from . import miniyaml
+
+        raw = miniyaml.load(path)
+    else:
+        with open(path) as f:
+            raw = json.load(f)
+    if not isinstance(raw, dict):
+        raise ValueError(f"config root must be a mapping, got {type(raw).__name__}")
+    for key in ("documents", "output", "stages"):
+        if key not in raw:
+            raise ValueError(f"config is missing required key {key!r}")
+    if not isinstance(raw["stages"], list) or not raw["stages"]:
+        raise ValueError("stages must be a non-empty list")
+    return raw
+
+
+def _stage_filter_funnel(spark, docs: DataFrame, p: dict):
+    from .operators import funnel
+
+    rules = funnel.default_rules(
+        min_tokens=p.get("min_tokens", 20),
+        max_dup_fraction=p.get("max_dup_fraction", 0.65),
+        min_stopword_ratio=p.get("min_stopword_ratio", 0.01),
+    )
+    summary = [
+        {k: r[k] for k in ("rule_order", "rule", "n_in", "n_dropped")}
+        for r in funnel.summary(docs, rules).collect()
+    ]
+    keep = funnel.verdicts(docs, rules).where(F.col("verdict") == funnel.KEPT)
+    return docs.join(keep.select("doc_id"), "doc_id", "left_semi"), {"rules": summary}
+
+
+def _stage_exact_dedup(spark, docs, p):
+    from .operators import dedup
+
+    return dedup.drop_exact_duplicates(docs), {}
+
+
+def _stage_near_dedup(spark, docs, p):
+    from .operators import dedup
+
+    return (
+        dedup.drop_near_duplicates(
+            docs,
+            threshold=p.get("threshold", 0.5),
+            num_hashes=p.get("num_hashes", 16),
+            bands=p.get("bands", 4),
+            n=p.get("n", 3),
+        ),
+        {},
+    )
+
+
+def _stage_decontaminate(spark, docs, p):
+    from .operators import decontaminate
+
+    bench = spark.read.parquet(p["benchmark"])
+    return (
+        decontaminate.decontaminate(
+            docs, bench, n=p.get("n", 3), min_hits=p.get("min_hits", 1)
+        ),
+        {},
+    )
+
+
+def _stage_hash_sample(spark, docs, p):
+    from .operators import sampling
+
+    return sampling.sample_rows(docs, p["fraction"], key_cols=["doc_id"]), {}
+
+
+def _stage_mixture_sample(spark, docs, p):
+    from .operators import sampling
+
+    return (
+        sampling.mixture_sample(
+            docs, p["weights"], p.get("strata_col", "source"), key_cols=["doc_id"]
+        ),
+        {},
+    )
+
+
+def _stage_stratified_sample(spark, docs, p):
+    from .operators import sampling
+
+    return (
+        sampling.stratified_sample(
+            docs, p.get("strata_cols", ["lang"]), p["k"], key_cols=["doc_id"]
+        ),
+        {},
+    )
+
+
+def _stage_weighted_sample(spark, docs, p):
+    from .operators import sampling
+
+    return (
+        sampling.weighted_sample(docs, p["k"], p["weight_col"], key_cols=["doc_id"]),
+        {},
+    )
+
+
+def _stage_dsir_sample(spark, docs, p):
+    from .operators import dsir
+
+    target = docs.where(F.col(p.get("target_col", "lang")) == p["target_value"])
+    picked = dsir.dsir_sample(docs, target, n=p["n"], k=p.get("smoothing", 0.5))
+    return (
+        docs.join(
+            picked.select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
+        ),
+        {},
+    )
+
+
+STAGES = {
+    "filter_funnel": _stage_filter_funnel,
+    "exact_dedup": _stage_exact_dedup,
+    "near_dedup": _stage_near_dedup,
+    "decontaminate": _stage_decontaminate,
+    "hash_sample": _stage_hash_sample,
+    "mixture_sample": _stage_mixture_sample,
+    "stratified_sample": _stage_stratified_sample,
+    "weighted_sample": _stage_weighted_sample,
+    "dsir_sample": _stage_dsir_sample,
+}
+
+
+def run_pipeline(spark: SparkSession, cfg: dict) -> dict:
+    """Apply cfg['stages'] in order to cfg['documents']; write the
+    surviving corpus under cfg['output'] and return the report dict."""
+    unknown = [s.get("op") for s in cfg["stages"] if s.get("op") not in STAGES]
+    if unknown:
+        raise ValueError(f"unknown stage ops: {unknown} (valid: {sorted(STAGES)})")
+    trunc = EphemeralTruncator(spark, "datapipe")
+    docs = spark.read.parquet(cfg["documents"])
+    n = docs.count()
+    report = {"input": cfg["documents"], "n_input": n, "stages": []}
+    for i, spec in enumerate(cfg["stages"]):
+        op = spec["op"]
+        docs, extra = STAGES[op](spark, docs, spec)
+        docs = trunc.truncate(docs, reap=False)
+        n_out = docs.count()
+        entry = {"stage": i, "op": op, "n_in": n, "n_out": n_out,
+                 "n_dropped": n - n_out}
+        entry.update(extra)
+        report["stages"].append(entry)
+        n = n_out
+    out_dir = cfg["output"]
+    corpus_path = os.path.join(out_dir, "corpus.parquet")
+    docs.write.mode("overwrite").parquet(corpus_path)
+    report["n_output"] = n
+    report["corpus"] = corpus_path
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    return report
+
+
+def main() -> None:
+    from .session import get_spark
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+    cfg = _load_config(args.config)
+    spark = get_spark(app_name="osmgraphing-datapipe", master=args.master or cfg.get("master"))
+    try:
+        report = run_pipeline(spark, cfg)
+    except Exception as exc:  # surface a clean one-line failure for scripts
+        print(f"datapipe failed: {exc}", file=sys.stderr)
+        raise SystemExit(1)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
