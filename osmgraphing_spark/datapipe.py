@@ -154,6 +154,16 @@ def _stage_weighted_sample(spark, docs, p):
     )
 
 
+def _stage_redact_pii(spark, docs, p):
+    """TRANSFORM stage (row count unchanged): rewrite the text column
+    with emails/IPs redacted — a map-only column expression that fuses
+    into the scan."""
+    from .functions import text as X
+
+    col = p.get("text_col", "text")
+    return docs.withColumn(col, X.redact_pii(F.col(col))), {}
+
+
 def _stage_dsir_sample(spark, docs, p):
     from .operators import dsir
 
@@ -177,6 +187,7 @@ STAGES = {
     "stratified_sample": _stage_stratified_sample,
     "weighted_sample": _stage_weighted_sample,
     "dsir_sample": _stage_dsir_sample,
+    "redact_pii": _stage_redact_pii,
 }
 
 

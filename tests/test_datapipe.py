@@ -121,3 +121,20 @@ def test_config_loader_validation(tmp_path):
     )
     cfg = datapipe._load_config(str(p2))
     assert cfg["stages"][0]["op"] == "exact_dedup"
+
+
+def test_pipeline_redact_pii_transform(spark, tmp_path):
+    path = str(tmp_path / "pii.parquet")
+    spark.createDataFrame(
+        [(0, "contact bob@example.com at 10.0.0.1 now", "en", "web")],
+        "doc_id long, text string, lang string, source string",
+    ).write.parquet(path)
+    cfg = {
+        "documents": path,
+        "output": str(tmp_path / "out5"),
+        "stages": [{"op": "redact_pii"}],
+    }
+    report = datapipe.run_pipeline(spark, cfg)
+    assert report["stages"][0]["n_dropped"] == 0
+    text = spark.read.parquet(report["corpus"]).collect()[0]["text"]
+    assert "bob@example.com" not in text and "10.0.0.1" not in text
