@@ -282,6 +282,16 @@ def q_link_walks(spark, sf_dir):
     )
 
 
+def q_link_powerlaw(spark, sf_dir):
+    """Power-law exponent MLE over the link graph's degree tail
+    (operators/graphstats.powerlaw_fit, Clauset-Shalizi-Newman): the
+    is-this-graph-web-shaped diagnostic — one degree aggregation + one
+    scalar aggregate, value-checked."""
+    from osmgraphing_spark.operators.graphstats import powerlaw_fit
+
+    return powerlaw_fit(q_link_edges(spark, sf_dir), d_min=2)
+
+
 WL_ROUNDS = 3
 
 
@@ -2059,6 +2069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_n2v_walks": q_link_n2v_walks,
         "link_featprop": q_link_featprop,
         "link_wl_roles": q_link_wl_roles,
+        "link_powerlaw": q_link_powerlaw,
         "link_predictors": q_link_predictors,
         "link_butterflies": q_link_butterflies,
         "link_copurchase": q_link_copurchase,
@@ -3707,6 +3718,23 @@ def oracle_sql() -> dict[str, str]:
         "link_n2v_walks": _n2v_walks_sql(),
         "link_featprop": _featprop_sql(),
         "link_wl_roles": _wl_sql(),
+        "link_powerlaw": f"""
+            WITH e AS ({SQL_BIPARTITE_EDGES}),
+            und AS (
+                SELECT src, dst FROM (
+                    SELECT src, dst FROM e
+                    UNION SELECT dst AS src, src AS dst FROM e
+                ) WHERE src <> dst
+            ),
+            deg AS (SELECT src, COUNT(*) AS d FROM und GROUP BY src),
+            tail AS (SELECT d FROM deg WHERE d >= 2)
+            SELECT CAST(2 AS INT) AS d_min,
+                   COUNT(*) AS n_tail,
+                   ROUND(1.0 + COUNT(*) / SUM(ln(d / 1.5)), 6) AS alpha,
+                   ROUND((COUNT(*) / SUM(ln(d / 1.5))) / sqrt(COUNT(*)), 6)
+                       AS sigma
+            FROM tail
+        """,
         "lpa_nations": _lpa2_sql(),
         "triangles_nations": """
             SELECT COUNT(*) AS n_triangles

@@ -159,6 +159,7 @@ OPERATOR_QUERIES = [
     "link_featprop",
     "link_wl_roles",
     "doc_bm25_topk",
+    "link_powerlaw",
 ]
 
 

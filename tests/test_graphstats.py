@@ -179,3 +179,47 @@ def test_modularity_of_lpa_labels(spark):
         r["label"]: (r["intra_edges"], r["degree_sum"], r["q"]) for r in rows
     } == _modularity_oracle(edges_vid, lab_map)
     assert sum(r["q"] for r in rows) > 0.3  # two cliques: strongly modular
+
+
+def test_powerlaw_fit_recovers_exponent(spark):
+    """Degrees drawn deterministically from a discrete power law with
+    alpha=2.5 must fit back near 2.5; a regular graph must fit far away."""
+    import math
+    import random
+
+    from osmgraphing_spark.operators.graphstats import powerlaw_fit
+
+    rng = random.Random(47)
+    # build a graph whose degree sequence follows d ~ x^(-2.5): star
+    # gadgets give exact degrees without needing a realized power-law graph
+    edges = []
+    nxt = 10_000
+    alpha_true = 2.5
+    for v in range(800):
+        u = rng.random()
+        d = max(2, int(round((1 - u) ** (-1.0 / (alpha_true - 1.0)))))
+        d = min(d, 200)
+        for _ in range(d):
+            edges.append((v, nxt))
+            nxt += 1
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = powerlaw_fit(df, d_min=2).collect()[0]
+    # python mirror for the exact MLE value
+    from collections import Counter
+
+    degc = Counter()
+    for a, b in edges:
+        degc[a] += 1
+        degc[b] += 1
+    tail = [d for d in degc.values() if d >= 2]
+    alpha_py = 1.0 + len(tail) / sum(math.log(d / 1.5) for d in tail)
+    assert abs(row["alpha"] - round(alpha_py, 6)) < 2e-6
+    assert row["n_tail"] == len(tail)
+    # and the estimate is in the scale-free band
+    assert 2.0 < row["alpha"] < 3.2
+
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % 40) for i in range(40)], "src long, dst long"
+    )
+    reg = powerlaw_fit(ring, d_min=2).collect()[0]
+    assert reg["alpha"] > 3.2  # constant degree 2 = no tail at all
