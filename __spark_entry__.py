@@ -1420,6 +1420,20 @@ def q_embed_kmeans(spark, sf_dir):
     return assigned
 
 
+TRIPLET_NEG_MAX = 0.25  # hard negatives: closest vectors still below this
+
+
+def q_embed_triplets(spark, sf_dir):
+    """Contrastive triplet mining (operators/similarity
+    .contrastive_triplets): per anchor the nearest non-self positive and
+    the hardest negative (highest cosine still < TRIPLET_NEG_MAX) — the
+    training-pair generator for embedding models. Exact tier (anchors
+    broadcast); value-checked."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 10)
+    return sim.contrastive_triplets(emb, anchors, neg_max=TRIPLET_NEG_MAX)
+
+
 SEMDEDUP_TAU = 0.40  # this corpus's near-dup band (max cosine ≈ 0.51)
 
 
@@ -2143,6 +2157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf": q_embed_ivf,
         "embed_kmeans": q_embed_kmeans,
         "embed_semdedup": q_embed_semdedup,
+        "embed_triplets": q_embed_triplets,
         "embed_pq": q_embed_pq,
         "embed_pq_topk": q_embed_pq_topk,
         "embed_near_dups": q_embed_near_dups,
@@ -4295,6 +4310,40 @@ def oracle_sql() -> dict[str, str]:
         "embed_ivf": _embed_ivf_sql(),
         "embed_kmeans": _embed_kmeans_sql(),
         "embed_semdedup": _embed_semdedup_sql(SEMDEDUP_TAU),
+        "embed_triplets": f"""
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+                FROM embeddings
+            ),
+            scored AS (
+                SELECT a.vec_id AS anchor_id, c.vec_id AS cand_id,
+                       ROUND(
+                           list_dot_product(a.vec, c.vec)
+                           / (sqrt(list_dot_product(a.vec, a.vec))
+                              * sqrt(list_dot_product(c.vec, c.vec))), 6)
+                           AS score
+                FROM v a JOIN v c ON c.vec_id <> a.vec_id
+                WHERE a.vec_id < 10
+            ),
+            pos AS (
+                SELECT anchor_id, cand_id AS pos_id, score AS pos_score
+                FROM (SELECT *, ROW_NUMBER() OVER (
+                          PARTITION BY anchor_id
+                          ORDER BY score DESC, cand_id ASC) AS rk
+                      FROM scored)
+                WHERE rk = 1
+            ),
+            neg AS (
+                SELECT anchor_id, cand_id AS neg_id, score AS neg_score
+                FROM (SELECT *, ROW_NUMBER() OVER (
+                          PARTITION BY anchor_id
+                          ORDER BY score DESC, cand_id ASC) AS rk
+                      FROM scored WHERE score < {TRIPLET_NEG_MAX})
+                WHERE rk = 1
+            )
+            SELECT pos.anchor_id, pos_id, pos_score, neg_id, neg_score
+            FROM pos JOIN neg USING (anchor_id)
+        """,
         "embed_pq": _embed_pq_sql(),
         "embed_pq_topk": _embed_pq_topk_sql(),
         "mis_nations": _mis_nations_sql(),

@@ -160,6 +160,7 @@ OPERATOR_QUERIES = [
     "link_wl_roles",
     "doc_bm25_topk",
     "link_powerlaw",
+    "embed_triplets",
 ]
 
 

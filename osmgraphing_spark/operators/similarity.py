@@ -81,6 +81,68 @@ def brute_force_topk(
     )
 
 
+def contrastive_triplets(
+    vectors: DataFrame,
+    anchors: DataFrame,
+    neg_max: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-triplet mining for contrastive training → one row per anchor
+    (anchor_id, pos_id, pos_score, neg_id, neg_score):
+
+    - positive  = the anchor's single nearest non-self neighbor by
+      cosine (the in-batch positive);
+    - hard negative = the HIGHEST-cosine vector whose score is still
+      < ``neg_max`` — as similar as possible while staying outside the
+      positive band, the negative that actually teaches the model
+      (random negatives are trivially separable).
+
+    Ties break (score DESC, id ASC). Anchors missing either side (e.g.
+    every candidate scores ≥ neg_max) drop out.
+
+    Scale contract (100 TB): this is the EXACT tier — anchors broadcast
+    onto the corpus like `brute_force_topk`, one corpus pass, two
+    windows over |anchors| partitions. For web-scale anchor sets swap
+    the candidate generator for the LSH buckets (`ann_topk`) or IVF
+    probes (`ivf_topk_portable`): the selection logic below is agnostic
+    to where (anchor, candidate, score) rows come from."""
+    a = anchors.select(F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("a_vec"))
+    v = vectors.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        v.crossJoin(F.broadcast(a))
+        .where(F.col("cand_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "cand_id",
+            F.round(cosine(F.col("a_vec"), F.col("c_vec")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("score").desc(), F.col("cand_id").asc()
+    )
+    pos = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("pos_id"),
+            F.col("score").alias("pos_score"),
+        )
+    )
+    neg = (
+        scored.where(F.col("score") < neg_max)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("neg_id"),
+            F.col("score").alias("neg_score"),
+        )
+    )
+    return pos.join(neg, "anchor_id")
+
+
 # ---------------------------------------------------------------------------
 # LSH (random hyperplane) ANN
 # ---------------------------------------------------------------------------

@@ -504,3 +504,48 @@ def test_prefix_jaccard_exact_dup_and_short_docs(spark):
     )
     rows = dd.prefix_jaccard_pairs(d, threshold=0.9, n=3).collect()
     assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in rows] == [(0, 1, 1.0)]
+
+
+def test_contrastive_triplets_vs_brute(spark):
+    import itertools
+    import math
+    import random
+
+    rng = random.Random(53)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(20)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    anchors = df.where(F.col("vec_id") < 5)
+    neg_max = 0.3
+    got = {
+        r["anchor_id"]: (r["pos_id"], r["pos_score"], r["neg_id"], r["neg_score"])
+        for r in sim.contrastive_triplets(df, anchors, neg_max=neg_max).collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    vd = dict(vecs)
+    for aid in range(5):
+        scored = sorted(
+            ((round(cos(vd[aid], vd[c]), 6), -c) for c in vd if c != aid),
+            reverse=True,
+        )
+        pos_s, pos_c = scored[0][0], -scored[0][1]
+        negs = [(s, c) for s, c in scored if s < neg_max]
+        assert aid in got
+        gp, gps, gn, gns = got[aid]
+        assert (gp, gps) == (pos_c, pos_s)
+        assert (gns, -gn) == negs[0]
+        assert gns < neg_max <= gps  # the triplet brackets the band
+
+
+def test_contrastive_triplets_drop_when_no_negative(spark):
+    # two identical + one near-identical vector: every candidate scores
+    # >= neg_max, so no triplet row for those anchors
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.99, 0.01])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = sim.contrastive_triplets(df, df, neg_max=0.5).collect()
+    assert rows == []
