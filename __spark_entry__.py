@@ -1309,6 +1309,23 @@ def q_doc_dsir_sample(spark, sf_dir):
     )
 
 
+CHUNK_WINDOW = 24
+CHUNK_STRIDE = 16
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Long-context chunking (operators/packing.chunk_documents): token
+    sliding windows (window 24, stride 16) — zero-shuffle column
+    expressions fused into the corpus scan; chunk ids, token counts and
+    chunk text value-checked."""
+    from osmgraphing_spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"),
+        window=CHUNK_WINDOW, stride=CHUNK_STRIDE,
+    )
+
+
 PACK_CAPACITY = 512
 PACK_SHARDS = 8
 PACK_SEED = 1
@@ -2145,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_prefix_jaccard": q_doc_prefix_jaccard,
         "doc_dsir_sample": q_doc_dsir_sample,
         "doc_bm25_topk": q_doc_bm25_topk,
+        "doc_chunks": q_doc_chunks,
         "doc_minhash": q_doc_minhash,
         "doc_lsh_candidates": q_doc_lsh_candidates,
         "doc_incremental_dups": q_doc_incremental_dups,
@@ -4458,6 +4476,30 @@ def oracle_sql() -> dict[str, str]:
                        AS overlap_frac
             FROM corpus c LEFT JOIN bench b ON c.shingle = b.shingle
             GROUP BY c.id HAVING COUNT(b.shingle) >= 1
+        """,
+        "doc_chunks": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                FROM documents
+            ),
+            spans AS (
+                SELECT doc_id, toks, len(toks) AS n,
+                       unnest(generate_series(
+                           0,
+                           GREATEST(0, CAST(CEIL((len(toks) - {CHUNK_WINDOW})
+                                                 / {CHUNK_STRIDE}.0) AS BIGINT))
+                       )) AS k
+                FROM base
+            )
+            SELECT doc_id, CAST(k AS INT) AS chunk_id,
+                   CAST(LEAST(n - k * {CHUNK_STRIDE}, {CHUNK_WINDOW}) AS INT)
+                       AS n_tokens,
+                   array_to_string(
+                       toks[k * {CHUNK_STRIDE} + 1 :
+                            k * {CHUNK_STRIDE} + {CHUNK_WINDOW}], ' ')
+                       AS chunk_text
+            FROM spans
         """,
         "doc_bm25_topk": f"""
             WITH tok AS (

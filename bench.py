@@ -161,6 +161,7 @@ OPERATOR_QUERIES = [
     "doc_bm25_topk",
     "link_powerlaw",
     "embed_triplets",
+    "doc_chunks",
 ]
 
 

@@ -150,3 +150,53 @@ def packing_stats(packed: DataFrame, capacity: int) -> DataFrame:
             ).alias("fill_ratio"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 512,
+    stride: int = 384,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Long-context chunking → (id, chunk_id, n_tokens, chunk_text):
+    token-level sliding windows of ``window`` tokens advancing by
+    ``stride`` (overlap = window − stride), the standard prep for
+    training sequences longer than a document boundary. Chunk k covers
+    tokens [k·stride, k·stride + window); the last chunk is the first
+    one reaching the document's end (shorter than ``window`` only when
+    the doc is), so every token is covered and no chunk is redundant.
+
+    Scale contract (100 TB): pure column expressions — tokenize, a
+    sequence of window starts, slice + explode — fused into the corpus
+    scan; zero shuffle, zero UDF. Output row count is
+    ≈ n_tokens/stride per doc (the overlap factor), the documented
+    storage amplification of overlapped chunking."""
+    if window < 1 or stride < 1 or stride > window:
+        raise ValueError(
+            f"need 1 <= stride <= window, got window={window} stride={stride}"
+        )
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    last_k = F.greatest(
+        F.lit(0), F.ceil((n - F.lit(window)) / F.lit(stride)).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), last_k),
+        lambda k: F.struct(
+            k.cast("int").alias("k"),
+            F.array_join(
+                F.slice(toks, k * stride + 1, window), " "
+            ).alias("txt"),
+            F.least(n - k * stride, F.lit(window)).alias("nt"),
+        ),
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(chunks).alias("c"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("c.k").alias("chunk_id"),
+            F.col("c.nt").alias("n_tokens"),
+            F.col("c.txt").alias("chunk_text"),
+        )
+    )

@@ -150,3 +150,40 @@ def test_mixture_sample_matches_mirror_and_rates(spark):
 
 def _h_raw(key) -> str:
     return hashlib.md5(str(key).encode()).hexdigest()
+
+
+def test_chunk_documents_cover_and_overlap(spark):
+    from osmgraphing_spark.operators.packing import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(0, text), (1, "a b"), (2, "solo")], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, window=4, stride=3).collect()
+    )
+    # doc 0: 10 tokens, window 4 stride 3 -> starts 0,3,6 (start 6 reaches
+    # the end: 6+4 >= 10), chunks t0..t3 / t3..t6 / t6..t9
+    d0 = [r for r in rows if r[0] == 0]
+    assert [r[1] for r in d0] == [0, 1, 2]
+    assert d0[0][3] == "t0 t1 t2 t3"
+    assert d0[1][3] == "t3 t4 t5 t6"
+    assert d0[2][3] == "t6 t7 t8 t9"
+    assert all(r[2] == 4 for r in d0)
+    # every token of doc 0 appears in some chunk
+    covered = set(" ".join(r[3] for r in d0).split())
+    assert covered == {f"t{i}" for i in range(10)}
+    # short docs: a single (possibly short) chunk
+    assert [r for r in rows if r[0] == 1] == [(1, 0, 2, "a b")]
+    assert [r for r in rows if r[0] == 2] == [(2, 0, 1, "solo")]
+
+
+def test_chunk_documents_validation(spark):
+    import pytest as pt
+
+    from osmgraphing_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pt.raises(ValueError):
+        chunk_documents(df, window=4, stride=5)
