@@ -1309,6 +1309,24 @@ def q_doc_dsir_sample(spark, sf_dir):
     )
 
 
+def q_doc_scrub_spans(spark, sf_dir):
+    """Span scrubbing (operators/spans.scrub_duplicated_spans): cut every
+    cross-document duplicated k-token span out of the text — the
+    RefinedWeb-style boilerplate remover. Output carries before/after
+    token counts and the md5 of the scrubbed text so the full rewrite is
+    value-checked compactly."""
+    from osmgraphing_spark.operators.spans import scrub_duplicated_spans
+
+    out = scrub_duplicated_spans(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        k=SPAN_K, min_docs=2, max_df=JACCARD_MAX_DF,
+    )
+    return out.select(
+        "doc_id", "n_tokens_before", "n_tokens_after",
+        F.md5("text").alias("scrubbed_digest"),
+    )
+
+
 CHUNK_WINDOW = 24
 CHUNK_STRIDE = 16
 
@@ -2163,6 +2181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_sample": q_doc_dsir_sample,
         "doc_bm25_topk": q_doc_bm25_topk,
         "doc_chunks": q_doc_chunks,
+        "doc_scrub_spans": q_doc_scrub_spans,
         "doc_minhash": q_doc_minhash,
         "doc_lsh_candidates": q_doc_lsh_candidates,
         "doc_incremental_dups": q_doc_incremental_dups,
@@ -4133,6 +4152,63 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_windows,
                    MAX(n_docs) AS max_docs
             FROM r GROUP BY doc_id, run
+        """,
+        "doc_scrub_spans": f"""
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents
+            ),
+            wins AS (
+                SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                       md5(array_to_string(t[i:i+{SPAN_K - 1}], ' ')) AS fp
+                FROM toks, unnest(generate_series(1, len(t) - {SPAN_K} + 1)) AS u(i)
+                WHERE len(t) >= {SPAN_K}
+            ),
+            dups AS (
+                SELECT fp FROM wins GROUP BY fp
+                HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {JACCARD_MAX_DF}
+            ),
+            hits AS (SELECT w.doc_id, w.pos FROM wins w JOIN dups USING (fp)),
+            g AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos - LAG(pos) OVER
+                                 (PARTITION BY doc_id ORDER BY pos) <= {SPAN_K}
+                            THEN 0 ELSE 1 END AS brk
+                FROM hits
+            ),
+            r AS (
+                SELECT doc_id, pos,
+                       SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS UNBOUNDED PRECEDING) AS run
+                FROM g
+            ),
+            spans AS (
+                SELECT doc_id, MIN(pos) AS s, MAX(pos) + {SPAN_K - 1} AS e
+                FROM r GROUP BY doc_id, run
+            ),
+            tokidx AS (
+                SELECT doc_id, unnest(t) AS tok,
+                       generate_subscripts(t, 1) AS i, len(t) AS n
+                FROM toks
+            ),
+            kept AS (
+                SELECT ti.doc_id, ti.tok, ti.i, ti.n
+                FROM tokidx ti
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM spans sp
+                    WHERE sp.doc_id = ti.doc_id AND ti.i BETWEEN sp.s AND sp.e
+                )
+            )
+            SELECT t.doc_id,
+                   CAST(len(t.t) AS INT) AS n_tokens_before,
+                   CAST(COALESCE(kc.n_after, 0) AS INT) AS n_tokens_after,
+                   md5(COALESCE(kc.txt, '')) AS scrubbed_digest
+            FROM toks t
+            LEFT JOIN (
+                SELECT doc_id, COUNT(*) AS n_after,
+                       string_agg(tok, ' ' ORDER BY i) AS txt
+                FROM kept GROUP BY doc_id
+            ) kc USING (doc_id)
         """,
         "doc_exact_dups": """
             SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

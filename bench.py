@@ -162,6 +162,7 @@ OPERATOR_QUERIES = [
     "link_powerlaw",
     "embed_triplets",
     "doc_chunks",
+    "doc_scrub_spans",
 ]
 
 

@@ -164,6 +164,24 @@ def _stage_redact_pii(spark, docs, p):
     return docs.withColumn(col, X.redact_pii(F.col(col))), {}
 
 
+def _stage_scrub_spans(spark, docs, p):
+    """TRANSFORM stage: cut cross-document duplicated k-token spans out
+    of the text (RefinedWeb-style boilerplate scrub); row count
+    unchanged, before/after token counts added."""
+    from .operators.spans import scrub_duplicated_spans
+
+    return (
+        scrub_duplicated_spans(
+            docs,
+            k=p.get("k", 8),
+            min_docs=p.get("min_docs", 2),
+            max_df=p.get("max_df"),
+            text_col=p.get("text_col", "text"),
+        ),
+        {},
+    )
+
+
 def _stage_dsir_sample(spark, docs, p):
     from .operators import dsir
 
@@ -188,6 +206,7 @@ STAGES = {
     "weighted_sample": _stage_weighted_sample,
     "dsir_sample": _stage_dsir_sample,
     "redact_pii": _stage_redact_pii,
+    "scrub_spans": _stage_scrub_spans,
 }
 
 

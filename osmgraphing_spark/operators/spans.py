@@ -137,3 +137,49 @@ def span_dedup_stats(spans: DataFrame, docs: DataFrame, k: int = 8) -> DataFrame
             ).alias("dup_frac"),
         )
     )
+
+
+def scrub_duplicated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The REMOVAL counterpart of `duplicated_spans` (RefinedWeb-style
+    boilerplate scrubbing): → the input docs with every duplicated span's
+    tokens cut out of ``text_col``, plus (n_tokens_before,
+    n_tokens_after). Documents with no duplicated span pass through with
+    their text re-joined on single spaces (the tokenizer's whitespace
+    normalization — the only change for clean docs).
+
+    Scale contract (100 TB): span detection is `duplicated_spans`
+    unchanged; removal joins each doc to ITS OWN span list (bounded by
+    doc length), then one pure higher-order filter drops tokens whose
+    1-based index falls inside any span — row-local, no UDF, no extra
+    corpus shuffle beyond the detection join."""
+    spans = duplicated_spans(
+        docs, k=k, min_docs=min_docs, max_df=max_df,
+        id_col=id_col, text_col=text_col,
+    )
+    ranges = spans.groupBy(F.col("doc_id").alias(id_col)).agg(
+        F.collect_list(F.struct("start_tok", "end_tok")).alias("_spans")
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    covered = lambda tok, i: F.exists(  # noqa: E731 — HOF lambda pair
+        F.col("_spans"),
+        lambda r: (i + 1 >= r["start_tok"]) & (i + 1 <= r["end_tok"]),
+    )
+    kept = F.filter(toks, lambda tok, i: ~covered(tok, i))
+    out_cols = [c for c in docs.columns if c != text_col]
+    return (
+        docs.join(ranges, id_col, "left")
+        .withColumn("_spans", F.coalesce(F.col("_spans"), F.array()))
+        .select(
+            *out_cols,
+            F.size(toks).alias("n_tokens_before"),
+            F.size(kept).alias("n_tokens_after"),
+            F.array_join(kept, " ").alias(text_col),
+        )
+    )

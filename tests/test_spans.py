@@ -87,3 +87,55 @@ def test_spans_disjoint_per_doc(spark, docs_df):
         ranges.sort()
         for (s1, e1), (s2, _e2) in zip(ranges, ranges[1:]):
             assert e1 < s2
+
+
+def test_scrub_removes_golden_passage(spark):
+    from osmgraphing_spark.operators.spans import scrub_duplicated_spans
+
+    shared = " ".join(f"dup{i}" for i in range(10))
+    rows = [
+        (0, f"alpha beta {shared} gamma delta", "en"),
+        (1, f"one two three {shared} four", "en"),
+        (2, "totally unique text with plenty of its own words here", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r["doc_id"]: (r["n_tokens_before"], r["n_tokens_after"], r["text"])
+        for r in scrub_duplicated_spans(df, k=8, min_docs=2).collect()
+    }
+    # the shared passage disappears from both carriers
+    for did in (0, 1):
+        assert "dup0" not in out[did][2] and "dup9" not in out[did][2]
+        assert out[did][1] < out[did][0]
+    assert out[0][2].startswith("alpha beta") and out[0][2].endswith("gamma delta")
+    # the clean doc passes through intact (modulo whitespace normalization)
+    assert out[2][2] == rows[2][1]
+    assert out[2][0] == out[2][1]
+    # non-text columns survive
+    assert set(
+        scrub_duplicated_spans(df, k=8, min_docs=2).columns
+    ) == {"doc_id", "lang", "n_tokens_before", "n_tokens_after", "text"}
+
+
+def test_scrub_counts_match_span_table(spark):
+    from osmgraphing_spark.operators.spans import (
+        duplicated_spans,
+        scrub_duplicated_spans,
+    )
+
+    shared = " ".join(f"x{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(0, f"{shared} tail words here"), (1, f"head {shared}")],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r["doc_id"]): (r["start_tok"], r["end_tok"])
+        for r in duplicated_spans(df, k=8, min_docs=2).collect()
+    }
+    out = {
+        r["doc_id"]: (r["n_tokens_before"], r["n_tokens_after"])
+        for r in scrub_duplicated_spans(df, k=8, min_docs=2).collect()
+    }
+    for did, (s, e) in spans.items():
+        before, after = out[did]
+        assert before - after == e - s + 1
