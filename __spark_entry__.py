@@ -282,6 +282,29 @@ def q_link_walks(spark, sf_dir):
     )
 
 
+DENSEST_EPS = 0.05
+DENSEST_ROUNDS = 6
+
+
+def q_link_densest(spark, sf_dir):
+    """Densest subgraph (operators/densest): Charikar/BKV greedy peel at
+    (1+ε)·avg-degree threshold on the symmetrized nation digraph — the
+    spam-farm / mutual-citation-ring detector. Members of the best-
+    density round plus the density itself, value-checked against a
+    fixed-depth SQL replay of every peel round."""
+    from osmgraphing_spark.operators import densest
+
+    e = _nation_ring_edges(spark, sf_dir)
+    members, stats = densest.densest_subgraph(
+        e, epsilon=DENSEST_EPS, max_rounds=DENSEST_ROUNDS
+    )
+    return members.select(
+        "vid",
+        F.lit(stats["best_round"]).cast("int").alias("best_round"),
+        F.lit(stats["best_density"]).alias("best_density"),
+    )
+
+
 def q_link_powerlaw(spark, sf_dir):
     """Power-law exponent MLE over the link graph's degree tail
     (operators/graphstats.powerlaw_fit, Clauset-Shalizi-Newman): the
@@ -2119,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_featprop": q_link_featprop,
         "link_wl_roles": q_link_wl_roles,
         "link_powerlaw": q_link_powerlaw,
+        "link_densest": q_link_densest,
         "link_predictors": q_link_predictors,
         "link_butterflies": q_link_butterflies,
         "link_copurchase": q_link_copurchase,
@@ -2435,6 +2459,62 @@ def _walks_sql(length: int = 3, wpv: int = 2) -> str:
         ),
         {', '.join(steps)}
         {' UNION ALL '.join(selects)}
+    """
+
+
+def _densest_sql(eps: float = DENSEST_EPS, rounds: int = DENSEST_ROUNDS) -> str:
+    """Fixed-depth replay of the Charikar/BKV peel on the symmetrized
+    nation digraph: per round the canonical edge set de{r}, its density,
+    and the (1+ε)·avg-degree survivor cut; best round by (density DESC,
+    round ASC); members = vertices of that round's edge set."""
+    parts = [
+        """de0 AS MATERIALIZED (
+            SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM (SELECT src, dst FROM e WHERE src <> dst)
+        )"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+                SELECT v, COUNT(*) AS d FROM (
+                    SELECT a AS v FROM de{r} UNION ALL SELECT b AS v FROM de{r}
+                ) GROUP BY v
+            ),
+            s{r} AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+                       (SELECT CAST(COUNT(*) AS DOUBLE) FROM d{r}) AS n
+                FROM de{r}
+            ),
+            k{r} AS (
+                SELECT d{r}.v FROM d{r}, s{r}
+                WHERE d{r}.d > 2.0 * {1.0 + eps} * (s{r}.m / s{r}.n)
+            ),
+            de{r + 1} AS MATERIALIZED (
+                SELECT a, b FROM de{r}
+                WHERE a IN (SELECT v FROM k{r}) AND b IN (SELECT v FROM k{r})
+            )"""
+        )
+    dens_rows = " UNION ALL ".join(
+        f"SELECT {r} AS rnd, m / NULLIF(n, 0) AS rho FROM s{r}"
+        for r in range(rounds)
+    )
+    member_rows = " UNION ALL ".join(
+        f"SELECT {r} AS rnd, v AS vid FROM "
+        f"(SELECT a AS v FROM de{r} UNION SELECT b AS v FROM de{r})"
+        for r in range(rounds)
+    )
+    return f"""
+        WITH {_NATION_RING_CTES},
+        {', '.join(parts)},
+        dens AS ({dens_rows}),
+        best AS (
+            SELECT rnd, rho FROM dens WHERE rho IS NOT NULL
+            ORDER BY rho DESC, rnd ASC LIMIT 1
+        ),
+        mem AS ({member_rows})
+        SELECT mem.vid, CAST(best.rnd AS INT) AS best_round,
+               ROUND(best.rho, 6) AS best_density
+        FROM mem JOIN best ON mem.rnd = best.rnd
     """
 
 
@@ -3770,6 +3850,7 @@ def oracle_sql() -> dict[str, str]:
         "link_n2v_walks": _n2v_walks_sql(),
         "link_featprop": _featprop_sql(),
         "link_wl_roles": _wl_sql(),
+        "link_densest": _densest_sql(),
         "link_powerlaw": f"""
             WITH e AS ({SQL_BIPARTITE_EDGES}),
             und AS (

@@ -163,6 +163,7 @@ OPERATOR_QUERIES = [
     "embed_triplets",
     "doc_chunks",
     "doc_scrub_spans",
+    "link_densest",
 ]
 
 
