@@ -282,6 +282,24 @@ def q_link_walks(spark, sf_dir):
     )
 
 
+DOULION_P = 0.6
+
+
+def q_triangles_doulion(spark, sf_dir):
+    """DOULION approximate triangle count (operators/triangles
+    .doulion_estimate) on the nation co-region clique graph: each edge
+    kept at p=0.6 by the deterministic md5 bucket, exact count in the
+    sample, scaled by 1/p³ — the 100 TB triangle path (wedge cost drops
+    ~p²). Sample and estimate value-checked."""
+    from osmgraphing_spark.operators.triangles import doulion_estimate
+
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    a = n.select(F.col("n_nationkey").alias("src"), F.col("n_regionkey").alias("r"))
+    b = n.select(F.col("n_nationkey").alias("dst"), F.col("n_regionkey").alias("r"))
+    e = a.join(b, "r").where(F.col("src") != F.col("dst")).select("src", "dst")
+    return doulion_estimate(e, p=DOULION_P)
+
+
 DENSEST_EPS = 0.05
 DENSEST_ROUNDS = 6
 
@@ -2143,6 +2161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_wl_roles": q_link_wl_roles,
         "link_powerlaw": q_link_powerlaw,
         "link_densest": q_link_densest,
+        "triangles_doulion": q_triangles_doulion,
         "link_predictors": q_link_predictors,
         "link_butterflies": q_link_butterflies,
         "link_copurchase": q_link_copurchase,
@@ -3851,6 +3870,52 @@ def oracle_sql() -> dict[str, str]:
         "link_featprop": _featprop_sql(),
         "link_wl_roles": _wl_sql(),
         "link_densest": _densest_sql(),
+        "triangles_doulion": f"""
+            WITH und AS (
+                SELECT DISTINCT LEAST(a.n_nationkey, b.n_nationkey) AS a,
+                       GREATEST(a.n_nationkey, b.n_nationkey) AS b
+                FROM nation a JOIN nation b
+                  ON a.n_regionkey = b.n_regionkey
+                 AND a.n_nationkey <> b.n_nationkey
+            ),
+            sampled AS MATERIALIZED (
+                SELECT a, b FROM und
+                WHERE CAST(concat('0x', substr(md5(concat(
+                          CAST(a AS VARCHAR), '|', CAST(b AS VARCHAR))), 1, 14))
+                          AS BIGINT) % 1000000 < {round(DOULION_P * 1000000)}
+            ),
+            deg AS (
+                SELECT v, COUNT(*) AS d FROM (
+                    SELECT a AS v FROM sampled UNION ALL SELECT b AS v FROM sampled
+                ) GROUP BY v
+            ),
+            o AS MATERIALIZED (
+                SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND s.a < s.b)
+                            THEN s.a ELSE s.b END AS src,
+                       CASE WHEN da.d < db.d OR (da.d = db.d AND s.a < s.b)
+                            THEN s.b ELSE s.a END AS dst
+                FROM sampled s
+                JOIN deg da ON da.v = s.a
+                JOIN deg db ON db.v = s.b
+            ),
+            tri AS (
+                SELECT COUNT(*) AS tri_sampled FROM (
+                    SELECT e1.dst AS y, e2.dst AS z
+                    FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst
+                ) w
+                WHERE EXISTS (
+                    SELECT 1 FROM o
+                    WHERE LEAST(o.src, o.dst) = w.y
+                      AND GREATEST(o.src, o.dst) = w.z
+                )
+            )
+            SELECT CAST({DOULION_P} AS DOUBLE) AS p,
+                   (SELECT COUNT(*) FROM und) AS n_edges,
+                   (SELECT COUNT(*) FROM sampled) AS n_sampled,
+                   tri_sampled,
+                   ROUND(tri_sampled / {DOULION_P ** 3}, 4) AS estimate
+            FROM tri
+        """,
         "link_powerlaw": f"""
             WITH e AS ({SQL_BIPARTITE_EDGES}),
             und AS (

@@ -164,6 +164,7 @@ OPERATOR_QUERIES = [
     "doc_chunks",
     "doc_scrub_spans",
     "link_densest",
+    "triangles_doulion",
 ]
 
 

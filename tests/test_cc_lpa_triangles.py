@@ -89,3 +89,44 @@ def test_triangles_per_vertex(spark):
     np.testing.assert_array_equal(
         got, oracle.triangles_per_vertex(g.num_vertices, edges)
     )
+
+
+def test_doulion_exact_at_p1_and_mirror_at_half(spark):
+    """p=1 must equal the exact triangle count; p=0.5 must equal the
+    python mirror of the SAME deterministic sample."""
+    import hashlib
+    import random
+    from itertools import combinations
+
+    from osmgraphing_spark.operators.sampling import RESOLUTION
+    from osmgraphing_spark.operators.triangles import doulion_estimate
+
+    rng = random.Random(67)
+    edges = sorted({tuple(sorted((rng.randrange(18), rng.randrange(18))))
+                    for _ in range(70)})
+    edges = [e for e in edges if e[0] != e[1]]
+
+    def tri_count(es):
+        s = set(es)
+        nodes = sorted({v for e in es for v in e})
+        return sum(
+            1 for a, b, c in combinations(nodes, 3)
+            if (a, b) in s and (b, c) in s and (a, c) in s
+        )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r1 = doulion_estimate(df, p=1.0).collect()[0]
+    exact = tri_count(edges)
+    assert r1["tri_sampled"] == exact and r1["estimate"] == float(exact)
+    assert r1["n_sampled"] == r1["n_edges"] == len(edges)
+
+    def bucket(a, b):
+        h = hashlib.md5(f"{a}|{b}".encode()).hexdigest()
+        return int(h[:14], 16) % RESOLUTION
+
+    p = 0.5
+    kept = [e for e in edges if bucket(*e) < round(p * RESOLUTION)]
+    r5 = doulion_estimate(df, p=p).collect()[0]
+    assert r5["n_sampled"] == len(kept)
+    assert r5["tri_sampled"] == tri_count(kept)
+    assert r5["estimate"] == round(tri_count(kept) / p**3, 4)
