@@ -337,3 +337,72 @@ def test_cms_sketch_stream_equals_batch(spark, tmp_path):
         for r in cms_sketch(spark.read.parquet(in_dir), 3, 128).collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_dedup_gate_incremental_admission(spark, tmp_path):
+    """Two micro-batches: batch-1 survivors join the corpus that batch 2
+    is gated against; within-batch dups collapse to one survivor."""
+    import os
+
+    from osmgraphing_spark.streaming.gate import run_dedup_gate
+
+    base = "base text " + " ".join(f"w{i}" for i in range(12))
+    other = "unrelated " + " ".join(f"q{i}" for i in range(12))
+    third = "third thing " + " ".join(f"z{i}" for i in range(12))
+
+    corpus_dir = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(0, base), (1, other)], "doc_id long, text string"
+    ).write.parquet(corpus_dir)
+
+    import glob
+    import shutil
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    fresh = "fresh words " + " ".join(f"y{i}" for i in range(12))
+    waves = [
+        # batch 1: corpus dup (10), brand-new (11), within-batch copy (12)
+        [(10, base), (11, third), (12, third)],
+        # batch 2: copy of batch-1 survivor (20) and genuinely new (21)
+        [(20, third), (21, fresh)],
+    ]
+    for i, rows in enumerate(waves):
+        # the file-stream source lists plain FILES (it does not descend
+        # into nested parquet dirs) → scratch write, move the part up
+        scratch = os.path.join(in_dir, f"_scratch{i}")
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(scratch)
+        part = glob.glob(os.path.join(scratch, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(in_dir, f"f{i}.parquet"))
+        shutil.rmtree(scratch)
+
+    out_dir = str(tmp_path / "out")
+    run_dedup_gate(
+        spark, in_dir, corpus_dir, out_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    accepted = spark.read.parquet(os.path.join(out_dir, "accepted", "batch_id=*"))
+    ids = {r["doc_id"] for r in accepted.select("doc_id").collect()}
+    # 10 dies vs corpus; exactly one of {11,12} survives; 20 dies vs the
+    # batch-1 survivor; 21 passes
+    assert 10 not in ids and 20 not in ids and 21 in ids
+    assert len(ids & {11, 12}) == 1
+    assert len(ids) == 2
+
+    # retry safety: a second run with a fresh checkpoint re-sees both files
+    # as batch 0 but the marker skips re-gating (output unchanged)
+    run_dedup_gate(
+        spark, in_dir, corpus_dir, out_dir,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1,
+    )
+    again = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            os.path.join(out_dir, "accepted", "batch_id=*")
+        ).select("doc_id").collect()
+    }
+    assert again == ids
