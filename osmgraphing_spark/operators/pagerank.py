@@ -99,13 +99,24 @@ def run(
     checkpoint_every: int = 1,
     resume: bool = False,
     reset: DataFrame | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> PageRankResult:
     """``reset``: optional teleport distribution (vid, p) for PERSONALIZED
     PageRank — both the (1-d) restart and the dangling mass teleport
     proportionally to p instead of uniformly (vertices absent from
     ``reset`` get p = 0 and receive rank only through in-links). Σp should
     be 1. With ``reset=None`` the update is the classic uniform rule,
-    expression-identical to previous releases."""
+    expression-identical to previous releases.
+
+    ``init_ranks``: optional WARM-START vector (vid, rank) — the
+    incremental-recompute path: after an edge delta, restart from the
+    previous converged ranks instead of uniform and convergence takes a
+    handful of supersteps instead of dozens (power iteration error decays
+    from the starting distance). Vertices absent from ``init_ranks``
+    (e.g. newly added) start at 1/N; the vector is renormalized to Σ = 1
+    so the fixed point is unchanged — warm starting changes WHERE the
+    iteration starts, never where it converges
+    (`test_pagerank.py::test_warm_start_converges_faster`)."""
     spark = graph.edges.sparkSession
     n = graph.num_vertices
     d = float(damping)
@@ -114,12 +125,14 @@ def run(
         return _run_loop(
             spark, graph, n, d, tol, max_iter, weighted, mode, salt,
             check_every, checkpoint, checkpoint_every, resume, reset,
+            init_ranks,
         )
 
 
 def _run_loop(
     spark, graph, n, d, tol, max_iter, weighted, mode, salt,
     check_every, checkpoint, checkpoint_every, resume, reset=None,
+    init_ranks=None,
 ):
     if checkpoint is not None:
         # durable per-superstep metrics require an action per superstep
@@ -235,7 +248,20 @@ def _run_loop(
 
     start_step = 0
     deltas: list[float] = []
-    if reset is not None:
+    if init_ranks is not None:
+        # warm start: previous ranks where known, 1/N for new vertices,
+        # renormalized so the state stays a distribution
+        seeded = graph.vertices.select("vid").join(
+            init_ranks.select("vid", F.col("rank").alias("_r0")), "vid", "left"
+        ).select(
+            "vid",
+            F.coalesce(F.col("_r0"), F.lit(1.0) / F.lit(float(n))).alias("_r0"),
+        )
+        total = seeded.agg(F.sum("_r0").alias("t"))
+        state = seeded.crossJoin(F.broadcast(total)).select(
+            "vid", (F.col("_r0") / F.col("t")).alias("rank")
+        )
+    elif reset is not None:
         state = verts.select("vid", F.col("p").alias("rank"))
     else:
         state = graph.vertices.select(

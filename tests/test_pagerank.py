@@ -134,3 +134,38 @@ def test_personalized_uniform_reset_equals_classic(spark):
         pagerank.run(g, reset=uniform, tol=0.0, max_iter=32, check_every=8), n
     )
     np.testing.assert_allclose(a, b, atol=1e-12)
+
+
+
+def test_warm_start_converges_faster(spark):
+    """Incremental recompute: after a small edge delta, restarting from
+    the previous converged ranks reaches tol in fewer supersteps than a
+    cold uniform start, with the SAME fixed point."""
+    import copy
+
+    from pyspark.sql import functions as F
+
+    from osmgraphing_spark.operators import pagerank as pr
+    from osmgraphing_spark.operators.build import build_graph
+    from osmgraphing_spark.operators.extract import extract_edges
+    from osmgraphing_spark.sources.synth import powerlaw_corpus
+
+    corpus = powerlaw_corpus(spark, 300, m=3)
+    g1 = build_graph(extract_edges(corpus), num_blocks=4)
+    r1 = pr.run(g1, tol=1e-8, check_every=4)
+    assert r1.converged
+
+    # delta: a sliver of edges vanishes (the weekly recrawl)
+    g2 = copy.copy(g1)
+    g2.edges = g1.edges.where(~(F.col("src") % 97 == 3))
+
+    cold = pr.run(g2, tol=1e-8, check_every=1)
+    warm = pr.run(g2, tol=1e-8, check_every=1, init_ranks=r1.ranks)
+    assert cold.converged and warm.converged
+    assert warm.iterations < cold.iterations, (warm.iterations, cold.iterations)
+
+    got = {r["vid"]: r["rank"] for r in warm.ranks.collect()}
+    want = {r["vid"]: r["rank"] for r in cold.ranks.collect()}
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-6
