@@ -282,6 +282,23 @@ def q_link_walks(spark, sf_dir):
     )
 
 
+def q_link_snapshot_diff(spark, sf_dir):
+    """Snapshot diff (operators/snapshot.edge_diff): this-week's link
+    graph derived from last week's by a deterministic perturbation (drop
+    (src+dst)%13==0 edges, add the reverse of src%101==5 edges) — every
+    added/removed edge value-checked. The delta audit that decides when
+    the warm-start path (pagerank init_ranks) pays off."""
+    from osmgraphing_spark.operators import snapshot
+
+    old = q_link_edges(spark, sf_dir)
+    kept = old.where((F.col("src") + F.col("dst")) % 13 != 0)
+    flipped = old.where(F.col("src") % 101 == 5).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    new = kept.unionByName(flipped)
+    return snapshot.edge_diff(old, new)
+
+
 DOULION_P = 0.6
 
 
@@ -2162,6 +2179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_powerlaw": q_link_powerlaw,
         "link_densest": q_link_densest,
         "triangles_doulion": q_triangles_doulion,
+        "link_snapshot_diff": q_link_snapshot_diff,
         "link_predictors": q_link_predictors,
         "link_butterflies": q_link_butterflies,
         "link_copurchase": q_link_copurchase,
@@ -3870,6 +3888,21 @@ def oracle_sql() -> dict[str, str]:
         "link_featprop": _featprop_sql(),
         "link_wl_roles": _wl_sql(),
         "link_densest": _densest_sql(),
+        "link_snapshot_diff": f"""
+            WITH old AS (SELECT DISTINCT src, dst FROM ({SQL_BIPARTITE_EDGES}) t),
+            nw AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT src, dst FROM old WHERE (src + dst) % 13 <> 0
+                    UNION ALL
+                    SELECT dst AS src, src AS dst FROM old WHERE src % 101 = 5
+                )
+            )
+            SELECT n.src, n.dst, 'added' AS change
+            FROM nw n ANTI JOIN old o ON n.src = o.src AND n.dst = o.dst
+            UNION ALL
+            SELECT o.src, o.dst, 'removed' AS change
+            FROM old o ANTI JOIN nw n ON o.src = n.src AND o.dst = n.dst
+        """,
         "triangles_doulion": f"""
             WITH und AS (
                 SELECT DISTINCT LEAST(a.n_nationkey, b.n_nationkey) AS a,

@@ -165,6 +165,7 @@ OPERATOR_QUERIES = [
     "doc_scrub_spans",
     "link_densest",
     "triangles_doulion",
+    "link_snapshot_diff",
 ]
 
 
