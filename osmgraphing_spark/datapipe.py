@@ -164,6 +164,28 @@ def _stage_redact_pii(spark, docs, p):
     return docs.withColumn(col, X.redact_pii(F.col(col))), {}
 
 
+def _stage_nll_band(spark, docs, p):
+    """CCNet-style middle-band selection: keep documents whose mean
+    unigram NLL under the corpus's own LM falls inside [lo, hi] —
+    dropping both tails (rare-token gibberish above, stopword soup
+    below). Band bounds are either absolute (`lo`/`hi`) or quantiles of
+    the current corpus (`lo_q`/`hi_q`, computed exactly)."""
+    from .operators import termstats
+
+    scored = termstats.unigram_logprob(docs, id_col="doc_id")
+    if "lo_q" in p or "hi_q" in p:
+        qs = scored.approxQuantile(
+            "avg_nll", [p.get("lo_q", 0.0), p.get("hi_q", 1.0)], 0.0
+        )
+        lo, hi = qs[0], qs[1]
+    else:
+        lo, hi = p.get("lo", float("-inf")), p.get("hi", float("inf"))
+    keep = scored.where(
+        (F.col("avg_nll") >= lo) & (F.col("avg_nll") <= hi)
+    ).select(F.col("id").alias("doc_id"))
+    return docs.join(keep, "doc_id", "left_semi"), {"lo": lo, "hi": hi}
+
+
 def _stage_scrub_spans(spark, docs, p):
     """TRANSFORM stage: cut cross-document duplicated k-token spans out
     of the text (RefinedWeb-style boilerplate scrub); row count
@@ -207,6 +229,7 @@ STAGES = {
     "dsir_sample": _stage_dsir_sample,
     "redact_pii": _stage_redact_pii,
     "scrub_spans": _stage_scrub_spans,
+    "nll_band": _stage_nll_band,
 }
 
 

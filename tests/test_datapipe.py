@@ -138,3 +138,33 @@ def test_pipeline_redact_pii_transform(spark, tmp_path):
     assert report["stages"][0]["n_dropped"] == 0
     text = spark.read.parquet(report["corpus"]).collect()[0]["text"]
     assert "bob@example.com" not in text and "10.0.0.1" not in text
+
+
+def test_pipeline_nll_band(spark, corpus_path, tmp_path):
+    from osmgraphing_spark.operators import termstats
+
+    docs = spark.read.parquet(corpus_path)
+    scored = {r["id"]: r["avg_nll"]
+              for r in termstats.unigram_logprob(docs).collect()}
+    vals = sorted(scored.values())
+    lo, hi = vals[1], vals[-2]  # cut one doc from each tail
+    cfg = {
+        "documents": corpus_path,
+        "output": str(tmp_path / "out6"),
+        "stages": [{"op": "nll_band", "lo": lo, "hi": hi}],
+    }
+    report = datapipe.run_pipeline(spark, cfg)
+    got = {r["doc_id"]
+           for r in spark.read.parquet(report["corpus"]).collect()}
+    want = {d for d, v in scored.items() if lo <= v <= hi}
+    assert got == want
+    assert report["stages"][0]["lo"] == lo
+
+    # quantile form: middle 60% band keeps a strict subset
+    cfg2 = {
+        "documents": corpus_path,
+        "output": str(tmp_path / "out7"),
+        "stages": [{"op": "nll_band", "lo_q": 0.2, "hi_q": 0.8}],
+    }
+    r2 = datapipe.run_pipeline(spark, cfg2)
+    assert 0 < r2["n_output"] < r2["n_input"]
