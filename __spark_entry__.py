@@ -1330,6 +1330,19 @@ def q_doc_weighted_sample(spark, sf_dir):
     return sampling.weighted_sample(docs, 25, "n_chars", key_cols=["doc_id"])
 
 
+def q_doc_nb_lang(spark, sf_dir):
+    """In-engine Naive Bayes (operators/nbayes): train a multinomial NB
+    on the corpus's own lang labels, classify every document — the
+    pipeline-labeling primitive (source/domain tagging). Pure counting +
+    broadcast model table; training AND scoring replayed value-for-value
+    by the oracle."""
+    from osmgraphing_spark.operators import nbayes
+
+    docs = _t(spark, sf_dir, "documents")
+    priors, lik = nbayes.train_nb(docs, "lang")
+    return nbayes.classify_nb(docs, priors, lik)
+
+
 BM25_QUERIES = [(0, "sort merge join"), (1, "window agg scan"), (2, "customer data")]
 BM25_TOPK = 10
 
@@ -2241,6 +2254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_prefix_jaccard": q_doc_prefix_jaccard,
         "doc_dsir_sample": q_doc_dsir_sample,
         "doc_bm25_topk": q_doc_bm25_topk,
+        "doc_nb_lang": q_doc_nb_lang,
         "doc_chunks": q_doc_chunks,
         "doc_scrub_spans": q_doc_scrub_spans,
         "doc_minhash": q_doc_minhash,
@@ -4755,6 +4769,55 @@ def oracle_sql() -> dict[str, str]:
                             k * {CHUNK_STRIDE} + {CHUNK_WINDOW}], ' ')
                        AS chunk_text
             FROM spans
+        """,
+        "doc_nb_lang": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                           AS tok
+                FROM documents
+            ),
+            nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+            pri AS (
+                SELECT lang AS label, ln(COUNT(*) / (SELECT n FROM nd))
+                           AS log_prior
+                FROM documents GROUP BY lang
+            ),
+            cnts AS (
+                SELECT d.lang AS label, t.tok, COUNT(*) AS cnt
+                FROM tok t JOIN documents d USING (doc_id)
+                GROUP BY d.lang, t.tok
+            ),
+            tot AS (SELECT label, CAST(SUM(cnt) AS DOUBLE) AS tot
+                    FROM cnts GROUP BY label),
+            voc AS (SELECT DISTINCT tok FROM cnts),
+            vn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM voc),
+            dense AS MATERIALIZED (
+                SELECT tot.label, voc.tok,
+                       ln((COALESCE(c.cnt, 0) + 1.0)
+                          / (tot.tot + 1.0 * (SELECT v FROM vn))) AS log_lik
+                FROM voc CROSS JOIN tot
+                LEFT JOIN cnts c ON c.label = tot.label AND c.tok = voc.tok
+            ),
+            tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+                   FROM tok GROUP BY doc_id, tok),
+            contrib AS (
+                SELECT tf.doc_id, d.label, SUM(tf.tf * d.log_lik) AS ll
+                FROM tf JOIN dense d USING (tok)
+                GROUP BY tf.doc_id, d.label
+            ),
+            scored AS (
+                SELECT doc.doc_id, pri.label,
+                       ROUND(pri.log_prior + COALESCE(c.ll, 0.0), 6) AS score
+                FROM documents doc CROSS JOIN pri
+                LEFT JOIN contrib c
+                  ON c.doc_id = doc.doc_id AND c.label = pri.label
+            )
+            SELECT doc_id, label, score FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, label ASC
+                ) AS rk FROM scored
+            ) WHERE rk = 1
         """,
         "doc_bm25_topk": f"""
             WITH tok AS (

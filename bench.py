@@ -166,6 +166,7 @@ OPERATOR_QUERIES = [
     "link_densest",
     "triangles_doulion",
     "link_snapshot_diff",
+    "doc_nb_lang",
 ]
 
 
