@@ -1359,6 +1359,38 @@ def q_doc_bm25_topk(spark, sf_dir):
     return retrieval.bm25_topk(docs, qdf, k=BM25_TOPK)
 
 
+HYBRID_N_QUERIES = 3
+HYBRID_TOPK = 10
+HYBRID_RRF_K = 60
+
+
+def q_doc_hybrid_topk(spark, sf_dir):
+    """Hybrid related-document retrieval (operators/retrieval.rrf_fuse):
+    reciprocal-rank fusion of (a) BM25 with each query document's own
+    text as the query and (b) exact embedding-cosine neighbors of the
+    same document (vec_id aligned to doc_id) — the modern lexical ⊕
+    semantic combiner, rank-based so the two score scales never need
+    calibration. Both rankings and the fused top-10 value-checked."""
+    from osmgraphing_spark.operators import retrieval
+
+    docs = _t(spark, sf_dir, "documents")
+    qdocs = docs.where(F.col("doc_id") < HYBRID_N_QUERIES)
+    lex = retrieval.bm25_topk(
+        docs, qdocs.select(F.col("doc_id").alias("query_id"), "text"),
+        k=HYBRID_TOPK,
+    )
+    emb = _t(spark, sf_dir, "embeddings").join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    sem = sim.brute_force_topk(
+        emb, emb.where(F.col("vec_id") < HYBRID_N_QUERIES), k=HYBRID_TOPK
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rk")
+    return retrieval.rrf_fuse(
+        lex.select("query_id", "doc_id", "rk"), sem,
+        k=HYBRID_RRF_K, topn=HYBRID_TOPK,
+    )
+
+
 DSIR_N = 25
 DSIR_K = 0.5
 
@@ -2255,6 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_sample": q_doc_dsir_sample,
         "doc_bm25_topk": q_doc_bm25_topk,
         "doc_nb_lang": q_doc_nb_lang,
+        "doc_hybrid_topk": q_doc_hybrid_topk,
         "doc_chunks": q_doc_chunks,
         "doc_scrub_spans": q_doc_scrub_spans,
         "doc_minhash": q_doc_minhash,
@@ -4769,6 +4802,81 @@ def oracle_sql() -> dict[str, str]:
                             k * {CHUNK_STRIDE} + {CHUNK_WINDOW}], ' ')
                        AS chunk_text
             FROM spans
+        """,
+        "doc_hybrid_topk": f"""
+            WITH tok AS (
+                SELECT doc_id AS id,
+                       unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                           AS tok
+                FROM documents
+            ),
+            postings AS (SELECT id, tok, COUNT(*) AS tf FROM tok GROUP BY id, tok),
+            dl AS (SELECT id, SUM(tf) AS dl FROM postings GROUP BY id),
+            dfq AS (SELECT tok, COUNT(*) AS df FROM postings GROUP BY tok),
+            nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+            ad AS (SELECT AVG(dl) AS avgdl FROM dl),
+            qterms AS (
+                SELECT id AS qid, tok, tf AS qtf FROM postings
+                WHERE id < {HYBRID_N_QUERIES}
+            ),
+            lex_scored AS (
+                SELECT qt.qid, p.id,
+                       SUM(qt.qtf
+                           * ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                           * (p.tf * (1.2 + 1.0))
+                           / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / ad.avgdl))
+                       ) AS s
+                FROM postings p
+                JOIN qterms qt USING (tok)
+                JOIN dfq USING (tok)
+                JOIN dl ON dl.id = p.id, nd, ad
+                GROUP BY qt.qid, p.id
+            ),
+            lex AS (
+                SELECT qid, id, rk FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY qid ORDER BY ROUND(s, 6) DESC, id ASC
+                    ) AS rk FROM lex_scored
+                ) WHERE rk <= {HYBRID_TOPK}
+            ),
+            v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+                FROM embeddings
+                WHERE vec_id IN (SELECT doc_id FROM documents)
+            ),
+            sem_scored AS (
+                SELECT q.vec_id AS qid, c.vec_id AS id,
+                       ROUND(
+                           list_dot_product(q.vec, c.vec)
+                           / (sqrt(list_dot_product(q.vec, q.vec))
+                              * sqrt(list_dot_product(c.vec, c.vec))), 6)
+                           AS s
+                FROM v q JOIN v c ON c.vec_id <> q.vec_id
+                WHERE q.vec_id < {HYBRID_N_QUERIES}
+            ),
+            sem AS (
+                SELECT qid, id, rk FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY qid ORDER BY s DESC, id ASC
+                    ) AS rk FROM sem_scored
+                ) WHERE rk <= {HYBRID_TOPK}
+            ),
+            fused AS (
+                SELECT COALESCE(lex.qid, sem.qid) AS q,
+                       COALESCE(lex.id, sem.id) AS d,
+                       ROUND(
+                           COALESCE(1.0 / ({HYBRID_RRF_K} + lex.rk), 0)
+                           + COALESCE(1.0 / ({HYBRID_RRF_K} + sem.rk), 0), 6)
+                           AS rrf
+                FROM lex FULL OUTER JOIN sem
+                  ON lex.qid = sem.qid AND lex.id = sem.id
+            )
+            SELECT q AS query_id, d AS doc_id, rrf, CAST(rk AS INT) AS rk
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY q ORDER BY rrf DESC, d ASC
+                ) AS rk FROM fused
+            ) WHERE rk <= {HYBRID_TOPK}
         """,
         "doc_nb_lang": """
             WITH tok AS (

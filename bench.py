@@ -167,6 +167,7 @@ OPERATOR_QUERIES = [
     "triangles_doulion",
     "link_snapshot_diff",
     "doc_nb_lang",
+    "doc_hybrid_topk",
 ]
 
 

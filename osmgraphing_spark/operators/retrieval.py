@@ -90,6 +90,57 @@ def bm25_scores(
     )
 
 
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 60,
+    topn: int = 10,
+    qid_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    of two per-query rankings → (query_id, doc_id, rrf, rk):
+
+        rrf(d) = Σ_lists 1 / (k + rank_list(d))
+
+    — the standard hybrid-retrieval combiner (lexical BM25 ⊕ embedding
+    cosine): rank-based, so the two lists' incomparable score scales
+    never need calibration. A document in only one list contributes only
+    that term. Ties → lowest doc id.
+
+    Scale contract: inputs are already top-k-per-query tables (tiny);
+    fusion is one full-outer join on (query, doc), a row-local sum, and
+    a |Q|-partition window. Zero corpus work."""
+    a = ranked_a.select(
+        F.col(qid_col).alias("q"), F.col(id_col).alias("d"),
+        (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col))).alias("ra"),
+    )
+    b = ranked_b.select(
+        F.col(qid_col).alias("q"), F.col(id_col).alias("d"),
+        (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col))).alias("rb"),
+    )
+    fused = (
+        a.join(b, ["q", "d"], "full_outer")
+        .select(
+            "q", "d",
+            F.round(
+                F.coalesce(F.col("ra"), F.lit(0.0))
+                + F.coalesce(F.col("rb"), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    w = Window.partitionBy("q").orderBy(F.col("rrf").desc(), F.col("d").asc())
+    return (
+        fused.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= topn)
+        .select(
+            F.col("q").alias(qid_col), F.col("d").alias(id_col), "rrf", "rk"
+        )
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,

@@ -111,3 +111,39 @@ def test_bm25_prefers_rare_term_doc(spark):
     qdf = spark.createDataFrame([(0, "rareterm")], "query_id long, text string")
     rows = retrieval.bm25_topk(ddf, qdf, k=3).collect()
     assert len(rows) == 1 and rows[0]["doc_id"] == 2
+
+
+def test_rrf_fuse_matches_mirror(spark):
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3), (1, 20, 1)],
+        "query_id long, doc_id long, rk int",
+    )
+    b = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2), (1, 20, 1), (1, 21, 2)],
+        "query_id long, doc_id long, rk int",
+    )
+    got = [
+        (r["query_id"], r["doc_id"], r["rrf"], r["rk"])
+        for r in retrieval.rrf_fuse(a, b, k=60, topn=3)
+        .orderBy("query_id", "rk")
+        .collect()
+    ]
+
+    def rrf(*ranks):
+        return round(sum(1.0 / (60 + r) for r in ranks), 6)
+
+    # q0: 11 in both (ranks 2,1) beats 10 (rank 1 once)
+    assert got[0] == (0, 11, rrf(2, 1), 1)
+    assert got[1] == (0, 10, rrf(1), 2)
+    # 12 (rank 3) vs 13 (rank 2): 13 wins
+    assert got[2] == (0, 13, rrf(2), 3)
+    # q1: 20 in both
+    assert [g for g in got if g[0] == 1][0] == (1, 20, rrf(1, 1), 1)
+
+
+def test_rrf_tie_breaks_to_lowest_doc(spark):
+    a = spark.createDataFrame([(0, 5, 1), (0, 3, 1)],
+                              "query_id long, doc_id long, rk int")
+    b = spark.createDataFrame([], "query_id long, doc_id long, rk int")
+    rows = retrieval.rrf_fuse(a, b, topn=2).collect()
+    assert [r["doc_id"] for r in sorted(rows, key=lambda r: r["rk"])] == [3, 5]
