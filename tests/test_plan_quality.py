@@ -460,3 +460,37 @@ def test_prefix_jaccard_docs_frame_materialized_once(spark):
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     plan = _plan(dd.prefix_jaccard_pairs(docs, threshold=0.5, n=3))
     assert "documents.parquet" not in plan
+
+
+def test_nb_classify_broadcasts_model(spark):
+    """Naive Bayes' contract: the vocabulary×classes likelihood table
+    reaches the corpus token stream via a broadcast hash join keyed on
+    tok (never a corpus-wide sort-merge on tok). The one allowed
+    sort-merge join is (id, label) — two corpus-sized score tables,
+    which is a keyed O(N·C) join by design."""
+    from osmgraphing_spark.operators import nbayes
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    priors, lik = nbayes.train_nb(docs, "lang")
+    plan = _plan(nbayes.classify_nb(docs, priors, lik))
+    assert "BroadcastHashJoin [tok" in plan
+    # no sort-merge keyed on tok ALONE (that would be the corpus tf
+    # stream shuffling against the model); the training-side smj on
+    # (_y, tok) is model-sized and fine
+    for line in plan.splitlines():
+        if "SortMergeJoin [tok" in line:
+            raise AssertionError(f"corpus-side smj on tok: {line.strip()}")
+
+
+def test_dsir_broadcasts_lm_tables(spark):
+    """DSIR's contract: both LM frequency tables and the three scalar
+    aggregates broadcast onto the exploded corpus (no corpus-sized
+    sort-merge join)."""
+    from osmgraphing_spark.operators import dsir
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    target = docs.where(F.col("lang") == "en")
+    plan = _plan(dsir.dsir_log_weights(docs, target))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("BroadcastNestedLoopJoin") >= 3  # v, t_total, r_total
+    assert "SortMergeJoin" not in plan
