@@ -1412,6 +1412,23 @@ def q_doc_dsir_sample(spark, sf_dir):
     )
 
 
+WINNOW_W = 4
+
+
+def q_doc_winnow(spark, sf_dir):
+    """Winnowing fingerprint selection (operators/spans
+    .winnowed_fingerprints, the MOSS algorithm): per-doc window-min over
+    the k-gram hash stream — expected density 2/(w+1) with the
+    shared-substring guarantee intact. The selected set is
+    value-checked fingerprint-for-fingerprint."""
+    from osmgraphing_spark.operators.spans import winnowed_fingerprints
+
+    return winnowed_fingerprints(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        k=SPAN_K, w=WINNOW_W,
+    )
+
+
 def q_doc_scrub_spans(spark, sf_dir):
     """Span scrubbing (operators/spans.scrub_duplicated_spans): cut every
     cross-document duplicated k-token span out of the text — the
@@ -2290,6 +2307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hybrid_topk": q_doc_hybrid_topk,
         "doc_chunks": q_doc_chunks,
         "doc_scrub_spans": q_doc_scrub_spans,
+        "doc_winnow": q_doc_winnow,
         "doc_minhash": q_doc_minhash,
         "doc_lsh_candidates": q_doc_lsh_candidates,
         "doc_incremental_dups": q_doc_incremental_dups,
@@ -4378,6 +4396,27 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_windows,
                    MAX(n_docs) AS max_docs
             FROM r GROUP BY doc_id, run
+        """,
+        "doc_winnow": f"""
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents
+            ),
+            wins AS (
+                SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                       md5(array_to_string(t[i:i+{SPAN_K - 1}], ' ')) AS fp
+                FROM toks, unnest(generate_series(1, len(t) - {SPAN_K} + 1)) AS u(i)
+                WHERE len(t) >= {SPAN_K}
+            ),
+            sel AS (
+                SELECT doc_id,
+                       MIN(struct_pack(fp := fp, np := -pos)) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING
+                       ) AS m
+                FROM wins
+            )
+            SELECT DISTINCT doc_id, -(m.np) AS pos, m.fp AS fp FROM sel
         """,
         "doc_scrub_spans": f"""
             WITH toks AS (

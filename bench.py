@@ -168,6 +168,7 @@ OPERATOR_QUERIES = [
     "link_snapshot_diff",
     "doc_nb_lang",
     "doc_hybrid_topk",
+    "doc_winnow",
 ]
 
 

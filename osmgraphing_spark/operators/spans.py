@@ -183,3 +183,49 @@ def scrub_duplicated_spans(
             F.array_join(kept, " ").alias(text_col),
         )
     )
+
+
+def winnowed_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): from each window of ``w``
+    consecutive k-gram hashes keep the MINIMUM (ties → rightmost, the
+    paper's robust variant), dedup per document → (doc_id, pos, fp).
+
+    Guarantee: any shared substring of ≥ k + w − 1 tokens yields at
+    least one shared selected fingerprint, while expected density drops
+    to 2/(w+1) of the raw k-gram stream — the principled way to shrink
+    the span-dedup index ~w/2× without losing long matches (plain
+    sampling has no such guarantee).
+
+    Scale contract (100 TB): the raw hash stream never leaves the row —
+    selection is a per-doc WINDOW MIN over a w-row frame (partitions
+    bounded by doc length), then a row-local distinct. Index volume into
+    the downstream groupBy/join drops by the density factor; everything
+    else in `duplicated_spans` composes unchanged on the winnowed
+    table. Hash order is md5-lexicographic — identical in any engine,
+    so the selected set is value-checkable."""
+    if w < 1:
+        raise ValueError(f"winnow window w must be >= 1, got {w}")
+    raw = window_fingerprints(docs, k=k, id_col=id_col, text_col=text_col)
+    frame = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, w - 1)
+    )
+    # rightmost minimum of the window: max pos among rows achieving the
+    # min fp — encode as min(struct(fp, -pos)) then flip
+    sel = raw.withColumn(
+        "_m",
+        F.min(F.struct(F.col("fp"), (-F.col("pos")).alias("np"))).over(frame),
+    ).select(
+        "doc_id",
+        (-F.col("_m.np")).alias("pos"),
+        F.col("_m.fp").alias("fp"),
+    )
+    return sel.distinct()

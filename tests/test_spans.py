@@ -139,3 +139,67 @@ def test_scrub_counts_match_span_table(spark):
     for did, (s, e) in spans.items():
         before, after = out[did]
         assert before - after == e - s + 1
+
+
+def _winnow_py(text, k, w):
+    import hashlib
+
+    toks = text.strip().split()
+    if len(toks) < k:
+        return set()
+    fps = [
+        (i + 1, hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest())
+        for i in range(len(toks) - k + 1)
+    ]
+    sel = set()
+    for i in range(len(fps)):
+        win = fps[i : i + w]
+        mfp = min(fp for _, fp in win)
+        pos = max(p for p, fp in win if fp == mfp)  # rightmost min
+        sel.add((pos, mfp))
+    return sel
+
+
+def test_winnowing_matches_mirror_and_density(spark):
+    import random
+
+    from osmgraphing_spark.operators.spans import (
+        window_fingerprints,
+        winnowed_fingerprints,
+    )
+
+    rng = random.Random(79)
+    rows = [
+        (i, " ".join(f"t{rng.randrange(40)}" for _ in range(rng.randrange(10, 60))))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k, w = 5, 4
+    got = {
+        (r["doc_id"], r["pos"], r["fp"])
+        for r in winnowed_fingerprints(df, k=k, w=w).collect()
+    }
+    want = {
+        (d, p, fp) for d, t in rows for p, fp in _winnow_py(t, k, w)
+    }
+    assert got == want
+    raw = window_fingerprints(df, k=k).count()
+    assert len(got) < raw  # density actually drops
+
+
+def test_winnowing_guarantee_shared_substring(spark):
+    from osmgraphing_spark.operators.spans import winnowed_fingerprints
+
+    k, w = 5, 4
+    shared = " ".join(f"s{i}" for i in range(k + w - 1))  # exactly k+w-1
+    df = spark.createDataFrame(
+        [
+            (0, "aa bb cc " + shared + " dd ee"),
+            (1, "xx " + shared + " yy zz qq rr"),
+        ],
+        "doc_id long, text string",
+    )
+    sel = winnowed_fingerprints(df, k=k, w=w)
+    a = {r["fp"] for r in sel.where("doc_id = 0").collect()}
+    b = {r["fp"] for r in sel.where("doc_id = 1").collect()}
+    assert a & b  # at least one shared fingerprint survives winnowing
