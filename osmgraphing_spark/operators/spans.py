@@ -74,16 +74,34 @@ def duplicated_spans(
     max_df: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    winnow_w: int | None = None,
 ) -> DataFrame:
     """Maximal duplicated spans → (doc_id, start_tok, end_tok, n_windows,
     max_docs): token range [start_tok, end_tok] (1-based, inclusive) is
     covered by k-token windows each shared with >= min_docs distinct docs;
     n_windows = windows merged into the span, max_docs = the widest
     sharing count among them. Windows whose token coverage overlaps or
-    touches (start gap <= k) merge into one maximal span. ``max_df``
-    (document-frequency cap) drops ubiquitous-boilerplate fingerprints
-    before the hit join."""
-    wf = window_fingerprints(docs, k=k, id_col=id_col, text_col=text_col)
+    touches (start gap <= merge gap) merge into one maximal span.
+    ``max_df`` (document-frequency cap) drops ubiquitous-boilerplate
+    fingerprints before the hit join.
+
+    ``winnow_w``: the SCALE path — build the index from
+    `winnowed_fingerprints` instead of every k-gram, shrinking the
+    fingerprint groupBy/join volume to ~2/(w+1) of the raw stream. The
+    detection guarantee weakens from ≥ k tokens to ≥ k + w − 1 tokens
+    (winnowing's bound), the run-merge gap widens to k + w − 1
+    (selected positions may sit up to w−1 apart inside one duplicated
+    region), and span boundaries are the SELECTED windows' coverage (a
+    shared region's first/last few tokens may fall outside); n_windows
+    counts selected fingerprints only."""
+    if winnow_w is not None:
+        wf = winnowed_fingerprints(
+            docs, k=k, w=winnow_w, id_col=id_col, text_col=text_col
+        )
+        gap = k + winnow_w - 1
+    else:
+        wf = window_fingerprints(docs, k=k, id_col=id_col, text_col=text_col)
+        gap = k
     dup = (
         wf.groupBy("fp")
         .agg(F.count_distinct("doc_id").alias("n_docs"))
@@ -96,7 +114,7 @@ def duplicated_spans(
     w = Window.partitionBy("doc_id").orderBy("pos")
     runs = hits.withColumn(
         "brk",
-        F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(F.lit(1)),
+        F.when(F.col("pos") - F.lag("pos").over(w) <= gap, F.lit(0)).otherwise(F.lit(1)),
     ).withColumn(
         "run",
         F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),

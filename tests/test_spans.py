@@ -203,3 +203,32 @@ def test_winnowing_guarantee_shared_substring(spark):
     a = {r["fp"] for r in sel.where("doc_id = 0").collect()}
     b = {r["fp"] for r in sel.where("doc_id = 1").collect()}
     assert a & b  # at least one shared fingerprint survives winnowing
+
+
+def test_winnowed_span_dedup_finds_long_passage(spark):
+    from osmgraphing_spark.operators.spans import duplicated_spans
+
+    k, w = 8, 4
+    n_shared = 20  # >= k + w - 1 = 11: the winnowing guarantee applies
+    shared = " ".join(f"p{i}" for i in range(n_shared))
+    pre0, pre1 = "a0 a1 a2", "b0 b1 b2 b3 b4"
+    df = spark.createDataFrame(
+        [
+            (0, f"{pre0} {shared} c0 c1"),
+            (1, f"{pre1} {shared} d0 d1 d2"),
+            (2, "nothing in common with the others at all here ok"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        r["doc_id"]: (r["start_tok"], r["end_tok"])
+        for r in duplicated_spans(df, k=k, min_docs=2, winnow_w=w).collect()
+    }
+    assert set(spans) == {0, 1}
+    # doc 0: passage occupies tokens [4, 23]; selected windows must sit
+    # inside it (start >= 4, end <= 23)
+    s0, e0 = spans[0]
+    assert 4 <= s0 <= 4 + (w - 1)          # first selected window near start
+    assert 23 - (w - 1) <= e0 <= 23        # last coverage near the end
+    s1, e1 = spans[1]
+    assert 6 <= s1 <= 6 + (w - 1) and 25 - (w - 1) <= e1 <= 25
