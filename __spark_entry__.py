@@ -299,6 +299,29 @@ def q_link_snapshot_diff(spark, sf_dir):
     return snapshot.edge_diff(old, new)
 
 
+def q_link_host_graph(spark, sf_dir):
+    """Graph contraction (operators/contract): roll the page-level
+    customer→supplier link graph up to the nation level — the page→host
+    contraction every web link pipeline runs before host-rank, here the
+    nation trade supergraph. mapping = vertex → nationkey (customers and
+    suppliers via their nation FK); weight = Σ edge weights, n_edges =
+    contracted multiplicity; intra-nation self-loops kept (domestic
+    trade). One algebraic groupBy after two mapping joins."""
+    from osmgraphing_spark.operators import contract as contract_op
+
+    e = q_link_edges(spark, sf_dir).withColumn("w", F.lit(1.0))
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("vid"),
+        F.col("c_nationkey").cast("long").alias("group"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey").cast("long") + F.lit(SUPP_OFFSET)).alias("vid"),
+        F.col("s_nationkey").cast("long").alias("group"),
+    )
+    res = contract_op.contract(e, cust.unionByName(supp), weight_col="w")
+    return res.select("src", "dst", "n_edges", "weight")
+
+
 DOULION_P = 0.6
 
 
@@ -2242,6 +2265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_densest": q_link_densest,
         "triangles_doulion": q_triangles_doulion,
         "link_snapshot_diff": q_link_snapshot_diff,
+        "link_host_graph": q_link_host_graph,
         "link_predictors": q_link_predictors,
         "link_butterflies": q_link_butterflies,
         "link_copurchase": q_link_copurchase,
@@ -3953,6 +3977,17 @@ def oracle_sql() -> dict[str, str]:
         "link_featprop": _featprop_sql(),
         "link_wl_roles": _wl_sql(),
         "link_densest": _densest_sql(),
+        "link_host_graph": f"""
+            WITH e AS ({SQL_BIPARTITE_EDGES})
+            SELECT c.c_nationkey::BIGINT AS src,
+                   s.s_nationkey::BIGINT AS dst,
+                   COUNT(*) AS n_edges,
+                   ROUND(SUM(1.0), 6) AS weight
+            FROM e
+            JOIN customer c ON c.c_custkey = e.src
+            JOIN supplier s ON s.s_suppkey + {SUPP_OFFSET} = e.dst
+            GROUP BY 1, 2
+        """,
         "link_snapshot_diff": f"""
             WITH old AS (SELECT DISTINCT src, dst FROM ({SQL_BIPARTITE_EDGES}) t),
             nw AS (

@@ -166,6 +166,7 @@ OPERATOR_QUERIES = [
     "link_densest",
     "triangles_doulion",
     "link_snapshot_diff",
+    "link_host_graph",
     "doc_nb_lang",
     "doc_hybrid_topk",
     "doc_winnow",
