@@ -1328,6 +1328,23 @@ def q_doc_cms_sketch(spark, sf_dir):
     ).select(F.col("r").cast("int").alias("r"), F.col("c").alias("c"), "cnt")
 
 
+def q_doc_distinct_tokens(spark, sf_dir):
+    """Approximate distinct-token count per source (operators/cardinality):
+    mergeable HyperLogLog, 2^8 registers per source — the COUNT(DISTINCT)
+    replacement that survives 100 TB (fixed sketch state, one algebraic
+    groupBy, registers merge by max across shards/days). Portable md5
+    registers + an integer-exact register sum make both the sketch AND the
+    in-plan estimate value-checkable against the SQL oracle."""
+    from osmgraphing_spark.operators import cardinality as card
+    from osmgraphing_spark.operators.heavyhitters import terms_of
+
+    toks = terms_of(
+        _t(spark, sf_dir, "documents"), n=1, id_col="source"
+    )
+    est = card.approx_distinct(toks, "term", log2m=8, by=["id"])
+    return est.select(F.col("id").alias("source"), "nnz", "approx_distinct")
+
+
 def q_doc_stratified_sample(spark, sf_dir):
     """Deterministic per-language quota sample (operators/sampling
     .stratified_sample): exactly min(20, |stratum|) docs per lang, the k
@@ -2362,6 +2379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_heavy_bigrams": q_doc_heavy_bigrams,
         "doc_cms_sketch": q_doc_cms_sketch,
         "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_distinct_tokens": q_doc_distinct_tokens,
         "doc_weighted_sample": q_doc_weighted_sample,
         "doc_epoch_shuffle": q_doc_epoch_shuffle,
         "doc_pack_sequences": q_doc_pack_sequences,
@@ -5163,6 +5181,48 @@ def oracle_sql() -> dict[str, str]:
             FROM bg JOIN freq USING (term)
                  JOIN ctx ON split_part(bg.term, ' ', 1) = ctx.w1, voc
             GROUP BY bg.doc_id
+        """,
+        "doc_distinct_tokens": """
+            WITH tok AS (
+                SELECT source,
+                       unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                           AS term
+                FROM documents
+            ),
+            hashed AS (
+                SELECT source,
+                       CAST(concat('0x', substr(md5(concat('hll:', term)), 1, 3))
+                            AS BIGINT) % 256 AS bucket,
+                       CAST(concat('0x', substr(md5(concat('hll:', term)), 4, 15))
+                            AS BIGINT) AS w
+                FROM tok
+            ),
+            regs AS (
+                SELECT source, bucket,
+                       MAX(CASE WHEN w > 0 THEN 61 - length(bin(w))
+                                ELSE 61 END) AS reg
+                FROM hashed GROUP BY source, bucket
+            ),
+            agg AS (
+                SELECT source, COUNT(*) AS nnz,
+                       SUM(CAST((CAST(1 AS BIGINT) << (61 - reg)) AS HUGEINT))
+                           AS s_num
+                FROM regs GROUP BY source
+            ),
+            est AS (
+                SELECT source, nnz,
+                       CAST(256 - nnz AS DOUBLE) AS zeros,
+                       47072.71267120224 /
+                           (CAST(256 - nnz AS DOUBLE)
+                            + CAST(s_num AS DOUBLE) / 2305843009213693952.0)
+                           AS raw
+                FROM agg
+            )
+            SELECT source, CAST(nnz AS BIGINT) AS nnz,
+                   ROUND(CASE WHEN raw <= 640.0 AND zeros > 0
+                              THEN 256.0 * ln(256.0 / zeros)
+                              ELSE raw END, 6) AS approx_distinct
+            FROM est
         """,
         "doc_top_terms": """
             WITH tok AS (

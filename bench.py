@@ -131,6 +131,7 @@ OPERATOR_QUERIES = [
     "doc_unigram_nll",
     "doc_tfidf_terms",
     "doc_stratified_sample",
+    "doc_distinct_tokens",
     "harmonic_nations",
     "closeness_nations",
     "betweenness_nations",
