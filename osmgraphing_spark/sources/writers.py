@@ -67,6 +67,33 @@ def write_external_values(values: DataFrame, path: str) -> None:
     values.write.mode("overwrite").option("header", "true").csv(path)
 
 
+def write_bucketed_edges(
+    edges: DataFrame,
+    table: str,
+    buckets: int = 32,
+    key: str = "src",
+) -> None:
+    """Bucketed + sorted managed-table edge sink: `CLUSTERED BY (key)
+    SORTED BY (key, dst) INTO n BUCKETS` — the persisted form of the
+    in-memory resting hash(src) layout. Every downstream join or
+    aggregation on `key` consumes the bucketing instead of shuffling: two
+    identically-bucketed tables sort-merge-join with ZERO Exchange on
+    either side, and groupBy(key) aggregates scan-local. This is how the
+    graph should rest between jobs on a real cluster — the 100 TB edge
+    table is shuffled once at build time and never again
+    (tests/test_plan_quality.py pins the exchange-free plans).
+
+    The table name may be database-qualified (`db.edges`); create the
+    database with an explicit LOCATION to control where files land."""
+    (
+        edges.write.mode("overwrite")
+        .bucketBy(buckets, key)
+        .sortBy(key, "dst")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 # SMARTS route-file defaults (the reference's defaults::smarts::route_file_format,
 # /root/reference/src/defaults.rs:63-74; format from the SMARTS simulator docs)
 SMARTS_VERSION = "1.0"

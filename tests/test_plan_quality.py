@@ -494,3 +494,48 @@ def test_dsir_broadcasts_lm_tables(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert plan.count("BroadcastNestedLoopJoin") >= 3  # v, t_total, r_total
     assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_table_joins_without_exchange(spark, tmp_path):
+    """write_bucketed_edges' contract: a table bucketed+sorted on src (a)
+    self-joins on src with ZERO Exchange on either side, and (b) aggregates
+    on src scan-locally — while the same data as plain parquet pays the
+    shuffle. The persisted analogue of the resting hash(src) layout."""
+    from osmgraphing_spark.sources import writers
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bkt_test LOCATION '{tmp_path}/wh'"
+    )
+    edges = spark.range(2000).select(
+        (F.col("id") % 97).alias("src"),
+        (F.col("id") % 53).alias("dst"),
+        F.rand(7).alias("weight"),
+    )
+    writers.write_bucketed_edges(edges, "bkt_test.edges", buckets=4)
+    plain_path = f"{tmp_path}/plain"
+    edges.write.mode("overwrite").parquet(plain_path)
+    bk = spark.table("bkt_test.edges")
+    plain = spark.read.parquet(plain_path)
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # (a) co-located self-join: bucketing serves BOTH sides
+        j = bk.alias("a").join(bk.alias("b"), "src").groupBy("src").count()
+        plan = _plan(j)
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        # (b) aggregation on the bucket key: no shuffle
+        agg_plan = _plan(bk.groupBy("src").agg(F.sum("weight")))
+        assert "Exchange" not in agg_plan, agg_plan
+        # control: the identical plain-parquet join DOES shuffle
+        pj = plain.alias("a").join(plain.alias("b"), "src").groupBy("src").count()
+        assert "Exchange" in _plan(pj)
+        # results identical either way
+        got = {(r["src"], r["count"]) for r in j.collect()}
+        want = {(r["src"], r["count"]) for r in pj.collect()}
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_test.edges")
+        spark.sql("DROP DATABASE IF EXISTS bkt_test")
