@@ -1110,6 +1110,35 @@ def q_doc_dup_spans(spark, sf_dir):
 BENCH_MOD = 50  # doc_id % 50 == 0 → the deterministic "benchmark" split
 
 
+BLOOM_M, BLOOM_K = 39989, 7  # ≈9.6 bits/key at the sf0.01 benchmark size
+
+
+def q_doc_bloom_decon(spark, sf_dir):
+    """Bloom-gated decontamination (operators/bloom): the benchmark
+    split's shingles compressed to a 39,989-bit filter (fixed state — the
+    prefilter that still works when the exact shingle set outgrows a
+    broadcast), corpus shingles probed map-side; per-doc counts of
+    possibly-contaminated shingles. No false negatives, so
+    n_bloom_hits = 0 proves a doc clean without the exact join; every
+    filter word and probe is md5-derived and value-checked."""
+    from osmgraphing_spark.operators import bloom
+    from osmgraphing_spark.operators.dedup import shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    bench_sh = (
+        shingles(docs.where(F.col("doc_id") % BENCH_MOD == 0), n=3)
+        .select("shingle")
+        .distinct()
+    )
+    corpus_sh = shingles(docs.where(F.col("doc_id") % BENCH_MOD != 0), n=3)
+    flt = bloom.bloom_build(bench_sh, "shingle", BLOOM_M, BLOOM_K)
+    hits = bloom.bloom_hits(corpus_sh, "shingle", flt, BLOOM_M, BLOOM_K)
+    return hits.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count("*").alias("sz"),
+        F.sum(F.col("might_contain").cast("long")).alias("n_bloom_hits"),
+    )
+
+
 def q_doc_decontaminate(spark, sf_dir):
     """Benchmark decontamination (operators/decontaminate): docs sharing
     ≥1 word-3-gram with the benchmark split (doc_id % 50 == 0), with hit
@@ -2370,6 +2399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_metrics": q_normalize_metrics,
         "harmonic_nations": q_harmonic_nations,
         "doc_decontaminate": q_doc_decontaminate,
+        "doc_bloom_decon": q_doc_bloom_decon,
         "doc_unigram_nll": q_doc_unigram_nll,
         "doc_tfidf_terms": q_doc_tfidf_terms,
         "doc_bigram_nll": q_doc_bigram_nll,
@@ -4857,6 +4887,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(vid AS INTEGER) AS n_nationkey,
                    ROUND(SUM(1.0 / dist), 6) AS harmonic
             FROM d WHERE source <> vid GROUP BY vid
+        """,
+        "doc_bloom_decon": f"""
+            WITH {_SHINGLES_CTE},
+            bench AS (
+                SELECT DISTINCT shingle FROM sh WHERE id % {BENCH_MOD} = 0
+            ),
+            bprobe AS (
+                SELECT ((CAST(concat('0x', substr(md5(concat('bloom:', shingle)), 1, 15))
+                              AS BIGINT) % {BLOOM_M}
+                         + i.i * (CAST(concat('0x', substr(md5(concat('bloom:', shingle)), 16, 15))
+                                       AS BIGINT) % {BLOOM_M})) % {BLOOM_M}) AS pos
+                FROM bench CROSS JOIN (SELECT unnest(range({BLOOM_K})) AS i) i
+            ),
+            words AS (
+                SELECT pos // 63 AS word,
+                       BIT_OR(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bits
+                FROM bprobe GROUP BY 1
+            ),
+            cprobe AS (
+                SELECT id, shingle,
+                       ((CAST(concat('0x', substr(md5(concat('bloom:', shingle)), 1, 15))
+                              AS BIGINT) % {BLOOM_M}
+                         + i.i * (CAST(concat('0x', substr(md5(concat('bloom:', shingle)), 16, 15))
+                                       AS BIGINT) % {BLOOM_M})) % {BLOOM_M}) AS pos
+                FROM sh CROSS JOIN (SELECT unnest(range({BLOOM_K})) AS i) i
+                WHERE id % {BENCH_MOD} <> 0
+            ),
+            probed AS (
+                SELECT id, shingle,
+                       MIN(CASE WHEN w.bits IS NOT NULL
+                                 AND (w.bits & (CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)))
+                                     = (CAST(1 AS BIGINT) << CAST(pos % 63 AS INT))
+                                THEN 1 ELSE 0 END) AS hit
+                FROM cprobe c LEFT JOIN words w ON w.word = c.pos // 63
+                GROUP BY id, shingle
+            )
+            SELECT id AS doc_id, COUNT(*) AS sz, SUM(hit) AS n_bloom_hits
+            FROM probed GROUP BY id
         """,
         "doc_decontaminate": f"""
             WITH {_SHINGLES_CTE},

@@ -127,6 +127,7 @@ OPERATOR_QUERIES = [
     "media_image_stats",
     "scc_nations",
     "doc_decontaminate",
+    "doc_bloom_decon",
     "doc_dup_spans",
     "doc_unigram_nll",
     "doc_tfidf_terms",
