@@ -234,3 +234,25 @@ def dedup_stream(
     return docs.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["digest"]
     )
+
+
+def hll_sketch_stream(
+    docs: DataFrame,
+    col: str,
+    log2m: int = 9,
+    by: list[str] | None = None,
+    salt: str = "hll:",
+) -> DataFrame:
+    """Streaming HyperLogLog: running approx-distinct over an unbounded
+    stream with FIXED state — the aggregation state is the register table
+    itself (≤ m rows per group; register merge = max is algebraic), so
+    like ``cms_sketch_stream`` there is nothing to expire and
+    ``outputMode("complete")`` emits the ≤ m-row sketch. Delegates to the
+    batch ``operators.cardinality.hll_sketch`` — the same code runs in
+    both modes and the stream's final registers equal the batch sketch
+    over the same rows exactly (pinned by test). Estimate on the sink
+    with ``cardinality.hll_estimate`` (or persist the registers and merge
+    across days — the union property holds across any shard axis)."""
+    from ..operators.cardinality import hll_sketch
+
+    return hll_sketch(docs, col, log2m, by, salt)

@@ -406,3 +406,40 @@ def test_dedup_gate_incremental_admission(spark, tmp_path):
         ).select("doc_id").collect()
     }
     assert again == ids
+
+
+def test_hll_sketch_stream_equals_batch(spark, tmp_path):
+    """The streaming HLL registers (complete mode, two micro-batches) must
+    equal the batch sketch cell-for-cell — max-merge is algebraic, so the
+    incremental state IS the sketch."""
+    from osmgraphing_spark.operators.cardinality import hll_sketch
+    from osmgraphing_spark.streaming.windows import hll_sketch_stream
+
+    in_dir = str(tmp_path / "hin")
+    rows = [(i, f"user{i % 41}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, uid string")
+    df.where("doc_id < 100").coalesce(1).write.mode("overwrite").parquet(in_dir)
+    df.where("doc_id >= 100").coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = spark.readStream.schema("doc_id long, uid string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir)
+    q = (
+        hll_sketch_stream(stream, "uid", log2m=6)
+        .writeStream.format("memory")
+        .queryName("hll_stream_tbl")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["bucket"], r["reg"])
+        for r in spark.sql("SELECT * FROM hll_stream_tbl").collect()
+    }
+    exp = {
+        (r["bucket"], r["reg"])
+        for r in hll_sketch(spark.read.parquet(in_dir), "uid", log2m=6).collect()
+    }
+    assert got == exp and len(got) > 0
