@@ -127,6 +127,48 @@ def components_of_pairs(
     return labels.unionAll(roots)
 
 
+def components_incremental(
+    pairs: DataFrame,
+    prior_labels: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Warm-started CC (the counterpart of PageRank's ``init_ranks`` warm
+    start, fed by the same ``snapshot.edge_diff`` audit): → (id, component)
+    over today's ``pairs`` given yesterday's ``prior_labels`` (id,
+    component).
+
+    SOUNDNESS PRECONDITION — the edge set only GREW: each prior label is
+    injected as a (id → component) seed edge, which pre-merges yesterday's
+    components in round zero, so the star-contraction rounds track the
+    DELTA's structure instead of re-deriving every old component from its
+    raw edges. Merging is monotone (labels = min vid), so added edges are
+    exact; a REMOVED edge can split a component, which a seed edge would
+    silently bridge — when ``snapshot.edge_diff`` reports any `removed`
+    rows, recompute from scratch with :func:`components_of_pairs` instead
+    (the same recompute-on-shrink contract as the reference's full
+    re-parse on graph change).
+
+    Labels stay canonical: a prior component id IS the min vid of its old
+    member set, so min-vid over (new edges ∪ seed edges) equals min-vid
+    over the grown graph exactly — incremental output is bit-identical to
+    the full recompute, only cheaper."""
+    seeds = (
+        prior_labels.select(
+            F.col(prior_labels.columns[0]).alias(src_col),
+            F.col(prior_labels.columns[1]).alias(dst_col),
+        )
+        .where(F.col(src_col) != F.col(dst_col))
+    )
+    new_pairs = pairs.select(
+        F.col(src_col).alias(src_col), F.col(dst_col).alias(dst_col)
+    )
+    return components_of_pairs(
+        new_pairs.unionByName(seeds), src_col, dst_col, max_iter
+    )
+
+
 def _run_loop(graph, max_iter, checkpoint, resume):
     # symmetrized_edges() is already self-loop-free and distinct — one scan
     edges = graph.symmetrized_edges()

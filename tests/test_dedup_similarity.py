@@ -549,3 +549,30 @@ def test_contrastive_triplets_drop_when_no_negative(spark):
     )
     rows = sim.contrastive_triplets(df, df, neg_max=0.5).collect()
     assert rows == []
+
+
+def test_components_incremental_equals_full_recompute(spark):
+    """Warm-started CC on a grown edge set must be bit-identical to the
+    full recompute — including when new edges MERGE two old components and
+    when a brand-new component appears."""
+    import random
+
+    from osmgraphing_spark.operators import cc
+
+    rng = random.Random(17)
+    old = sorted({(rng.randrange(40), rng.randrange(40)) for _ in range(45)})
+    added = [(1, 38), (50, 51), (51, 52)]  # bridge + fresh component
+    new = sorted(set(old) | set(added))
+    odf = spark.createDataFrame(old, "src long, dst long")
+    ndf = spark.createDataFrame(new, "src long, dst long")
+
+    prior = cc.components_of_pairs(odf)
+    got = {
+        (r["id"], r["component"])
+        for r in cc.components_incremental(ndf, prior).collect()
+    }
+    want = {
+        (r["id"], r["component"])
+        for r in cc.components_of_pairs(ndf).collect()
+    }
+    assert got == want and len(got) > 0
