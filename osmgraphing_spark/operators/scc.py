@@ -135,6 +135,12 @@ def toposort_layers(
     trunc_front = EphemeralTruncator(spark, "topo-frontier")
     scope = BlockScope(spark)
 
+    # batched convergence probes on tiny DAGs (same rationale as _scc:
+    # per-ACTION fixed cost dominates): an empty frontier stays empty,
+    # so probing only at stride boundaries is exact
+    n_v = verts.limit(250_000).count()
+    probe_every = max(truncate_every, 1) if n_v < 250_000 else 1
+
     with iterative_conf(spark):
         state = verts.select("id", F.lit(0).cast("long").alias("layer"))
         frontier = state
@@ -165,15 +171,18 @@ def toposort_layers(
             else:
                 new_frontier = new_frontier.localCheckpoint(eager=False)
                 merged = merged.localCheckpoint(eager=False)
-            trunc_front.reap()
-            trunc_state.reap()
-            n_front = new_frontier.limit(1).count()
-            if boundary:
-                scope.release_new()
-            state, frontier = merged, new_frontier
-            if n_front == 0:
-                converged = True
-                break
+            if (it + 1) % probe_every == 0:
+                trunc_front.reap()
+                trunc_state.reap()
+                n_front = new_frontier.limit(1).count()
+                if boundary:
+                    scope.release_new()
+                state, frontier = merged, new_frontier
+                if n_front == 0:
+                    converged = True
+                    break
+            else:
+                state, frontier = merged, new_frontier
         if not converged:
             raise RuntimeError(
                 f"toposort_layers: still relaxing after {max_iter} rounds — "
@@ -212,16 +221,34 @@ def _scc(
     conf_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     n_v = vertices.limit(50_000_000).count()
     p_state = max(1, min(conf_p, (n_v + 249_999) // 250_000))
+    # Probe batching: on a TINY active graph (one state partition) the
+    # wall clock is per-ACTION fixed cost (~0.3 s/job on this box), so
+    # mid-stride convergence probes are skipped and the rounds fuse into
+    # the stride boundary's job. Min/mark propagation converges exactly
+    # when ONE round changes nothing, so a boundary-only probe is still
+    # an exact fixpoint test; the ≤ stride−1 post-fixpoint rounds it
+    # wastes are no-ops on rows that fit one partition. The stride itself
+    # stays tight: WIDENING it was measured 2× slower (the un-materialized
+    # lazy-checkpoint chain makes every boundary job re-analyze/replay the
+    # whole window). On big graphs a wasted round is a real |V|-row
+    # shuffle, so keep the per-round probe there.
+    tiny = p_state == 1
+    stride = _STRIDE
+    probe_every = stride if tiny else 1
     spark.conf.set("spark.sql.shuffle.partitions", str(p_state))
     try:
         return _scc_loop(
-            edges, vertices, spark, max_outer, max_inner, scope, p_state
+            edges, vertices, spark, max_outer, max_inner, scope, p_state,
+            probe_every, stride,
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", str(conf_p))
 
 
-def _scc_loop(edges, vertices, spark, max_outer, max_inner, scope, p_state):
+def _scc_loop(
+    edges, vertices, spark, max_outer, max_inner, scope, p_state,
+    probe_every=1, stride=_STRIDE,
+):
     def slim(df):
         return df.coalesce(p_state)
 
@@ -253,29 +280,36 @@ def _scc_loop(edges, vertices, spark, max_outer, max_inner, scope, p_state):
         for _t in range(max_inner):
             outd = active_e.groupBy("src").agg(F.count("*").alias("od"))
             ind = active_e.groupBy("dst").agg(F.count("*").alias("idg"))
-            # one lazy cut on `both`: the stats aggregate below materializes
-            # it, and the three derived frames (done/active_v/active_e) then
-            # read the cached blocks instead of re-running the degree joins
-            # up to four times per layer
+            # one lazy cut on `both`: the first action over it (the stats
+            # probe, or the boundary truncation when probes are batched)
+            # materializes it, and the derived frames (done/active_v/
+            # active_e) then read the cached blocks instead of re-running
+            # the degree joins up to four times per layer
             both = active_v.join(
                 outd.withColumnRenamed("src", "vid"), "vid", "left"
             ).join(ind.withColumnRenamed("dst", "vid"), "vid", "left").localCheckpoint(
                 eager=False
             )
             is_trim = F.col("od").isNull() | F.col("idg").isNull()
-            stats = both.agg(
-                F.count("*").alias("n"),
-                F.sum(is_trim.cast("long")).alias("nt"),
-            ).collect()[0]
-            n, nt = int(stats["n"]), int(stats["nt"] or 0)
-            if nt == 0:
-                break
+            # a layer that trims nothing IS the fixpoint, so a batched
+            # probe (every `probe_every` layers) is still exact — the
+            # skipped layers fuse into the probe's one job
+            if (_t + 1) % probe_every == 0:
+                stats = both.agg(
+                    F.count("*").alias("n"),
+                    F.sum(is_trim.cast("long")).alias("nt"),
+                ).collect()[0]
+                n, nt = int(stats["n"]), int(stats["nt"] or 0)
+                if nt == 0:
+                    break
+            else:
+                n, nt = -1, -1  # no probe this layer: peel blind
             done = done.unionByName(
                 both.where(is_trim).select("vid", F.col("vid").alias("scc"))
             )
             active_v = both.where(~is_trim).select("vid")
             active_e = _edges_between(active_e, active_v)
-            if (_t + 1) % _STRIDE == 0:
+            if (_t + 1) % stride == 0:
                 done = t_d.truncate(slim(done))
                 active_v = t_v.truncate(slim(active_v))
                 active_e = t_e.truncate(slim(active_e))
@@ -285,7 +319,7 @@ def _scc_loop(edges, vertices, spark, max_outer, max_inner, scope, p_state):
                 active_v = active_v.localCheckpoint(eager=False)
                 active_e = active_e.localCheckpoint(eager=False)
                 dirty = True
-            if n - nt == 0:
+            if n > 0 and n - nt == 0:
                 done = t_d.truncate(slim(done))
                 scope.release_new()
                 return done
@@ -318,21 +352,27 @@ def _scc_loop(edges, vertices, spark, max_outer, max_inner, scope, p_state):
             new_colors = (
                 colors.unionByName(msgs).groupBy("vid").agg(F.min("color").alias("color"))
             )
-            boundary = (_i + 1) % _STRIDE == 0
+            boundary = (_i + 1) % stride == 0
             if boundary:
                 new_colors = t_c.truncate(slim(new_colors), reap=False)
             else:
                 new_colors = new_colors.localCheckpoint(eager=False)
-            changed = (
-                new_colors.join(colors.withColumnRenamed("color", "old"), "vid")
-                .where(F.col("color") < F.col("old"))
-                .limit(1)
-                .count()
-            )
-            t_c.reap()
-            colors = new_colors
-            if changed == 0:
-                break
+            # min-propagation is at fixpoint iff the LAST round changed
+            # nothing, so a batched probe (tiny graphs) stays exact; the
+            # skipped rounds fuse into the probe's single job
+            if (_i + 1) % probe_every == 0:
+                changed = (
+                    new_colors.join(colors.withColumnRenamed("color", "old"), "vid")
+                    .where(F.col("color") < F.col("old"))
+                    .limit(1)
+                    .count()
+                )
+                t_c.reap()
+                colors = new_colors
+                if changed == 0:
+                    break
+            else:
+                colors = new_colors
         else:
             raise RuntimeError(f"SCC coloring did not converge in {max_inner} rounds")
         if not boundary:
@@ -364,7 +404,7 @@ def _scc_loop(edges, vertices, spark, max_outer, max_inner, scope, p_state):
                 .distinct()
             )
             new_frontier = preds.join(marked.select("vid"), "vid", "left_anti")
-            boundary = (_i + 1) % _STRIDE == 0
+            boundary = (_i + 1) % stride == 0
             # cut the frontier FIRST, then build new_marked on top of the
             # cut frame — otherwise the boundary's t_m write re-runs the
             # whole join/distinct/anti-join frontier expansion a second time
@@ -377,12 +417,17 @@ def _scc_loop(edges, vertices, spark, max_outer, max_inner, scope, p_state):
                 new_marked = t_m.truncate(slim(new_marked), reap=False)
             else:
                 new_marked = new_marked.localCheckpoint(eager=False)
-            empty = new_frontier.limit(1).count() == 0
-            t_f.reap()
-            t_m.reap()
-            frontier, marked = new_frontier, new_marked
-            if empty:
-                break
+            # preds of an empty frontier stay empty, so a batched probe
+            # still detects the fixpoint exactly
+            if (_i + 1) % probe_every == 0:
+                empty = new_frontier.limit(1).count() == 0
+                t_f.reap()
+                t_m.reap()
+                frontier, marked = new_frontier, new_marked
+                if empty:
+                    break
+            else:
+                frontier, marked = new_frontier, new_marked
         else:
             raise RuntimeError(f"SCC marking did not converge in {max_inner} rounds")
         if not boundary:

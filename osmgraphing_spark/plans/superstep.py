@@ -35,6 +35,12 @@ BROADCAST_VERTEX_LIMIT = 0
 _ITER_CONF = {
     "spark.sql.adaptive.enabled": "false",
     "spark.sql.autoBroadcastJoinThreshold": "-1",
+    # constraint propagation re-derives filter constraints across every
+    # join in the loop plan on every action — the optimizer cost Spark's
+    # own docs call out for iterative workloads (its pruning never fires
+    # on these loops' equi-joins; measured neutral on the tiny driver
+    # fixtures, protective on deep plans)
+    "spark.sql.constraintPropagation.enabled": "false",
 }
 
 
