@@ -1776,6 +1776,71 @@ def q_sssp_nations(spark, sf_dir):
     )
 
 
+LANDMARKS = (0, 4, 9, 14, 21)
+
+
+def q_link_landmark_est(spark, sf_dir):
+    """Landmark distance oracle (operators/sssp.landmark_estimates): a
+    k-landmark sketch (2 BSP runs, O(k·|V|) rows) answers every ordered
+    (src, dst) query as min_l d(src→l) + d(l→dst) — the upper-bound
+    distance sketch web-scale graphs use instead of per-query traversals.
+    Directed-correct: d(src→l) comes from the REVERSED-view run."""
+    g = build_graph(_nation_weighted_raw_edges(spark, sf_dir), num_blocks=4)
+    keys = [f"n{s:03d}" for s in LANDMARKS]
+    vids = {
+        r["key"]: r["vid"]
+        for r in g.vertices.where(F.col("key").isin(keys)).collect()
+    }
+    lms = [vids[k] for k in keys if k in vids]
+    va = g.vertices.select(F.col("vid").alias("src"))
+    vb = g.vertices.select(F.col("vid").alias("dst"))
+    pairs = va.crossJoin(vb).where(F.col("src") != F.col("dst"))
+    res = sssp_op.landmark_estimates(g, lms, pairs, weighted=True)
+    out = _vid_to_nationkey(g, res, ["src", "dst"])
+    return out.select(
+        F.col("src").cast("int").alias("src"),
+        F.col("dst").cast("int").alias("dst"),
+        "est_dist",
+    )
+
+
+def q_link_partition_stats(spark, sf_dir):
+    """Capacity-planning diagnostics (operators/graphstats.partition_stats)
+    for an 8-partition hash(src) layout of the customer→supplier link
+    graph: per-partition edge/vertex balance, largest unsplittable
+    single-source block, and the dst-side cut volume a gather superstep
+    would shuffle. Portable md5 bucket, so the whole report is
+    value-checked."""
+    from osmgraphing_spark.operators import graphstats
+
+    e = _bipartite_raw_edges(spark, sf_dir).select(
+        _key_to_node_id(F.col("src_key")).alias("src"),
+        _key_to_node_id(F.col("dst_key")).alias("dst"),
+    )
+    return graphstats.partition_stats(e, num_partitions=8)
+
+
+def q_doc_train_split(spark, sf_dir):
+    """Leakage-safe train/val/test split (operators/sampling.
+    leakage_safe_split): near-dup clusters (same pipeline as
+    doc_dup_clusters) are the split groups, so a document and its
+    near-duplicates can never straddle train and eval; singletons group as
+    themselves. Deterministic md5 bucketing keeps a group's split stable
+    as the corpus grows."""
+    from osmgraphing_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dd.dup_clusters(docs, threshold=0.5, num_hashes=4, bands=2, n=3)
+    grouped = (
+        docs.select("doc_id")
+        .join(clusters.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster", "doc_id").alias("grp"))
+    )
+    return sampling.leakage_safe_split(
+        grouped, {"train": 0.9, "val": 0.05, "test": 0.05}, "grp"
+    )
+
+
 def q_harmonic_nations(spark, sf_dir):
     """Inbound harmonic centrality (operators/sssp.harmonic_centrality):
     Σ 1/d(s,v) over weighted shortest paths on the nation digraph, every
@@ -2395,6 +2460,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_pq_topk": q_embed_pq_topk,
         "embed_near_dups": q_embed_near_dups,
         "sssp_nations": q_sssp_nations,
+        "link_landmark_est": q_link_landmark_est,
+        "link_partition_stats": q_link_partition_stats,
+        "doc_train_split": q_doc_train_split,
         "multi_metric_edges": q_multi_metric_edges,
         "normalize_metrics": q_normalize_metrics,
         "harmonic_nations": q_harmonic_nations,
@@ -4747,6 +4815,74 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a AS id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a
         """,
+        "doc_train_split": f"""
+            WITH RECURSIVE {_SHINGLES_CTE},
+            sig AS (
+                SELECT id,
+                       MIN({_PORTABLE_HASH.format(seed=0)}) AS mh_0,
+                       MIN({_PORTABLE_HASH.format(seed=1)}) AS mh_1,
+                       MIN({_PORTABLE_HASH.format(seed=2)}) AS mh_2,
+                       MIN({_PORTABLE_HASH.format(seed=3)}) AS mh_3
+                FROM sh GROUP BY id
+            ),
+            buckets AS (
+                SELECT id, 0 AS band,
+                       md5(concat(CAST(mh_0 AS VARCHAR), '|', CAST(mh_1 AS VARCHAR))) AS bucket
+                FROM sig
+                UNION ALL
+                SELECT id, 1 AS band,
+                       md5(concat(CAST(mh_2 AS VARCHAR), '|', CAST(mh_3 AS VARCHAR))) AS bucket
+                FROM sig
+            ),
+            cand AS (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                FROM buckets a
+                JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+            ),
+            sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+            common AS (
+                SELECT cd.id_a, cd.id_b, COUNT(*) AS c
+                FROM cand cd
+                JOIN sh sa ON sa.id = cd.id_a
+                JOIN sh sb ON sb.id = cd.id_b AND sb.shingle = sa.shingle
+                GROUP BY cd.id_a, cd.id_b
+            ),
+            verified AS (
+                SELECT common.id_a, common.id_b
+                FROM common
+                JOIN sizes za ON common.id_a = za.id
+                JOIN sizes zb ON common.id_b = zb.id
+                WHERE CAST(c AS DOUBLE) / (za.sz + zb.sz - c) >= 0.5
+            ),
+            sym AS (
+                SELECT id_a AS a, id_b AS b FROM verified
+                UNION
+                SELECT id_b AS a, id_a AS b FROM verified
+            ),
+            reach AS (
+                SELECT a, b FROM sym
+                UNION
+                SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+            ),
+            clus AS (
+                SELECT a AS id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a
+            ),
+            g AS (
+                SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS grp
+                FROM documents d LEFT JOIN clus c ON c.id = d.doc_id
+            ),
+            u AS (
+                SELECT doc_id, grp,
+                       CAST(concat('0x', substr(md5(CAST(grp AS VARCHAR)), 1, 14)) AS BIGINT)
+                           % 1000000 AS b
+                FROM g
+            )
+            SELECT doc_id, grp,
+                   CASE WHEN b < 900000 THEN 'train'
+                        WHEN b < 950000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM u
+        """,
         "doc_simhash_pairs": _simhash_pairs_sql(),
         "embed_ann": _embed_ann_sql(),
         "embed_ivf": _embed_ivf_sql(),
@@ -4811,6 +4947,69 @@ def oracle_sql() -> dict[str, str]:
                    CAST(vid AS INTEGER) AS n_nationkey,
                    ROUND(MIN(dist), 6) AS dist
             FROM walk GROUP BY source, vid
+        """,
+        "link_landmark_est": f"""
+            WITH RECURSIVE e AS (
+                SELECT a.n_nationkey AS src, b.n_nationkey AS dst,
+                       1.0 + ((a.n_nationkey * 7 + b.n_nationkey) % 5) AS w
+                FROM nation a JOIN nation b
+                  ON a.n_regionkey = b.n_regionkey
+                 AND a.n_nationkey <> b.n_nationkey
+            ),
+            fwd(lm, vid, dist, hops) AS (
+                SELECT s.v, s.v, CAST(0 AS DOUBLE), 0
+                FROM (VALUES {", ".join(f"({s})" for s in LANDMARKS)}) s(v)
+                WHERE s.v IN (SELECT n_nationkey FROM nation)
+                UNION ALL
+                SELECT p.lm, e.dst, p.dist + e.w, p.hops + 1
+                FROM fwd p JOIN e ON e.src = p.vid
+                WHERE p.hops < 6
+            ),
+            bwd(lm, vid, dist, hops) AS (
+                SELECT s.v, s.v, CAST(0 AS DOUBLE), 0
+                FROM (VALUES {", ".join(f"({s})" for s in LANDMARKS)}) s(v)
+                WHERE s.v IN (SELECT n_nationkey FROM nation)
+                UNION ALL
+                SELECT p.lm, e.src, p.dist + e.w, p.hops + 1
+                FROM bwd p JOIN e ON e.dst = p.vid
+                WHERE p.hops < 6
+            ),
+            dfwd AS (SELECT lm, vid, MIN(dist) AS d FROM fwd GROUP BY lm, vid),
+            dbwd AS (SELECT lm, vid, MIN(dist) AS d FROM bwd GROUP BY lm, vid)
+            SELECT CAST(b.vid AS INTEGER) AS src, CAST(f.vid AS INTEGER) AS dst,
+                   ROUND(MIN(b.d + f.d), 6) AS est_dist
+            FROM dbwd b JOIN dfwd f ON f.lm = b.lm
+            WHERE b.vid <> f.vid
+            GROUP BY b.vid, f.vid
+        """,
+        "link_partition_stats": f"""
+            WITH e AS ({SQL_BIPARTITE_EDGES}),
+            b AS (
+                SELECT
+                    CAST(concat('0x', substr(md5(CAST(src AS VARCHAR)), 1, 14)) AS BIGINT) % 8 AS p_src,
+                    CAST(concat('0x', substr(md5(CAST(dst AS VARCHAR)), 1, 14)) AS BIGINT) % 8 AS p_dst,
+                    src
+                FROM e
+            ),
+            s AS (
+                SELECT p_src, src, COUNT(*) AS deg,
+                       SUM(CASE WHEN p_dst <> p_src THEN 1 ELSE 0 END) AS cut
+                FROM b GROUP BY p_src, src
+            ),
+            p AS (
+                SELECT p_src,
+                       CAST(SUM(deg) AS BIGINT) AS n_edges,
+                       COUNT(*) AS n_src,
+                       CAST(MAX(deg) AS BIGINT) AS max_src_deg,
+                       CAST(SUM(cut) AS BIGINT) AS cut_edges
+                FROM s GROUP BY p_src
+            ),
+            t AS (SELECT CAST(SUM(n_edges) AS DOUBLE) AS tot FROM p)
+            SELECT CAST(p_src AS INTEGER) AS "partition",
+                   n_edges, n_src, max_src_deg, cut_edges,
+                   ROUND(CAST(cut_edges AS DOUBLE) / n_edges, 6) AS cut_frac,
+                   ROUND(CAST(n_edges AS DOUBLE) / (tot / 8.0), 6) AS skew
+            FROM p, t
         """,
         "multi_metric_edges": f"""
             WITH m AS (

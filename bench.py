@@ -172,6 +172,9 @@ OPERATOR_QUERIES = [
     "doc_nb_lang",
     "doc_hybrid_topk",
     "doc_winnow",
+    "link_landmark_est",
+    "link_partition_stats",
+    "doc_train_split",
 ]
 
 

@@ -27,7 +27,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -262,4 +262,63 @@ def powerlaw_fit(edges: DataFrame, d_min: int = 2) -> DataFrame:
             / F.sqrt(F.count("*")),
             6,
         ).alias("sigma"),
+    )
+
+
+def _portable_bucket(col, num_partitions: int):
+    """Deterministic partition bucket from a PORTABLE hash (56-bit md5
+    slice), not Spark's internal Murmur3: the number a capacity plan is
+    made from must be reproducible by any engine reading the same table
+    (the DuckDB oracle recomputes it bit-identically), and must not change
+    under Spark version upgrades."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 14), 16, 10).cast("long")
+    return F.pmod(h, F.lit(num_partitions))
+
+
+def partition_stats(edges: DataFrame, num_partitions: int = 32) -> DataFrame:
+    """Hash-partition layout diagnostics for a planned edge layout of P
+    partitions by hash(src) — the capacity-planning numbers you read
+    BEFORE committing a 1000-executor run:
+
+    → one row per partition:
+       (partition, n_edges, n_src, max_src_deg, cut_edges, cut_frac, skew)
+
+    - n_edges / skew (= n_edges / mean): partition balance. skew ≫ 1 on
+      some partition means a hub vertex owns it → salt that key.
+    - max_src_deg: the largest single-vertex edge block inside the
+      partition — the thing that can't be split by adding partitions
+      (hash keeps a key together); the salting threshold comes from here.
+    - cut_edges / cut_frac: edges whose dst hashes to a DIFFERENT
+      partition = the per-superstep shuffle volume of any gather step
+      keyed by dst. 1 − 1/P is the random-layout expectation; materially
+      below it means locality (e.g. a bucketed/contracted layout) is
+      already paying off.
+
+    One scan, two algebraic aggregates, no driver collect."""
+    b = edges.select(
+        _portable_bucket(F.col("src"), num_partitions).alias("p_src"),
+        _portable_bucket(F.col("dst"), num_partitions).alias("p_dst"),
+        "src",
+    )
+    per_src = b.groupBy("p_src", "src").agg(
+        F.count("*").alias("deg"),
+        F.sum(F.when(F.col("p_dst") != F.col("p_src"), 1).otherwise(0)).alias("cut"),
+    )
+    per_part = per_src.groupBy("p_src").agg(
+        F.sum("deg").alias("n_edges"),
+        F.count("*").alias("n_src"),
+        F.max("deg").alias("max_src_deg"),
+        F.sum("cut").alias("cut_edges"),
+    )
+    mean_edges = F.sum("n_edges").over(Window.partitionBy()) / F.lit(num_partitions)
+    return (
+        per_part.select(
+            F.col("p_src").cast("int").alias("partition"),
+            "n_edges",
+            "n_src",
+            "max_src_deg",
+            "cut_edges",
+            F.round(F.col("cut_edges") / F.col("n_edges"), 6).alias("cut_frac"),
+            F.round(F.col("n_edges") / mean_edges, 6).alias("skew"),
+        )
     )

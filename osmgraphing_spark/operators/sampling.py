@@ -196,3 +196,42 @@ def stratified_sample(
         .where(F.col("_rn") <= k)
         .drop("_bucket", "_rn")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    group_col: str,
+) -> DataFrame:
+    """Train/val/test split with a LEAKAGE GUARD: every row of a group lands
+    in the SAME split. The group is the near-dup cluster id (from
+    `dedup.dup_clusters`, coalesced to the doc's own id for singletons), so
+    a document and its near-duplicates can never straddle train and eval —
+    the contamination mode a row-wise random split is blind to, and the
+    reason eval numbers inflate on deduplicated-but-naively-split corpora.
+
+    `fractions`: ordered {split_name: fraction}, summing to ~1; the split
+    is chosen by where the group's deterministic bucket (md5 of the GROUP
+    key, same portable hash as `sample_rows`) falls in the cumulative
+    ranges, so it is reproducible across runs, retries, partitionings and
+    engines, and STABLE UNDER CORPUS GROWTH: a group's split never changes
+    when other documents appear (the property epoch-resampling pipelines
+    need so eval sets stay fixed while train grows).
+
+    Scale: map-only given the group column (the expensive part — cluster
+    discovery — is the dedup pass you already ran); no shuffle, no state.
+    → df + (split string).
+    """
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    b = _bucket([F.col(group_col)])
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = b < round(acc * RESOLUTION)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", expr)

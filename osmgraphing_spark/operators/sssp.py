@@ -317,3 +317,79 @@ def route_costs(graph: Graph, pairs: DataFrame, weighted: bool = True) -> DataFr
             "inner",
         )
     )
+
+
+def reversed_view(graph: Graph) -> Graph:
+    """Graph with every edge's direction flipped, re-rested on hash(new src)
+    so the relax loop's state⨝edges join stays exchange-free on the edge
+    side. out_deg/out_wsum are recomputed for the flipped orientation (the
+    reference stores the backward graph as an explicit permutation,
+    building.rs:813-884; Spark re-materializes the layout instead)."""
+    from dataclasses import replace
+
+    rev = graph.edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+    )
+    deg = rev.groupBy("src").agg(
+        F.count("*").alias("out_deg"), F.sum("weight").alias("out_wsum")
+    )
+    edges = (
+        rev.join(deg, "src")
+        .repartition(graph.num_blocks, "src")
+        .sortWithinPartitions("src", "dst")
+    )
+    return replace(graph, edges=edges, metric_names=None)
+
+
+def landmark_distances(
+    graph: Graph, landmarks: list[int], weighted: bool = True, max_iter: int = 100
+) -> tuple[DataFrame, DataFrame]:
+    """The k-landmark distance sketch: (d_from, d_to) where
+    d_from = (lm, vid, dist) with dist = d(lm → vid)  (forward BSP run) and
+    d_to   = (lm, vid, dist) with dist = d(vid → lm)  (the same run on the
+    reversed view — correct on digraphs, where d(u→l) ≠ d(l→u)).
+
+    This is the sketch a 2-hop / landmark distance oracle stores: O(k·|V|)
+    rows instead of O(|V|²) pairwise distances; both runs are ONE
+    multi-source BSP each, so sketch construction costs 2 relax loops
+    regardless of k."""
+    fwd = run(graph, landmarks, weighted=weighted, max_iter=max_iter).select(
+        F.col("source").alias("lm"), "vid", "dist"
+    )
+    bwd = run(reversed_view(graph), landmarks, weighted=weighted, max_iter=max_iter
+              ).select(F.col("source").alias("lm"), "vid", "dist")
+    return fwd, bwd
+
+
+def landmark_estimates(
+    graph: Graph,
+    landmarks: list[int],
+    pairs: DataFrame,
+    weighted: bool = True,
+    max_iter: int = 100,
+) -> DataFrame:
+    """Landmark distance-oracle estimate for (src, dst) query pairs:
+
+        est(u, v) = min over landmarks l of  d(u → l) + d(l → v)
+
+    an UPPER bound on the true distance (triangle inequality), exact
+    whenever some shortest u→v path passes a landmark — with
+    landmarks = all vertices it degenerates to the exact distance
+    (pinned in tests/test_sssp.py). Pairs where no landmark is both
+    reachable from u and reaches v are absent (no finite estimate).
+
+    Scale design: answering Q pairs costs a k-way join against the
+    O(k·|V|) sketch — no BSP run at query time. That is the trade
+    landmark oracles make on web-scale graphs (one preprocessing pass,
+    then millisecond-class queries); est quality grows with k and with
+    hub-centrality of the chosen landmarks, so pick landmarks by top
+    PageRank/degree, not uniformly."""
+    fwd, bwd = landmark_distances(graph, landmarks, weighted, max_iter)
+    to_lm = bwd.select("lm", F.col("vid").alias("src"), F.col("dist").alias("d_src_lm"))
+    from_lm = fwd.select("lm", F.col("vid").alias("dst"), F.col("dist").alias("d_lm_dst"))
+    return (
+        pairs.join(to_lm, "src")
+        .join(from_lm, ["lm", "dst"])
+        .groupBy("src", "dst")
+        .agg(F.round(F.min(F.col("d_src_lm") + F.col("d_lm_dst")), 6).alias("est_dist"))
+    )

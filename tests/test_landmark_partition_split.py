@@ -1,0 +1,155 @@
+"""Landmark distance oracle, partition-layout diagnostics, and the
+leakage-safe split: python-mirror and invariant tests.
+
+Landmark correctness hinges on two properties of the triangle inequality:
+est(u,v) = min_l d(u→l)+d(l→v) is an UPPER bound always, and EXACT when
+landmarks ⊇ {u} (l = u contributes 0 + d(u→v)) — so landmarks = all
+vertices must reproduce sssp.run bit-for-bit, and any subset must dominate
+it from above on a strictly smaller-or-equal pair set."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmgraphing_spark.operators import graphstats, sssp
+from osmgraphing_spark.operators.build import build_graph
+from osmgraphing_spark.operators.sampling import leakage_safe_split
+
+
+def _wgraph(spark):
+    rows = [
+        ("a", "b", 1.0), ("b", "c", 2.0), ("c", "d", 1.0), ("a", "d", 10.0),
+        ("d", "a", 3.0), ("b", "d", 5.0), ("e", "a", 1.0),
+    ]
+    raw = spark.createDataFrame(
+        rows, "src_key string, dst_key string, weight double"
+    )
+    return build_graph(raw, num_blocks=2, id_partitions=2)
+
+
+def _all_pairs(g):
+    va = g.vertices.select(F.col("vid").alias("src"))
+    vb = g.vertices.select(F.col("vid").alias("dst"))
+    return va.crossJoin(vb).where(F.col("src") != F.col("dst"))
+
+
+def _exact(g):
+    vids = [r["vid"] for r in g.vertices.collect()]
+    d = sssp.run(g, sources=vids, weighted=True)
+    return {
+        (r["source"], r["vid"]): r["dist"]
+        for r in d.collect()
+        if r["source"] != r["vid"]
+    }
+
+
+def test_landmark_all_vertices_is_exact(spark):
+    g = _wgraph(spark)
+    vids = [r["vid"] for r in g.vertices.collect()]
+    est = {
+        (r["src"], r["dst"]): r["est_dist"]
+        for r in sssp.landmark_estimates(g, vids, _all_pairs(g)).collect()
+    }
+    assert est == {k: round(v, 6) for k, v in _exact(g).items()}
+
+
+def test_landmark_subset_upper_bound(spark):
+    g = _wgraph(spark)
+    exact = _exact(g)
+    kv = {r["key"]: r["vid"] for r in g.vertices.collect()}
+    est = {
+        (r["src"], r["dst"]): r["est_dist"]
+        for r in sssp.landmark_estimates(g, [kv["b"]], _all_pairs(g)).collect()
+    }
+    assert est  # b is on many shortest paths in this fixture
+    for (u, v), e in est.items():
+        assert (u, v) in exact  # never invents an unreachable pair
+        assert e >= round(exact[(u, v)], 6) - 1e-9  # upper bound
+    # pairs not routable via b are absent: e has no in-edges, so (u, e) never appears
+    assert all(v != kv["e"] for (_, v) in est)
+
+
+def test_reversed_view_distances(spark):
+    """d(u→l) from the reversed view equals the forward distance computed
+    by running sssp FROM u — on a digraph where d(u→l) ≠ d(l→u)."""
+    g = _wgraph(spark)
+    kv = {r["key"]: r["vid"] for r in g.vertices.collect()}
+    fwd, bwd = sssp.landmark_distances(g, [kv["d"]], weighted=True)
+    to_d = {r["vid"]: r["dist"] for r in bwd.collect()}
+    from_each = {
+        r["source"]: r["dist"]
+        for r in sssp.run(g, sources=list(kv.values()), weighted=True)
+        .where(F.col("vid") == kv["d"]).collect()
+    }
+    assert to_d == from_each
+    # asymmetry really exercised: d(a→d) = 4 (a-b-c-d) but d(d→a) = 3
+    assert to_d[kv["a"]] == 4.0
+    assert {r["vid"]: r["dist"] for r in fwd.collect()}[kv["a"]] == 3.0
+
+
+def _pbucket(x, p):
+    return int(hashlib.md5(str(x).encode()).hexdigest()[:14], 16) % p
+
+
+def test_partition_stats_python_mirror(spark):
+    import random
+
+    random.seed(7)
+    edges = [(random.randrange(50), random.randrange(50)) for _ in range(300)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    P = 8
+    got = {r["partition"]: r.asDict() for r in
+           graphstats.partition_stats(df, P).collect()}
+
+    deg, cut = {}, {}
+    for s, d in edges:
+        deg[s] = deg.get(s, 0) + 1
+        cut[s] = cut.get(s, 0) + (1 if _pbucket(d, P) != _pbucket(s, P) else 0)
+    exp = {}
+    for s in deg:
+        p = _pbucket(s, P)
+        e = exp.setdefault(p, {"n_edges": 0, "n_src": 0, "max": 0, "cut": 0})
+        e["n_edges"] += deg[s]
+        e["n_src"] += 1
+        e["max"] = max(e["max"], deg[s])
+        e["cut"] += cut[s]
+    mean = len(edges) / P
+    assert set(got) == set(exp)
+    for p, e in exp.items():
+        r = got[p]
+        assert r["n_edges"] == e["n_edges"]
+        assert r["n_src"] == e["n_src"]
+        assert r["max_src_deg"] == e["max"]
+        assert r["cut_edges"] == e["cut"]
+        assert r["cut_frac"] == pytest.approx(e["cut"] / e["n_edges"], abs=1e-6)
+        assert r["skew"] == pytest.approx(e["n_edges"] / mean, abs=1e-6)
+    assert sum(r["n_edges"] for r in got.values()) == len(edges)
+
+
+def test_leakage_safe_split_invariants(spark):
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    df = spark.createDataFrame(
+        [(i, i % 7) for i in range(100)], "doc_id long, grp long"
+    )
+    rows = leakage_safe_split(df, fr, "grp").collect()
+    by_grp: dict[int, set] = {}
+    for r in rows:
+        by_grp.setdefault(r["grp"], set()).add(r["split"])
+    # the leakage guard: one split per group, never straddling
+    assert all(len(s) == 1 for s in by_grp.values())
+    # exact bucket semantics (python mirror of the portable md5 bucket)
+    for r in rows:
+        b = _pbucket(r["grp"], 1_000_000)
+        exp = "train" if b < 800000 else ("val" if b < 900000 else "test")
+        assert r["split"] == exp
+    # corpus growth never moves an existing group's split
+    df2 = df.union(spark.createDataFrame([(1000, 999)], "doc_id long, grp long"))
+    after = {r["doc_id"]: r["split"] for r in
+             leakage_safe_split(df2, fr, "grp").collect()}
+    for r in rows:
+        assert after[r["doc_id"]] == r["split"]
+    with pytest.raises(ValueError):
+        leakage_safe_split(df, {"a": 0.5, "b": 0.1}, "grp")
