@@ -1820,6 +1820,47 @@ def q_link_partition_stats(spark, sf_dir):
     return graphstats.partition_stats(e, num_partitions=8)
 
 
+EGO_SEED = 1  # custkey 1 exists at every SF
+EGO_K = 2
+
+
+def q_link_ego_net(spark, sf_dir):
+    """k-hop ego-net extraction (operators/neighborhood.ego_net): the
+    induced subgraph on the 2-hop undirected ball around customer 1 —
+    bounded-cost hub forensics (k BFS rounds with a delta frontier, two
+    ball-keyed joins; the corpus edge table is scanned once)."""
+    from osmgraphing_spark.operators import neighborhood
+
+    e = _bipartite_raw_edges(spark, sf_dir).select(
+        _key_to_node_id(F.col("src_key")).alias("src"),
+        _key_to_node_id(F.col("dst_key")).alias("dst"),
+    )
+    net = neighborhood.ego_net(e, [EGO_SEED], EGO_K, direction="both")
+    return net.select(
+        "src", "dst",
+        F.col("src_hops").cast("int").alias("src_hops"),
+        F.col("dst_hops").cast("int").alias("dst_hops"),
+    )
+
+
+TEMP_BUDGET = 200
+
+
+def q_doc_temp_mixture(spark, sf_dir):
+    """α-temperature mixture rebalancing (operators/sampling.
+    temperature_sample, α = 0.5): sampling mass ∝ √n_lang flattens the
+    English head and upweights tail languages — the multilingual
+    rebalancing rule of large-LM pipelines, computed fully in-plan on an
+    integer weight grid so the keep set is engine-reproducible."""
+    from osmgraphing_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = sampling.temperature_sample(
+        docs, "lang", budget=TEMP_BUDGET, alpha=0.5, key_cols=["doc_id"]
+    )
+    return out.select("doc_id", "lang")
+
+
 def q_doc_train_split(spark, sf_dir):
     """Leakage-safe train/val/test split (operators/sampling.
     leakage_safe_split): near-dup clusters (same pipeline as
@@ -2462,7 +2503,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_nations": q_sssp_nations,
         "link_landmark_est": q_link_landmark_est,
         "link_partition_stats": q_link_partition_stats,
+        "link_ego_net": q_link_ego_net,
         "doc_train_split": q_doc_train_split,
+        "doc_temp_mixture": q_doc_temp_mixture,
         "multi_metric_edges": q_multi_metric_edges,
         "normalize_metrics": q_normalize_metrics,
         "harmonic_nations": q_harmonic_nations,
@@ -4981,6 +5024,54 @@ def oracle_sql() -> dict[str, str]:
             FROM dbwd b JOIN dfwd f ON f.lm = b.lm
             WHERE b.vid <> f.vid
             GROUP BY b.vid, f.vid
+        """,
+        "link_ego_net": f"""
+            WITH RECURSIVE e AS ({SQL_BIPARTITE_EDGES}),
+            sym AS (
+                SELECT src AS a, dst AS b FROM e
+                UNION
+                SELECT dst AS a, src AS b FROM e
+            ),
+            walk(vid, hops) AS (
+                SELECT CAST({EGO_SEED} AS BIGINT), 0
+                UNION ALL
+                SELECT s.b, w.hops + 1
+                FROM walk w JOIN sym s ON s.a = w.vid
+                WHERE w.hops < {EGO_K}
+            ),
+            ball AS (SELECT vid, MIN(hops) AS hops FROM walk GROUP BY vid)
+            SELECT e.src, e.dst,
+                   CAST(bs.hops AS INTEGER) AS src_hops,
+                   CAST(bd.hops AS INTEGER) AS dst_hops
+            FROM e
+            JOIN ball bs ON bs.vid = e.src
+            JOIN ball bd ON bd.vid = e.dst
+        """,
+        "doc_temp_mixture": f"""
+            WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+            w AS (
+                SELECT lang, n,
+                       CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576) AS BIGINT) AS w
+                FROM c
+            ),
+            t AS (SELECT CAST(SUM(w) AS BIGINT) AS wsum FROM w),
+            q AS (
+                SELECT lang,
+                       CAST(floor(
+                           LEAST(1.0, {TEMP_BUDGET}.0 * w
+                                      / (CAST(wsum AS DOUBLE) * CAST(n AS DOUBLE)))
+                           * 1000000) AS BIGINT) AS thresh
+                FROM w, t
+            ),
+            u AS (
+                SELECT doc_id, lang,
+                       CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+                           % 1000000 AS b
+                FROM documents
+            )
+            SELECT u.doc_id, u.lang
+            FROM u JOIN q ON q.lang = u.lang
+            WHERE u.b < q.thresh
         """,
         "link_partition_stats": f"""
             WITH e AS ({SQL_BIPARTITE_EDGES}),

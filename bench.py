@@ -175,6 +175,8 @@ OPERATOR_QUERIES = [
     "link_landmark_est",
     "link_partition_stats",
     "doc_train_split",
+    "link_ego_net",
+    "doc_temp_mixture",
 ]
 
 

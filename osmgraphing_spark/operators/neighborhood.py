@@ -266,3 +266,69 @@ def avg_distance(series: DataFrame) -> float:
         total += t * (n - prev)
         prev = n
     return total / rows[-1][1]
+
+
+def khop_vertices(
+    edges: DataFrame, seeds: list[int], k: int, direction: str = "both"
+) -> DataFrame:
+    """→ (vid, hops): every vertex within k hops of any seed, with its
+    minimum hop count. ``direction``: "out" follows edges forward, "in"
+    backward, "both" treats the graph as undirected (the ego-net ball).
+
+    BSP BFS with a delta frontier: round t's join size is the wavefront,
+    not the ball, and the loop runs exactly k rounds — the bounded-cost
+    contract that makes hub forensics safe on a web-scale graph (a k=2
+    ball around one hub is huge but FINITE and known before extraction;
+    a driver-side traversal is neither)."""
+    if direction not in ("out", "in", "both"):
+        raise ValueError(f"direction must be out|in|both, got {direction}")
+    spark = edges.sparkSession
+    fwd = edges.select("src", "dst")
+    bwd = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    adj = {"out": fwd, "in": bwd, "both": fwd.unionAll(bwd)}[direction]
+    adj = adj.where(F.col("src") != F.col("dst")).distinct()
+
+    trunc_front = EphemeralTruncator(spark, "khop-front")
+    trunc_state = EphemeralTruncator(spark, "khop-state")
+    scope = BlockScope(spark)
+    state = spark.createDataFrame(
+        [(int(s), 0) for s in seeds], "vid long, hops int"
+    )
+    frontier = state
+    with iterative_conf(spark):
+        for t in range(1, k + 1):
+            reached = (
+                frontier.join(adj, frontier["vid"] == adj["src"])
+                .select(adj["dst"].alias("vid"), F.lit(t).alias("hops"))
+                .distinct()
+            )
+            new = reached.join(state.select("vid"), "vid", "left_anti")
+            # two interdependent frames: write both before reaping either
+            # previous step (new's plan scans the previous state step)
+            new = trunc_front.truncate(new, reap=False)
+            state = trunc_state.truncate(state.unionByName(new), reap=False)
+            trunc_front.reap()
+            trunc_state.reap()
+            scope.release_new()
+            if new.limit(1).count() == 0:
+                break
+            frontier = new
+    return state
+
+
+def ego_net(
+    edges: DataFrame, seeds: list[int], k: int, direction: str = "both"
+) -> DataFrame:
+    """The induced subgraph on the k-hop ball around ``seeds`` → the input
+    edge rows where BOTH endpoints are within k hops (plus each endpoint's
+    hop distance). The debugging extraction every skew investigation
+    starts from: "give me the 2-hop neighborhood of this hub" — two
+    semi-join-shaped joins against the (small) ball, the corpus edge table
+    is scanned once and never shuffled by more than the ball join keys."""
+    ball = khop_vertices(edges, seeds, k, direction)
+    return (
+        edges.join(ball.select(F.col("vid").alias("src"),
+                               F.col("hops").alias("src_hops")), "src")
+        .join(ball.select(F.col("vid").alias("dst"),
+                          F.col("hops").alias("dst_hops")), "dst")
+    )

@@ -235,3 +235,60 @@ def leakage_safe_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
     return df.withColumn("split", expr)
+
+
+#: weight grid for temperature_sample: floor(n^alpha * 2^20) — integer
+#: weights make the denominator Σw an exact integer sum, so the keep rate
+#: is identical under any partitioning / aggregation order / engine
+#: (a float Σ over strata is order-dependent in the last ulp, and a
+#: membership threshold has no rounding refuge)
+W_GRID = 1 << 20
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    budget: int,
+    alpha: float = 0.5,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Temperature-based mixture rebalancing — the multilingual α-sampling
+    of large-LM data pipelines (sampling probability ∝ n_s^α with α < 1
+    flattens the head language and upweights the tail, α = 1 is
+    proportional, α = 0 uniform-per-stratum):
+
+        rate_s = min(1, budget · w_s / (Σ_t w_t · n_s)),  w_s = ⌊n_s^α · 2^20⌋
+
+    so E[rows from s] = budget · w_s/Σw (until a stratum saturates at
+    keep-everything). Membership is the portable md5 bucket of
+    ``key_cols`` against the per-stratum threshold — deterministic across
+    runs, retries, partitionings and engines, like every sampler here.
+
+    In-plan end to end: one groupBy for the counts, a 1-row broadcast
+    cross join for the Σw denominator, a broadcast strata→threshold map
+    onto the corpus — no driver collect, corpus scanned once, never
+    shuffled. α = 0.5 uses sqrt (IEEE-exact in every engine); other α go
+    through pow.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    n = F.col("_n").cast("double")
+    pw = F.sqrt(n) if alpha == 0.5 else F.pow(n, F.lit(float(alpha)))
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("_n")).withColumn(
+        "_w", F.floor(pw * F.lit(W_GRID)).cast("long")
+    )
+    denom = counts.agg(F.sum("_w").alias("_wsum"))
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(float(budget)) * F.col("_w")
+        / (F.col("_wsum").cast("double") * F.col("_n").cast("double")),
+    )
+    thresh = counts.crossJoin(F.broadcast(denom)).select(
+        strata_col, F.floor(rate * F.lit(RESOLUTION)).cast("long").alias("_thresh")
+    )
+    cols = [F.col(c) for c in (key_cols or df.columns)]
+    return (
+        df.join(F.broadcast(thresh), strata_col)
+        .where(_bucket(cols) < F.col("_thresh"))
+        .drop("_thresh")
+    )

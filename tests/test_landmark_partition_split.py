@@ -153,3 +153,85 @@ def test_leakage_safe_split_invariants(spark):
         assert after[r["doc_id"]] == r["split"]
     with pytest.raises(ValueError):
         leakage_safe_split(df, {"a": 0.5, "b": 0.1}, "grp")
+
+
+def _bfs(edges, seeds, k, direction):
+    adj = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        pairs = []
+        if direction in ("out", "both"):
+            pairs.append((s, d))
+        if direction in ("in", "both"):
+            pairs.append((d, s))
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for t in range(1, k + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = t
+                    nxt.add(v)
+        frontier = nxt
+    return dist
+
+
+@pytest.mark.parametrize("direction", ["out", "in", "both"])
+def test_khop_vertices_python_mirror(spark, direction):
+    import random
+
+    from osmgraphing_spark.operators import neighborhood
+
+    random.seed(11)
+    edges = list({(random.randrange(30), random.randrange(30)) for _ in range(80)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["vid"]: r["hops"]
+        for r in neighborhood.khop_vertices(df, [0, 17], 3, direction).collect()
+    }
+    assert got == _bfs(edges, [0, 17], 3, direction)
+
+
+def test_ego_net_induced_edges(spark):
+    from osmgraphing_spark.operators import neighborhood
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (2, 1), (9, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = neighborhood.ego_net(df, [1], 2, "both").collect()
+    got = {(r["src"], r["dst"]): (r["src_hops"], r["dst_hops"]) for r in rows}
+    # ball = {1:0, 2:1, 3:2}; (3,4) excluded (4 is hop 3), self-loop 9 excluded
+    assert got == {(1, 2): (0, 1), (2, 3): (1, 2), (2, 1): (1, 0)}
+    with pytest.raises(ValueError):
+        neighborhood.khop_vertices(df, [1], 2, "sideways")
+
+
+def test_temperature_sample_mirror_and_saturation(spark):
+    import math
+
+    from osmgraphing_spark.operators.sampling import W_GRID, temperature_sample
+
+    rows = [(i, "en" if i < 160 else ("fr" if i < 190 else "de")) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(df, "lang", budget=60, alpha=0.5, key_cols=["doc_id"])
+    got = {(r["doc_id"], r["lang"]) for r in out.collect()}
+
+    n = {"en": 160, "fr": 30, "de": 10}
+    w = {s: math.floor(math.sqrt(c) * W_GRID) for s, c in n.items()}
+    wsum = sum(w.values())
+    exp = set()
+    for i, lang in rows:
+        rate = min(1.0, 60.0 * w[lang] / (float(wsum) * float(n[lang])))
+        if _pbucket(i, 1_000_000) < math.floor(rate * 1_000_000):
+            exp.add((i, lang))
+    assert got == exp
+    # α < 1 upweights the tail: de's keep RATE must exceed en's
+    kept = {s: sum(1 for (_, l) in got if l == s) for s in n}
+    assert kept["de"] / n["de"] > kept["en"] / n["en"]
+    # budget ≥ corpus → every stratum saturates at keep-everything
+    assert temperature_sample(df, "lang", budget=10_000, alpha=0.5).count() == 200
+    with pytest.raises(ValueError):
+        temperature_sample(df, "lang", budget=-1)
