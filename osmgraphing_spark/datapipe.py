@@ -217,6 +217,45 @@ def _stage_dsir_sample(spark, docs, p):
     )
 
 
+def _stage_temperature_sample(spark, docs, p):
+    from .operators import sampling
+
+    return (
+        sampling.temperature_sample(
+            docs,
+            p.get("strata_col", "lang"),
+            budget=p["budget"],
+            alpha=p.get("alpha", 0.5),
+            key_cols=["doc_id"],
+        ),
+        {},
+    )
+
+
+def _stage_train_split(spark, docs, p):
+    """TRANSFORM stage (row count unchanged): attach a leakage-safe
+    `split` column — groups are near-dup clusters discovered with the
+    same LSH parameters as `near_dedup`, singletons group as themselves,
+    so a doc and its near-duplicates always land in the same split."""
+    from .operators import dedup, sampling
+
+    clusters = dedup.dup_clusters(
+        docs,
+        threshold=p.get("threshold", 0.5),
+        num_hashes=p.get("num_hashes", 16),
+        bands=p.get("bands", 4),
+        n=p.get("n", 3),
+    )
+    grouped = docs.join(
+        clusters.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).withColumn("grp", F.coalesce("cluster", "doc_id")).drop("cluster")
+    fractions = p.get("fractions", {"train": 0.9, "val": 0.05, "test": 0.05})
+    out = sampling.leakage_safe_split(grouped, fractions, "grp").drop("grp")
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    return out, {"split_counts": counts}
+
+
 STAGES = {
     "filter_funnel": _stage_filter_funnel,
     "exact_dedup": _stage_exact_dedup,
@@ -230,6 +269,8 @@ STAGES = {
     "redact_pii": _stage_redact_pii,
     "scrub_spans": _stage_scrub_spans,
     "nll_band": _stage_nll_band,
+    "temperature_sample": _stage_temperature_sample,
+    "train_split": _stage_train_split,
 }
 
 

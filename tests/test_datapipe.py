@@ -168,3 +168,29 @@ def test_pipeline_nll_band(spark, corpus_path, tmp_path):
     }
     r2 = datapipe.run_pipeline(spark, cfg2)
     assert 0 < r2["n_output"] < r2["n_input"]
+
+
+def test_pipeline_temperature_and_train_split(spark, corpus_path, tmp_path):
+    cfg = {
+        "documents": corpus_path,
+        "output": str(tmp_path / "out_ts"),
+        "stages": [
+            {"op": "train_split", "threshold": 0.5, "num_hashes": 8,
+             "bands": 4, "fractions": {"train": 0.8, "val": 0.1, "test": 0.1}},
+            {"op": "temperature_sample", "strata_col": "lang",
+             "budget": 100, "alpha": 0.5},
+        ],
+    }
+    report = datapipe.run_pipeline(spark, cfg)
+    out = spark.read.parquet(report["corpus"])
+    # train_split is a transform (drops nothing) and attaches `split`
+    assert report["stages"][0]["n_dropped"] == 0
+    assert set(report["stages"][0]["split_counts"]) <= {"train", "val", "test"}
+    assert "split" in out.columns and "grp" not in out.columns
+    # leakage guard survives the pipeline: docs 0/1/2 are one near-dup
+    # cluster, so whichever of them survive share one split value
+    splits = {r["doc_id"]: r["split"] for r in out.collect()}
+    cluster = {s for d, s in splits.items() if d in (0, 1, 2)}
+    assert len(cluster) <= 1
+    # budget 100 >> corpus: temperature stage saturates, drops nothing
+    assert report["stages"][1]["n_dropped"] == 0
