@@ -539,3 +539,40 @@ def test_bucketed_table_joins_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS bkt_test.edges")
         spark.sql("DROP DATABASE IF EXISTS bkt_test")
+
+
+def test_temperature_sample_corpus_never_shuffled(spark):
+    """The corpus ROWS must reach the output through broadcast joins only
+    (threshold map + 1-row denominator are the broadcast sides); the only
+    hash exchanges belong to the slim counts aggregate — at 100 TB the
+    corpus shuffle this avoids IS the operator's cost."""
+    from osmgraphing_spark.operators.sampling import temperature_sample
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = _plan(
+        temperature_sample(docs, "lang", budget=100, key_cols=["doc_id"])
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exchanges outside the broadcast subtrees: only the counts groupBy
+    # (strata keys) — the full-width corpus rows never hash-partition
+    main = plan.split("BroadcastExchange")[0]
+    assert main.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_partition_stats_single_scan_two_aggregates(spark):
+    """One scan of the edge table, two chained aggregates (per-src then
+    per-partition); the second groupBy must NOT re-shuffle the full edge
+    set — its input is already the slim per-src frame."""
+    from osmgraphing_spark.operators.graphstats import partition_stats
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).select(
+        F.col("l_orderkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    plan = _plan(partition_stats(e, 8))
+    # exactly one scan of the edge table
+    assert plan.count("Scan parquet") == 1, plan
+    # hash exchanges: (p_src, src) agg + (p_src) agg + the P-row window;
+    # nothing else — in particular no join-shaped shuffle of the edges
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "Join" not in plan, plan
