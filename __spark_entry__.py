@@ -1820,6 +1820,57 @@ def q_link_partition_stats(spark, sf_dir):
     return graphstats.partition_stats(e, num_partitions=8)
 
 
+def _nation_bowtie_edges(spark, sf_dir):
+    """Bowtie fixture digraph over the nation table: per-region sorted
+    chains; region 2's chain closes into a ring (the CORE SCC); spine
+    r0.min→r1.min→r2.min feeds the core and r2.min→r3.min drains it; a
+    tube edge r1.max→r3.min bypasses the core; region 4 is left unwired
+    (a separate weak component). Every bowtie region except OTHER is
+    non-empty: CORE=r2, IN={r0.min, r1.min}, OUT=r3, TUBE=r1∖min,
+    TENDRIL=r0∖min, DISC=r4."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    chain = n.select(
+        F.col("n_nationkey").alias("src"),
+        F.lead("n_nationkey").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    reg = n.groupBy("n_regionkey").agg(
+        F.min("n_nationkey").alias("mn"), F.max("n_nationkey").alias("mx")
+    )
+    ring = reg.where(F.col("n_regionkey") == 2).select(
+        F.col("mx").alias("src"), F.col("mn").alias("dst")
+    )
+    a = reg.select(
+        F.col("n_regionkey").alias("ra"),
+        F.col("mn").alias("mna"), F.col("mx").alias("mxa"),
+    )
+    b = reg.select(F.col("n_regionkey").alias("rb"), F.col("mn").alias("mnb"))
+    spine = (
+        a.join(b, (F.col("rb") == F.col("ra") + 1) & (F.col("ra") < 3))
+        .select(F.col("mna").alias("src"), F.col("mnb").alias("dst"))
+    )
+    tube = (
+        a.join(b, (F.col("ra") == 1) & (F.col("rb") == 3))
+        .select(F.col("mxa").alias("src"), F.col("mnb").alias("dst"))
+    )
+    return (
+        chain.unionByName(ring).unionByName(spine).unionByName(tube).distinct()
+    )
+
+
+def q_link_bowtie(spark, sf_dir):
+    """Broder bowtie decomposition (operators/graphstats.bowtie): CORE /
+    IN / OUT / TUBE / TENDRIL / OTHER / DISC per vertex — the canonical
+    'graph structure in the Web' readout, composed from the engine's SCC,
+    frame-seeded BFS, and CC primitives."""
+    from osmgraphing_spark.operators import graphstats
+
+    res = graphstats.bowtie(_nation_bowtie_edges(spark, sf_dir))
+    return res.select(
+        F.col("vid").cast("int").alias("n_nationkey"), "region"
+    )
+
+
 EGO_SEED = 1  # custkey 1 exists at every SF
 EGO_K = 2
 
@@ -2504,6 +2555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_landmark_est": q_link_landmark_est,
         "link_partition_stats": q_link_partition_stats,
         "link_ego_net": q_link_ego_net,
+        "link_bowtie": q_link_bowtie,
         "doc_train_split": q_doc_train_split,
         "doc_temp_mixture": q_doc_temp_mixture,
         "multi_metric_edges": q_multi_metric_edges,
@@ -5024,6 +5076,103 @@ def oracle_sql() -> dict[str, str]:
             FROM dbwd b JOIN dfwd f ON f.lm = b.lm
             WHERE b.vid <> f.vid
             GROUP BY b.vid, f.vid
+        """,
+        "link_bowtie": """
+            WITH RECURSIVE chain AS (
+                SELECT n_nationkey AS src,
+                       LEAD(n_nationkey) OVER (
+                           PARTITION BY n_regionkey ORDER BY n_nationkey) AS dst
+                FROM nation
+            ),
+            reg AS (
+                SELECT n_regionkey AS r, MIN(n_nationkey) AS mn,
+                       MAX(n_nationkey) AS mx
+                FROM nation GROUP BY n_regionkey
+            ),
+            e AS (
+                SELECT src, dst FROM chain WHERE dst IS NOT NULL
+                UNION
+                SELECT mx, mn FROM reg WHERE r = 2
+                UNION
+                SELECT a.mn, b.mn FROM reg a JOIN reg b ON b.r = a.r + 1 AND a.r < 3
+                UNION
+                SELECT a.mx, b.mn FROM reg a JOIN reg b ON a.r = 1 AND b.r = 3
+            ),
+            reach AS (
+                SELECT src AS a, dst AS b FROM e
+                UNION
+                SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+            ),
+            sym AS (
+                SELECT src AS a, dst AS b FROM e
+                UNION
+                SELECT dst AS a, src AS b FROM e
+            ),
+            ureach AS (
+                SELECT a, b FROM sym
+                UNION
+                SELECT u.a, s.b FROM ureach u JOIN sym s ON s.a = u.b
+            ),
+            verts AS (
+                -- explicit DISTINCT: inside WITH RECURSIVE DuckDB does not
+                -- apply UNION dedup to non-self-referencing CTEs
+                SELECT DISTINCT v FROM (
+                    SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e
+                ) vv
+            ),
+            mutual AS (
+                SELECT r1.a AS v, r1.b AS w
+                FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+            ),
+            lbl AS (
+                SELECT verts.v, LEAST(verts.v, COALESCE(MIN(w), verts.v)) AS scc
+                FROM verts LEFT JOIN mutual ON mutual.v = verts.v
+                GROUP BY verts.v
+            ),
+            core_lbl AS (
+                SELECT scc FROM lbl GROUP BY scc
+                ORDER BY COUNT(*) DESC, scc ASC LIMIT 1
+            ),
+            c AS (SELECT v FROM lbl WHERE scc = (SELECT scc FROM core_lbl)),
+            ins AS (
+                SELECT v FROM verts WHERE v NOT IN (SELECT v FROM c)
+                AND EXISTS (SELECT 1 FROM reach JOIN c ON reach.b = c.v
+                            WHERE reach.a = verts.v)
+            ),
+            outs AS (
+                SELECT v FROM verts WHERE v NOT IN (SELECT v FROM c)
+                AND EXISTS (SELECT 1 FROM reach JOIN c ON reach.a = c.v
+                            WHERE reach.b = verts.v)
+            ),
+            done3 AS (
+                SELECT v FROM c UNION SELECT v FROM ins UNION SELECT v FROM outs
+            ),
+            t1 AS (
+                SELECT v FROM verts WHERE v NOT IN (SELECT v FROM done3)
+                AND EXISTS (SELECT 1 FROM reach JOIN ins i ON reach.a = i.v
+                            WHERE reach.b = verts.v)
+            ),
+            t2 AS (
+                SELECT v FROM verts WHERE v NOT IN (SELECT v FROM done3)
+                AND EXISTS (SELECT 1 FROM reach JOIN outs o ON reach.b = o.v
+                            WHERE reach.a = verts.v)
+            ),
+            u AS (
+                SELECT v FROM verts
+                WHERE EXISTS (SELECT 1 FROM ureach JOIN c ON ureach.b = c.v
+                              WHERE ureach.a = verts.v)
+            )
+            SELECT CAST(verts.v AS INTEGER) AS n_nationkey,
+                   CASE WHEN verts.v IN (SELECT v FROM c) THEN 'CORE'
+                        WHEN verts.v IN (SELECT v FROM ins) THEN 'IN'
+                        WHEN verts.v IN (SELECT v FROM outs) THEN 'OUT'
+                        WHEN verts.v IN (SELECT v FROM t1)
+                             AND verts.v IN (SELECT v FROM t2) THEN 'TUBE'
+                        WHEN verts.v IN (SELECT v FROM t1)
+                             OR verts.v IN (SELECT v FROM t2) THEN 'TENDRIL'
+                        WHEN verts.v IN (SELECT v FROM u) THEN 'OTHER'
+                        ELSE 'DISC' END AS region
+            FROM verts
         """,
         "link_ego_net": f"""
             WITH RECURSIVE e AS ({SQL_BIPARTITE_EDGES}),

@@ -177,6 +177,7 @@ OPERATOR_QUERIES = [
     "doc_train_split",
     "link_ego_net",
     "doc_temp_mixture",
+    "link_bowtie",
 ]
 
 

@@ -322,3 +322,83 @@ def partition_stats(edges: DataFrame, num_partitions: int = 32) -> DataFrame:
             F.round(F.col("n_edges") / mean_edges, 6).alias("skew"),
         )
     )
+
+
+BOWTIE_REGIONS = ("CORE", "IN", "OUT", "TUBE", "TENDRIL", "OTHER", "DISC")
+
+
+def bowtie(edges: DataFrame, max_iter: int = 200) -> DataFrame:
+    """Broder bowtie decomposition of a digraph (Broder et al., "Graph
+    structure in the Web", WWW'00) → (vid, region):
+
+    - CORE    the largest SCC (ties broken by min component label)
+    - IN      reaches the core, not in it
+    - OUT     reachable from the core, not in it
+    - TUBE    on an IN→OUT path that bypasses the core
+    - TENDRIL hangs off IN (forward) or into OUT (backward), not a tube
+    - OTHER   same weak component, none of the above
+    - DISC    a different weak component entirely
+
+    The shape question every web/link-graph study asks first — how much
+    of the graph can reach how much — and the sanity check for crawl
+    frontier design (IN mass = pages discoverable only by seeds, OUT mass
+    = sinks) and for import-graph layering on code.
+
+    Composition of the engine's BSP primitives, each O(diameter) rounds:
+    one SCC run, four frame-seeded BFS fixpoints (`neighborhood.
+    khop_vertices` with a seed FRAME — a web-scale core never visits the
+    driver; the only collect is the 1-row core-label pick), one CC run
+    for the weak components. Set algebra is left-anti/semi joins on vid."""
+    from .cc import components_of_pairs
+    from .neighborhood import khop_vertices
+    from .scc import run_edges as scc_run_edges
+
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    labels = scc_run_edges(e)
+    core_row = (
+        labels.groupBy("scc")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("scc").asc())
+        .limit(1)
+        .collect()[0]
+    )
+    core = labels.where(F.col("scc") == int(core_row["scc"])).select(
+        F.col("id").alias("vid")
+    )
+
+    def _reach(seed_df, direction):
+        # exclusive reach: vertices reached FROM the seed set, minus it
+        r = khop_vertices(e, seed_df, None, direction, max_iter=max_iter)
+        return r.select("vid").join(seed_df, "vid", "left_anti")
+
+    outs = _reach(core, "out")
+    ins = _reach(core, "in").join(outs, "vid", "left_anti")
+    classified = core.unionByName(ins).unionByName(outs)
+    t_fwd = _reach(ins, "out").join(classified, "vid", "left_anti")
+    t_bwd = _reach(outs, "in").join(classified, "vid", "left_anti")
+    tube = t_fwd.join(t_bwd, "vid", "left_semi")
+    tendril = t_fwd.unionByName(t_bwd).distinct().join(tube, "vid", "left_anti")
+
+    wcc = components_of_pairs(e)
+    core_comps = wcc.join(core.withColumnRenamed("vid", "id"), "id", "left_semi")
+    same_wcc = wcc.join(
+        core_comps.select("component").distinct(), "component", "left_semi"
+    ).select(F.col("id").alias("vid"))
+
+    verts = (
+        e.select(F.col("src").alias("vid"))
+        .unionAll(e.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    tagged = (
+        verts.join(core.withColumn("r0", F.lit("CORE")), "vid", "left")
+        .join(ins.withColumn("r1", F.lit("IN")), "vid", "left")
+        .join(outs.withColumn("r2", F.lit("OUT")), "vid", "left")
+        .join(tube.withColumn("r3", F.lit("TUBE")), "vid", "left")
+        .join(tendril.withColumn("r4", F.lit("TENDRIL")), "vid", "left")
+        .join(same_wcc.withColumn("r5", F.lit("OTHER")), "vid", "left")
+    )
+    return tagged.select(
+        "vid",
+        F.coalesce("r0", "r1", "r2", "r3", "r4", "r5", F.lit("DISC")).alias("region"),
+    )

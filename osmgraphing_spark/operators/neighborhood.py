@@ -269,11 +269,18 @@ def avg_distance(series: DataFrame) -> float:
 
 
 def khop_vertices(
-    edges: DataFrame, seeds: list[int], k: int, direction: str = "both"
+    edges: DataFrame,
+    seeds: list[int] | DataFrame,
+    k: int | None,
+    direction: str = "both",
+    max_iter: int = 200,
 ) -> DataFrame:
     """→ (vid, hops): every vertex within k hops of any seed, with its
     minimum hop count. ``direction``: "out" follows edges forward, "in"
     backward, "both" treats the graph as undirected (the ego-net ball).
+    ``seeds`` may be a vid list or a 1-column DataFrame (a seed SET too
+    large to collect — e.g. a whole SCC in the bowtie decomposition).
+    ``k=None`` runs to the reachability fixpoint (bounded by ``max_iter``).
 
     BSP BFS with a delta frontier: round t's join size is the wavefront,
     not the ball, and the loop runs exactly k rounds — the bounded-cost
@@ -291,12 +298,18 @@ def khop_vertices(
     trunc_front = EphemeralTruncator(spark, "khop-front")
     trunc_state = EphemeralTruncator(spark, "khop-state")
     scope = BlockScope(spark)
-    state = spark.createDataFrame(
-        [(int(s), 0) for s in seeds], "vid long, hops int"
-    )
+    if isinstance(seeds, DataFrame):
+        seed_col = seeds.columns[0]
+        state = seeds.select(
+            F.col(seed_col).cast("long").alias("vid"), F.lit(0).alias("hops")
+        ).distinct()
+    else:
+        state = spark.createDataFrame(
+            [(int(s), 0) for s in seeds], "vid long, hops int"
+        )
     frontier = state
     with iterative_conf(spark):
-        for t in range(1, k + 1):
+        for t in range(1, (max_iter if k is None else k) + 1):
             reached = (
                 frontier.join(adj, frontier["vid"] == adj["src"])
                 .select(adj["dst"].alias("vid"), F.lit(t).alias("hops"))

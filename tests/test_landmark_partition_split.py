@@ -235,3 +235,31 @@ def test_temperature_sample_mirror_and_saturation(spark):
     assert temperature_sample(df, "lang", budget=10_000, alpha=0.5).count() == 200
     with pytest.raises(ValueError):
         temperature_sample(df, "lang", budget=-1)
+
+
+def test_bowtie_all_regions(spark):
+    """Handcrafted digraph with every bowtie region non-empty:
+    core 1↔2; 0 reaches it (IN); 3 drains it (OUT); 0→6→3 bypasses it
+    (TUBE); 4 hangs off IN and 5 hangs into OUT (TENDRILs); 9 points into
+    a tendril (same weak component, unclassified → OTHER); 7→8 is a
+    separate weak component (DISC)."""
+    edges = [(1, 2), (2, 1), (0, 1), (2, 3), (0, 4), (5, 3),
+             (0, 6), (6, 3), (7, 8), (9, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["vid"]: r["region"] for r in graphstats.bowtie(df).collect()}
+    assert got == {
+        1: "CORE", 2: "CORE", 0: "IN", 3: "OUT", 6: "TUBE",
+        4: "TENDRIL", 5: "TENDRIL", 9: "OTHER", 7: "DISC", 8: "DISC",
+    }
+
+
+def test_khop_seed_frame_fixpoint(spark):
+    """DataFrame seeds + k=None runs BFS to the reachability fixpoint."""
+    from osmgraphing_spark.operators import neighborhood
+
+    edges = [(0, 1), (1, 2), (2, 3), (5, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "vid long")
+    got = {r["vid"]: r["hops"] for r in
+           neighborhood.khop_vertices(df, seeds, None, "out").collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
