@@ -572,6 +572,36 @@ def q_ppr5(spark, sf_dir):
     )
 
 
+def q_link_spam_mass(spark, sf_dir):
+    """Spam-mass estimate (Gyöngyi et al., TrustRank/spam mass): rank every
+    vertex by uniform PageRank AND by trust-seeded personalized PageRank
+    (teleport uniform over customer vertices — the 'manually vetted' set),
+    then spam_mass = (pr − tr)/pr: the fraction of a vertex's rank NOT
+    endorsed by the trusted region. Two 5-superstep runs over the SAME
+    resting edge layout; the second run's teleport reuses ppr5's seed
+    distribution."""
+    g = build_graph(_bipartite_raw_edges(spark, sf_dir), num_blocks=8)
+    res_pr = pr.run(g, damping=0.85, tol=0.0, max_iter=5, check_every=5)
+    cust = g.vertices.where(F.col("key").startswith("c"))
+    n_c = cust.count()
+    reset = cust.select("vid", F.lit(1.0 / n_c).alias("p"))
+    res_tr = pr.run(
+        g, damping=0.85, tol=0.0, max_iter=5, check_every=5, reset=reset
+    )
+    a = res_pr.ranks.select("vid", F.round("rank", 6).alias("pr"))
+    b = res_tr.ranks.select("vid", F.round("rank", 6).alias("tr"))
+    return (
+        a.join(b, "vid")
+        .join(g.vertices, "vid")
+        .select(
+            _key_to_node_id(F.col("key")).alias("node_id"),
+            "pr",
+            "tr",
+            F.round((F.col("pr") - F.col("tr")) / F.col("pr"), 6).alias("spam_mass"),
+        )
+    )
+
+
 def q_hits8(spark, sf_dir):
     """HITS hubs & authorities (beyond-reference link-graph extension): 8
     fixed mutual-reinforcement iterations, L1-normalized each half-step, on
@@ -2498,6 +2528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_nations": q_triangles_nations,
         "pagerank5_weighted": q_pagerank5_weighted,
         "ppr5": q_ppr5,
+        "link_spam_mass": q_link_spam_mass,
         "hits8": q_hits8,
         "eigen_links": q_eigen_links,
         "kcore_links": q_kcore_links,
@@ -3864,6 +3895,15 @@ def oracle_sql() -> dict[str, str]:
         "pagerank5": _pagerank5_sql(),
         "pagerank5_weighted": _pagerank5_weighted_sql(),
         "ppr5": _ppr5_sql(),
+        # spam mass from the two rank chains above, on the 6-dp grid both
+        # engines agree on (the unrounded last-ulp may differ; the grid is
+        # the contract)
+        "link_spam_mass": f"""
+            SELECT a.node_id, a.rank AS pr, b.rank AS tr,
+                   ROUND((a.rank - b.rank) / a.rank, 6) AS spam_mass
+            FROM ({_pagerank5_sql()}) a
+            JOIN ({_ppr5_sql()}) b ON a.node_id = b.node_id
+        """,
         "hits8": _hits8_sql(),
         "eigen_links": _eigen_sql(),
         "kcore_links": _kcore_sql(),

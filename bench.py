@@ -178,6 +178,7 @@ OPERATOR_QUERIES = [
     "link_ego_net",
     "doc_temp_mixture",
     "link_bowtie",
+    "link_spam_mass",
 ]
 
 
