@@ -263,3 +263,35 @@ def test_khop_seed_frame_fixpoint(spark):
     got = {r["vid"]: r["hops"] for r in
            neighborhood.khop_vertices(df, seeds, None, "out").collect()}
     assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_new_operators_partition_invariant(spark):
+    """Hash-deterministic operators must give identical results under any
+    input partitioning (the retry/repartition contract every sampler in
+    this engine carries)."""
+    from osmgraphing_spark.operators.sampling import temperature_sample
+
+    rows = [(i, ["en", "fr", "de"][i % 3]) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    base = {(r["doc_id"], r["split"]) for r in leakage_safe_split(
+        df.withColumnRenamed("lang", "grp"), {"train": 0.9, "val": 0.1}, "grp"
+    ).selectExpr("doc_id", "split").collect()}
+    rep = {(r["doc_id"], r["split"]) for r in leakage_safe_split(
+        df.repartition(7).withColumnRenamed("lang", "grp"),
+        {"train": 0.9, "val": 0.1}, "grp"
+    ).selectExpr("doc_id", "split").collect()}
+    assert base == rep
+
+    t1 = {r["doc_id"] for r in
+          temperature_sample(df, "lang", 40, key_cols=["doc_id"]).collect()}
+    t2 = {r["doc_id"] for r in
+          temperature_sample(df.repartition(11), "lang", 40,
+                             key_cols=["doc_id"]).collect()}
+    assert t1 == t2
+
+    e = spark.createDataFrame(
+        [(i % 17, (i * 7) % 23) for i in range(200)], "src long, dst long"
+    )
+    s1 = sorted(map(tuple, graphstats.partition_stats(e, 8).collect()))
+    s2 = sorted(map(tuple, graphstats.partition_stats(e.repartition(5), 8).collect()))
+    assert s1 == s2
