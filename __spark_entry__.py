@@ -169,6 +169,28 @@ def q_scc_nations(spark, sf_dir):
     return res.select(F.col("id").alias("node_id"), "scc")
 
 
+SIMRANK_C = 0.8
+SIMRANK_ITERS = 3
+
+
+def q_simrank_nations(spark, sf_dir):
+    """SimRank structural similarity (operators/simrank): 3 exact
+    iterations of the Jeh-Widom recurrence on the nation ring/spine
+    digraph — nonzero (a, b, simrank) pairs, a < b. Fixed-iteration mode
+    is an exact rational recurrence, replayed round-for-round by the
+    DuckDB oracle."""
+    from osmgraphing_spark.operators import simrank
+
+    res = simrank.run(
+        _nation_ring_edges(spark, sf_dir), c=SIMRANK_C, max_iter=SIMRANK_ITERS
+    )
+    return res.select(
+        F.col("a").cast("int").alias("a"),
+        F.col("b").cast("int").alias("b"),
+        "simrank",
+    )
+
+
 def q_link_dist_hist(spark, sf_dir):
     """Neighborhood function / distance distribution
     (operators/neighborhood.distance_distribution, ANF/HyperANF family):
@@ -2510,6 +2532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_nations": q_cc_nations,
         "mis_nations": q_mis_nations,
         "scc_nations": q_scc_nations,
+        "simrank_nations": q_simrank_nations,
         "link_dist_hist": q_link_dist_hist,
         "modularity_nations": q_modularity_nations,
         "scc_build_order": q_scc_build_order,
@@ -2742,6 +2765,50 @@ _NATION_RING_CTES = """
         SELECT src, dst FROM crosse WHERE dst IS NOT NULL
     )
 """
+
+
+_SIMRANK_ITER = """
+    s{K} AS (
+        SELECT v AS a, v AS b, CAST(1.0 AS DOUBLE) AS s FROM srverts
+        UNION ALL
+        SELECT m.na AS a, m.nb AS b, {C} * m.raw / (da.d * db.d) AS s
+        FROM (
+            SELECT ia.dst AS na, ib.dst AS nb, SUM(p.s) AS raw
+            FROM s{P} p
+            JOIN e ia ON ia.src = p.a
+            JOIN e ib ON ib.src = p.b
+            WHERE ia.dst <> ib.dst
+            GROUP BY ia.dst, ib.dst
+        ) m
+        JOIN indeg da ON da.v = m.na
+        JOIN indeg db ON db.v = m.nb
+    )"""
+
+
+def _simrank_sql() -> str:
+    """Round-for-round replay of simrank.run on the nation ring/spine
+    digraph. NOTE (DuckDB WITH RECURSIVE quirk): non-self-referencing CTEs
+    inside WITH RECURSIVE get UNION ALL semantics regardless of the UNION
+    keyword, so set CTEs here use explicit DISTINCT."""
+    parts = [
+        f"WITH RECURSIVE {_NATION_RING_CTES},",
+        """srverts AS (
+            SELECT DISTINCT v FROM (
+                SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e
+            ) vv
+        ),""",
+        "indeg AS (SELECT dst AS v, COUNT(*) AS d FROM e GROUP BY dst),",
+        "s0 AS (SELECT v AS a, v AS b, CAST(1.0 AS DOUBLE) AS s FROM srverts)",
+    ]
+    for k in range(1, SIMRANK_ITERS + 1):
+        parts.append("," + _SIMRANK_ITER.format(K=k, P=k - 1, C=SIMRANK_C))
+    parts.append(f"""
+        SELECT CAST(a AS INTEGER) AS a, CAST(b AS INTEGER) AS b,
+               ROUND(s, 6) AS simrank
+        FROM s{SIMRANK_ITERS}
+        WHERE a < b AND ROUND(s, 6) > 0
+    """)
+    return "\n".join(parts)
 
 
 def _truss_sql(k: int, rounds: int) -> str:
@@ -4005,6 +4072,9 @@ def oracle_sql() -> dict[str, str]:
             FROM verts LEFT JOIN mutual ON mutual.v = verts.v
             GROUP BY verts.v
         """,
+        # SimRank replayed round-for-round (chained CTEs; the diagonal is
+        # re-injected each round exactly like the Spark loop)
+        "simrank_nations": _simrank_sql(),
         # maximal matching replayed round-for-round (chained CTEs)
         "matching_nations": _matching_sql(MATCHING_ORACLE_ROUNDS),
         # Jones-Plassmann coloring replayed round-for-round (chained CTEs)

@@ -179,6 +179,7 @@ OPERATOR_QUERIES = [
     "doc_temp_mixture",
     "link_bowtie",
     "link_spam_mass",
+    "simrank_nations",
 ]
 
 

@@ -295,3 +295,40 @@ def test_new_operators_partition_invariant(spark):
     s1 = sorted(map(tuple, graphstats.partition_stats(e, 8).collect()))
     s2 = sorted(map(tuple, graphstats.partition_stats(e.repartition(5), 8).collect()))
     assert s1 == s2
+
+
+def test_simrank_python_mirror(spark):
+    """Exact Jeh-Widom recurrence mirror on a digraph with shared
+    in-neighbors, plus the contract details: diagonal implicit, a < b,
+    zero rows dropped, symmetric scores."""
+    from osmgraphing_spark.operators import simrank
+
+    edges = [(0, 1), (0, 2), (3, 1), (3, 2), (1, 4), (2, 4), (4, 0)]
+    C, K = 0.8, 3
+    got = {(r["a"], r["b"]): r["simrank"]
+           for r in simrank.run(
+               spark.createDataFrame(edges, "src long, dst long"),
+               c=C, max_iter=K).collect()}
+
+    import itertools
+
+    verts = sorted({v for e in edges for v in e})
+    inn = {v: [s for s, d in edges if d == v] for v in verts}
+    s = {(a, b): 1.0 if a == b else 0.0
+         for a, b in itertools.product(verts, verts)}
+    for _ in range(K):
+        nxt = {}
+        for a, b in itertools.product(verts, verts):
+            if a == b:
+                nxt[(a, b)] = 1.0
+            elif inn[a] and inn[b]:
+                tot = sum(s[(u, v)] for u in inn[a] for v in inn[b])
+                nxt[(a, b)] = C * tot / (len(inn[a]) * len(inn[b]))
+            else:
+                nxt[(a, b)] = 0.0
+        s = nxt
+    exp = {(a, b): round(v, 6) for (a, b), v in s.items()
+           if a < b and round(v, 6) > 0}
+    assert got == pytest.approx(exp, abs=1e-6)
+    with pytest.raises(ValueError):
+        simrank.run(spark.createDataFrame(edges, "src long, dst long"), c=1.5)
