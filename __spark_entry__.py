@@ -169,6 +169,38 @@ def q_scc_nations(spark, sf_dir):
     return res.select(F.col("id").alias("node_id"), "scc")
 
 
+RICH_CLUB_KS = (1, 2, 4, 8, 16, 32)
+
+
+def q_link_rich_club(spark, sf_dir):
+    """Rich-club coefficient φ(k) over the undirected customer→supplier
+    link graph (operators/graphstats.rich_club): is the high-degree core
+    a near-clique? One degree aggregation + a thresholds-broadcast join —
+    the edge table is scanned once for all k."""
+    from osmgraphing_spark.operators import graphstats
+
+    e = _bipartite_raw_edges(spark, sf_dir).select(
+        _key_to_node_id(F.col("src_key")).alias("src"),
+        _key_to_node_id(F.col("dst_key")).alias("dst"),
+    )
+    return graphstats.rich_club(e, list(RICH_CLUB_KS))
+
+
+def q_link_attr_assort(spark, sf_dir):
+    """Categorical (Newman) assortativity by region label on the mixed
+    nation digraph (operators/graphstats.attribute_assortativity):
+    integer-exact mixing-matrix arithmetic, one double division — the
+    'do pages link within their language/host?' homophily readout."""
+    from osmgraphing_spark.operators import graphstats
+
+    labels = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("vid"), F.col("n_regionkey").alias("label")
+    )
+    return graphstats.attribute_assortativity(
+        _nation_mixed_edges(spark, sf_dir), labels
+    )
+
+
 SIMRANK_C = 0.8
 SIMRANK_ITERS = 3
 
@@ -2533,6 +2565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis_nations": q_mis_nations,
         "scc_nations": q_scc_nations,
         "simrank_nations": q_simrank_nations,
+        "link_rich_club": q_link_rich_club,
+        "link_attr_assort": q_link_attr_assort,
         "link_dist_hist": q_link_dist_hist,
         "modularity_nations": q_modularity_nations,
         "scc_build_order": q_scc_build_order,
@@ -4075,6 +4109,66 @@ def oracle_sql() -> dict[str, str]:
         # SimRank replayed round-for-round (chained CTEs; the diagonal is
         # re-injected each round exactly like the Spark loop)
         "simrank_nations": _simrank_sql(),
+        "link_rich_club": f"""
+            WITH und AS (
+                SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM ({SQL_BIPARTITE_EDGES}) e WHERE src <> dst
+            ),
+            deg AS (
+                SELECT vid, COUNT(*) AS deg FROM (
+                    SELECT a AS vid FROM und UNION ALL SELECT b AS vid FROM und
+                ) u GROUP BY vid
+            ),
+            ks AS (SELECT * FROM (VALUES {", ".join(f"({k})" for k in RICH_CLUB_KS)}) t(k)),
+            nk AS (
+                SELECT k, COUNT(*) AS n_rich FROM deg JOIN ks ON deg.deg > ks.k
+                GROUP BY k
+            ),
+            ek AS (
+                SELECT k, COUNT(*) AS rich_edges
+                FROM und
+                JOIN deg da ON da.vid = und.a
+                JOIN deg db ON db.vid = und.b
+                JOIN ks ON da.deg > ks.k AND db.deg > ks.k
+                GROUP BY k
+            )
+            SELECT CAST(nk.k AS INTEGER) AS k, nk.n_rich,
+                   COALESCE(ek.rich_edges, 0) AS rich_edges,
+                   ROUND(2.0 * COALESCE(ek.rich_edges, 0)
+                         / (CAST(nk.n_rich AS DOUBLE) * (nk.n_rich - 1)), 6) AS phi
+            FROM nk LEFT JOIN ek ON nk.k = ek.k
+            WHERE nk.n_rich >= 2
+        """,
+        "link_attr_assort": f"""
+            WITH {_NATION_RING_CTES},
+            m AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT a.n_nationkey, b.n_nationkey
+                FROM nation a JOIN nation b
+                  ON a.n_regionkey = b.n_regionkey
+                 AND a.n_nationkey <> b.n_nationkey
+            ),
+            mix AS (
+                SELECT la.n_regionkey AS la, lb.n_regionkey AS lb, COUNT(*) AS n
+                FROM m
+                JOIN nation la ON la.n_nationkey = m.src
+                JOIN nation lb ON lb.n_nationkey = m.dst
+                GROUP BY la.n_regionkey, lb.n_regionkey
+            ),
+            tr AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS trn
+                   FROM mix WHERE la = lb),
+            rowc AS (SELECT la, CAST(SUM(n) AS BIGINT) AS ri FROM mix GROUP BY la),
+            colc AS (SELECT lb AS la, CAST(SUM(n) AS BIGINT) AS ci FROM mix GROUP BY lb),
+            sab AS (SELECT CAST(COALESCE(SUM(ri * ci), 0) AS BIGINT) AS sabn
+                    FROM rowc JOIN colc USING (la)),
+            mm AS (SELECT CAST(SUM(n) AS BIGINT) AS m FROM mix)
+            SELECT CASE WHEN m * m > sabn THEN
+                       ROUND(CAST(m * trn - sabn AS DOUBLE)
+                             / CAST(m * m - sabn AS DOUBLE), 6)
+                   END AS assortativity
+            FROM tr, sab, mm
+        """,
         # maximal matching replayed round-for-round (chained CTEs)
         "matching_nations": _matching_sql(MATCHING_ORACLE_ROUNDS),
         # Jones-Plassmann coloring replayed round-for-round (chained CTEs)

@@ -402,3 +402,117 @@ def bowtie(edges: DataFrame, max_iter: int = 200) -> DataFrame:
         "vid",
         F.coalesce("r0", "r1", "r2", "r3", "r4", "r5", F.lit("DISC")).alias("region"),
     )
+
+
+def rich_club(edges: DataFrame, ks: list[int]) -> DataFrame:
+    """Rich-club coefficient per degree threshold k (Zhou & Mondragón):
+
+        φ(k) = 2·E_k / (N_k·(N_k − 1))
+
+    over the undirected simple graph, where N_k = #vertices with degree
+    > k and E_k = #edges with BOTH endpoints above threshold. φ(k) → 1
+    says the hubs form a near-clique ("rich club") — whether a link
+    graph's core is oligarchic or distributed, the shape question after
+    the power-law exponent.
+
+    One degree aggregation + one thresholds-broadcast join per side +
+    one groupBy(k): |ks| is tiny (a handful of thresholds), so the edge
+    table is scanned once and the k-expansion multiplies only the slim
+    (edge × surviving-k) stream. → (k, n_rich, rich_edges, phi), rows
+    only for k with N_k ≥ 2."""
+    und = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("vid"))
+        .unionAll(und.select(F.col("b").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count("*").alias("deg"))
+    )
+    kdf = edges.sparkSession.createDataFrame([(int(k),) for k in ks], "k int")
+    nk = (
+        deg.join(F.broadcast(kdf), deg["deg"] > kdf["k"])
+        .groupBy("k")
+        .agg(F.count("*").alias("n_rich"))
+    )
+    ek = (
+        und.join(deg.select(F.col("vid").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("vid").alias("b"), F.col("deg").alias("db")), "b")
+        .join(
+            F.broadcast(kdf),
+            (F.col("da") > kdf["k"]) & (F.col("db") > kdf["k"]),
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("rich_edges"))
+    )
+    return (
+        nk.where(F.col("n_rich") >= 2)
+        .join(ek, "k", "left")
+        .select(
+            "k",
+            "n_rich",
+            F.coalesce("rich_edges", F.lit(0)).alias("rich_edges"),
+            F.round(
+                2.0 * F.coalesce("rich_edges", F.lit(0))
+                / (F.col("n_rich").cast("double") * (F.col("n_rich") - 1)),
+                6,
+            ).alias("phi"),
+        )
+    )
+
+
+def attribute_assortativity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman's categorical assortativity coefficient over directed edges:
+
+        r = (Σ_i e_ii − Σ_i a_i·b_i) / (1 − Σ_i a_i·b_i)
+
+    with e_ij the fraction of edges from attribute i to attribute j,
+    a_i = Σ_j e_ij, b_i = Σ_j e_ji. r = 1 is perfect homophily (every
+    edge stays inside its attribute class), r ≈ 0 random mixing, r < 0
+    disassortative. The standard "do pages link within their
+    language/host/topic?" readout.
+
+    ``labels``: (vid, label). Edges with an unlabeled endpoint are
+    dropped. Two vid-keyed label joins + ONE groupBy((la, lb)) — the
+    mixing matrix is |labels|², tiny; everything after it is driver-free
+    column arithmetic on that matrix. NULL r when Σa·b = 1 (a single
+    attribute class — assortativity undefined)."""
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    la = labels.select(F.col("vid").alias("src"), F.col("label").alias("la"))
+    lb = labels.select(F.col("vid").alias("dst"), F.col("label").alias("lb"))
+    mix = e.join(la, "src").join(lb, "dst").groupBy("la", "lb").agg(
+        F.count("*").alias("n")
+    )
+    # integer-exact form of r (multiply the fraction identity through by
+    # m²): r = (m·Σn_ii − Σ_i row_i·col_i) / (m² − Σ_i row_i·col_i).
+    # Every sum is a LONG — order-invariant across partitionings and
+    # engines, one double division at the end (valid to |E| < ~3·10⁹ per
+    # label pair before m² hits 2⁶³; beyond that swap in the double form).
+    tr = mix.where(F.col("la") == F.col("lb")).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("trn")
+    )
+    row = mix.groupBy("la").agg(F.sum("n").alias("ri"))
+    col = mix.groupBy("lb").agg(F.sum("n").alias("ci")).withColumnRenamed("lb", "la")
+    sab = row.join(col, "la").agg(
+        F.coalesce(F.sum(F.col("ri") * F.col("ci")), F.lit(0)).cast("long").alias("sabn")
+    )
+    m = mix.agg(F.sum("n").cast("long").alias("m"))
+    return (
+        tr.crossJoin(sab)
+        .crossJoin(m)
+        .select(
+            F.when(
+                F.col("m") * F.col("m") > F.col("sabn"),
+                F.round(
+                    (F.col("m") * F.col("trn") - F.col("sabn")).cast("double")
+                    / (F.col("m") * F.col("m") - F.col("sabn")).cast("double"),
+                    6,
+                ),
+            ).alias("assortativity")
+        )
+    )

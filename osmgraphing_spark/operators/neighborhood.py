@@ -274,6 +274,7 @@ def khop_vertices(
     k: int | None,
     direction: str = "both",
     max_iter: int = 200,
+    truncate_every: int = 4,
 ) -> DataFrame:
     """→ (vid, hops): every vertex within k hops of any seed, with its
     minimum hop count. ``direction``: "out" follows edges forward, "in"
@@ -308,6 +309,8 @@ def khop_vertices(
             [(int(s), 0) for s in seeds], "vid long, hops int"
         )
     frontier = state
+    stride = max(truncate_every, 1)
+    boundary = True
     with iterative_conf(spark):
         for t in range(1, (max_iter if k is None else k) + 1):
             reached = (
@@ -316,16 +319,29 @@ def khop_vertices(
                 .distinct()
             )
             new = reached.join(state.select("vid"), "vid", "left_anti")
-            # two interdependent frames: write both before reaping either
-            # previous step (new's plan scans the previous state step)
-            new = trunc_front.truncate(new, reap=False)
-            state = trunc_state.truncate(state.unionByName(new), reap=False)
-            trunc_front.reap()
-            trunc_state.reap()
-            scope.release_new()
+            # stride discipline (sssp.py): reliable parquet truncation only
+            # at stride boundaries; mid-stride rounds cut lineage with a
+            # lazy localCheckpoint that this round's frontier count
+            # materializes. Two interdependent frames: write both before
+            # reaping either previous step (new's plan scans the previous
+            # state step).
+            boundary = t % stride == 0
+            if boundary:
+                new = trunc_front.truncate(new, reap=False)
+                state = trunc_state.truncate(state.unionByName(new), reap=False)
+                trunc_front.reap()
+                trunc_state.reap()
+                scope.release_new()
+            else:
+                new = new.localCheckpoint(eager=False)
+                state = state.unionByName(new).localCheckpoint(eager=False)
             if new.limit(1).count() == 0:
                 break
             frontier = new
+        if not boundary:
+            # loop ended mid-stride: hand back a reliably truncated frame
+            state = trunc_state.truncate(state)
+            scope.release_new()
     return state
 
 

@@ -223,3 +223,68 @@ def test_powerlaw_fit_recovers_exponent(spark):
     )
     reg = powerlaw_fit(ring, d_min=2).collect()[0]
     assert reg["alpha"] > 3.2  # constant degree 2 = no tail at all
+
+
+def test_rich_club_python_mirror(spark):
+    import random
+
+    from osmgraphing_spark.operators.graphstats import rich_club
+
+    random.seed(3)
+    edges = list({(random.randrange(40), random.randrange(40)) for _ in range(150)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["k"]: (r["n_rich"], r["rich_edges"], r["phi"])
+           for r in rich_club(df, [1, 2, 4, 8]).collect()}
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    deg: dict[int, int] = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    for k in (1, 2, 4, 8):
+        rich = {v for v, d in deg.items() if d > k}
+        if len(rich) < 2:
+            assert k not in got
+            continue
+        ek = sum(1 for a, b in und if a in rich and b in rich)
+        n, e, phi = got[k]
+        assert (n, e) == (len(rich), ek)
+        assert phi == round(2.0 * ek / (len(rich) * (len(rich) - 1)), 6)
+
+
+def test_attribute_assortativity_mirror_and_extremes(spark):
+    from osmgraphing_spark.operators.graphstats import attribute_assortativity
+
+    def run(edges, labels):
+        e = spark.createDataFrame(edges, "src long, dst long")
+        lab = spark.createDataFrame(labels, "vid long, label string")
+        return attribute_assortativity(e, lab).collect()[0]["assortativity"]
+
+    # perfect homophily: every edge stays inside its class
+    labels = [(i, "x" if i < 3 else "y") for i in range(6)]
+    assert run([(0, 1), (1, 2), (3, 4), (4, 5)], labels) == 1.0
+    # perfect disassortativity on a 2-class bipartite digraph: r < 0
+    assert run([(0, 3), (1, 4), (2, 5), (3, 0)], labels) < 0
+    # single class: undefined → NULL
+    assert run([(0, 1)], [(0, "x"), (1, "x")]) is None
+    # python mirror on a mixed case
+    import random
+
+    random.seed(5)
+    edges = list({(random.randrange(12), random.randrange(12)) for _ in range(40)})
+    labels = [(i, str(i % 3)) for i in range(12)]
+    got = run(edges, labels)
+    lab = dict(labels)
+    e = {(a, b) for a, b in edges if a != b}
+    from collections import Counter
+
+    mix = Counter((lab[a], lab[b]) for a, b in e)
+    m = sum(mix.values())
+    trn = sum(v for (i, j), v in mix.items() if i == j)
+    row = Counter()
+    col = Counter()
+    for (i, j), v in mix.items():
+        row[i] += v
+        col[j] += v
+    sabn = sum(row[i] * col[i] for i in set(row) | set(col))
+    assert got == round((m * trn - sabn) / (m * m - sabn), 6)
