@@ -348,12 +348,38 @@ def bowtie(edges: DataFrame, max_iter: int = 200) -> DataFrame:
     one SCC run, four frame-seeded BFS fixpoints (`neighborhood.
     khop_vertices` with a seed FRAME — a web-scale core never visits the
     driver; the only collect is the 1-row core-label pick), one CC run
-    for the weak components. Set algebra is left-anti/semi joins on vid."""
+    for the weak components. Set algebra is left-anti/semi joins on vid.
+
+    The simple edge set is reliably truncated ONCE up front — ~7
+    downstream consumers (SCC, 4 BFS runs, WCC, the vertex scan) read the
+    parquet instead of re-running the distinct — and the whole composition
+    runs at adaptive shuffle width (~250k rows/partition, the same rule as
+    scc._scc): on a fixture-sized digraph the wall clock is per-ACTION
+    fixed cost, and a 1-partition width also arms the boundary-only
+    convergence probes in `khop_vertices`."""
+    from ..plans.checkpoint import EphemeralTruncator
+
+    spark = edges.sparkSession
+    t_e = EphemeralTruncator(spark, "bowtie-edges")
+    t_out = EphemeralTruncator(spark, "bowtie-out")
+    e = t_e.truncate(
+        edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    )
+    n_e = e.limit(8_000_000).count()
+    conf_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    p_state = max(1, min(conf_p, (n_e + 249_999) // 250_000))
+    spark.conf.set("spark.sql.shuffle.partitions", str(p_state))
+    try:
+        return t_out.truncate(_bowtie_body(e, max_iter))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(conf_p))
+
+
+def _bowtie_body(e: DataFrame, max_iter: int) -> DataFrame:
     from .cc import components_of_pairs
     from .neighborhood import khop_vertices
     from .scc import run_edges as scc_run_edges
 
-    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
     labels = scc_run_edges(e)
     core_row = (
         labels.groupBy("scc")

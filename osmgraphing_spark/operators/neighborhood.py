@@ -311,6 +311,20 @@ def khop_vertices(
     frontier = state
     stride = max(truncate_every, 1)
     boundary = True
+    # Batched convergence probes on a tiny graph (same exactness argument
+    # as scc._scc): an empty frontier stays empty, so probing only at
+    # stride boundaries is still an exact fixpoint test, and the skipped
+    # rounds fuse into the boundary's single job instead of paying ~0.3 s
+    # of per-ACTION fixed cost each. "Tiny" is signalled by the session's
+    # shuffle width — callers that shrank it to 1 (e.g. graphstats.bowtie
+    # after its size probe) have already measured the graph; at real scale
+    # the width is > 1 and every round keeps its own probe, because there
+    # a wasted post-fixpoint round is a real wavefront-sized shuffle.
+    probe_every = (
+        stride
+        if int(spark.conf.get("spark.sql.shuffle.partitions")) == 1
+        else 1
+    )
     with iterative_conf(spark):
         for t in range(1, (max_iter if k is None else k) + 1):
             reached = (
@@ -321,10 +335,9 @@ def khop_vertices(
             new = reached.join(state.select("vid"), "vid", "left_anti")
             # stride discipline (sssp.py): reliable parquet truncation only
             # at stride boundaries; mid-stride rounds cut lineage with a
-            # lazy localCheckpoint that this round's frontier count
-            # materializes. Two interdependent frames: write both before
-            # reaping either previous step (new's plan scans the previous
-            # state step).
+            # lazy localCheckpoint that the next probe's job materializes.
+            # Two interdependent frames: write both before reaping either
+            # previous step (new's plan scans the previous state step).
             boundary = t % stride == 0
             if boundary:
                 new = trunc_front.truncate(new, reap=False)
@@ -335,7 +348,7 @@ def khop_vertices(
             else:
                 new = new.localCheckpoint(eager=False)
                 state = state.unionByName(new).localCheckpoint(eager=False)
-            if new.limit(1).count() == 0:
+            if t % probe_every == 0 and new.limit(1).count() == 0:
                 break
             frontier = new
         if not boundary:
