@@ -74,12 +74,32 @@ def betweenness(
 
 
 def _brandes(edges: DataFrame, sources: list[int], max_iter: int) -> DataFrame:
+    from ..plans.superstep import sized_shuffle
+
     spark = edges.sparkSession
     e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
     e = e.repartition("src").persist()
+    # width ∝ the (source, vid) state: |pivots| × reachable vertices bounds
+    # it; probe the edge count as the proxy (state ≤ |pivots|·|V| but per
+    # -round joins are edge-bound). Width 1 ⇒ fixture-sized: batch the
+    # convergence probes to stride boundaries (empty BFS frontier stays
+    # empty — exact), the scc._scc discipline.
+    n_e = e.limit(8_000_000).count() * max(1, len(sources))
+    with sized_shuffle(spark, n_e) as p_state:
+        return _brandes_rounds(e, spark, sources, max_iter, p_state == 1)
+
+
+def _brandes_rounds(
+    e: DataFrame,
+    spark,
+    sources: list[int],
+    max_iter: int,
+    tiny: bool,
+) -> DataFrame:
     scope = BlockScope(spark)
     trunc_state = EphemeralTruncator(spark, "btw-state")
     trunc_front = EphemeralTruncator(spark, "btw-front")
+    probe_every = 4 if tiny else 1
 
     # forward sweep: state (source, vid, level, sigma)
     state = spark.createDataFrame(
@@ -115,7 +135,7 @@ def _brandes(edges: DataFrame, sources: list[int], max_iter: int) -> DataFrame:
         else:
             new_frontier = new_frontier.localCheckpoint(eager=False)
             merged = merged.localCheckpoint(eager=False)
-        n = new_frontier.limit(1).count()
+        n = -1 if (it + 1) % probe_every else new_frontier.limit(1).count()
         if boundary:
             scope.release_new()
         state, frontier = merged, new_frontier
@@ -163,7 +183,10 @@ def _brandes(edges: DataFrame, sources: list[int], max_iter: int) -> DataFrame:
             scope.release_new()
         else:
             delta = delta.localCheckpoint(eager=False)
-            delta.limit(1).count()  # materialize the lazy cut each level
+            if not tiny:
+                # materialize the lazy cut each level; on a width-1 fixture
+                # the whole stride fuses into the boundary's single job
+                delta.limit(1).count()
 
     out = (
         delta.where(F.col("vid") != F.col("source"))

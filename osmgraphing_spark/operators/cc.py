@@ -113,6 +113,12 @@ def components_of_pairs(
     spark = pairs.sparkSession
     from ..plans.superstep import iterative_conf
 
+    # The pair table is typically the output of an expensive upstream plan
+    # (LSH bucket join, SemDeDup, snapshot diff): reliably truncate it ONCE
+    # so the signature probe, round 0, and the member scan below all read
+    # parquet instead of re-running the candidate generator.
+    trunc_in = EphemeralTruncator(spark, "ccpairs-in")
+    edges = trunc_in.truncate(edges)
     with iterative_conf(spark):
         final = _contract(edges, spark, max_iter, None, False, "ccpairs")
     parent = final.groupBy("src").agg(F.min("dst").alias("component"))
@@ -187,7 +193,14 @@ def _run_loop(graph, max_iter, checkpoint, resume):
 
 def _contract(edges, spark, max_iter, checkpoint, resume, tag):
     """Alternate large-star/small-star until the edge set is stable; returns
-    the converged high→low edge set (every non-root → its component min)."""
+    the converged high→low edge set (every non-root → its component min).
+
+    Runs at adaptive shuffle width (`plans.superstep.sized_shuffle`): the
+    per-round state IS the edge set, so a fixture-sized pair graph runs its
+    ~log² n rounds at width 1 (per-task fixed cost dominates there) while
+    big graphs keep the session's full width."""
+    from ..plans.superstep import sized_shuffle
+
     scope = BlockScope(spark)
     trunc = EphemeralTruncator(spark, tag) if checkpoint is None else None
 
@@ -197,6 +210,15 @@ def _contract(edges, spark, max_iter, checkpoint, resume, tag):
         if latest is not None:
             edges = checkpoint.read(latest)
             start = latest + 1
+
+    n_e = edges.limit(8_000_000).count()
+    with sized_shuffle(spark, n_e):
+        return _contract_rounds(
+            edges, spark, max_iter, checkpoint, start, trunc, scope
+        )
+
+
+def _contract_rounds(edges, spark, max_iter, checkpoint, start, trunc, scope):
 
     def _signature(df: DataFrame) -> tuple[int, int]:
         """(row count, order-free content hash) — ONE cheap aggregate

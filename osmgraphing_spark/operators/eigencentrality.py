@@ -99,7 +99,7 @@ def _run_loop(spark, graph, max_iter, tol, weighted, symmetrize, stride):
         .sortWithinPartitions("src", "dst")
         .persist()
     )
-    edges.count()
+    n_e = edges.count()
     verts = (
         graph.vertices.select("vid")
         .repartition(graph.num_blocks, F.col("vid"))
@@ -125,6 +125,22 @@ def _run_loop(spark, graph, max_iter, tol, weighted, symmetrize, stride):
 
     state = verts.select("vid", (F.lit(1.0) / F.lit(float(n))).alias("score"))
 
+    from ..plans.superstep import sized_shuffle
+
+    it = 0
+    # gather/normalize shuffles carry vertex-sized state; run the loop at
+    # adaptive width (edge count as the join-work proxy) so fixture-sized
+    # graphs skip the full-width per-task fixed cost
+    with sized_shuffle(spark, n_e):
+        return _power_loop(
+            spark, edges, verts, state, max_iter, tol, stride, trunc, scope,
+            _pin, _drain,
+        )
+
+
+def _power_loop(
+    spark, edges, verts, state, max_iter, tol, stride, trunc, scope, _pin, _drain
+):
     it = 0
     while it < max_iter:
         raw = (

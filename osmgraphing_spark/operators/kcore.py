@@ -67,7 +67,15 @@ def peel(
 
 
 def _peel_loop(graph, k, rounds, truncate_every):
+    from ..plans.superstep import sized_shuffle
+
     spark = graph.edges.sparkSession
+    n_e = graph.edges.limit(4_000_000).count() * 2  # symmetric view size
+    with sized_shuffle(spark, n_e):
+        return _peel_rounds(graph, k, rounds, truncate_every, spark)
+
+
+def _peel_rounds(graph, k, rounds, truncate_every, spark):
     scope = BlockScope(spark)
     trunc_live = EphemeralTruncator(spark, "kcore-live")
     trunc_surv = EphemeralTruncator(spark, "kcore-surv")
@@ -148,7 +156,15 @@ def coreness(
 
 
 def _coreness_loop(graph, max_k, truncate_every):
+    from ..plans.superstep import sized_shuffle
+
     spark = graph.edges.sparkSession
+    n_e = graph.edges.limit(4_000_000).count() * 2  # symmetric view size
+    with sized_shuffle(spark, n_e):
+        return _coreness_ladder(graph, max_k, truncate_every, spark)
+
+
+def _coreness_ladder(graph, max_k, truncate_every, spark):
     scope = BlockScope(spark)
     t_live = EphemeralTruncator(spark, "coreness-live")
     t_verts = EphemeralTruncator(spark, "coreness-verts")

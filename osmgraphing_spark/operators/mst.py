@@ -69,6 +69,18 @@ def _boruvka_loop(ce, max_rounds, truncate_every):
 
     # components start as singleton vids; only edge endpoints matter
     ce = trunc_edges.truncate(ce)  # the loop re-reads it every round
+    from ..plans.superstep import sized_shuffle
+
+    n_e = ce.limit(8_000_000).count()
+    with sized_shuffle(spark, n_e):
+        return _boruvka_rounds(
+            spark, ce, max_rounds, truncate_every, scope,
+            trunc_comp, trunc_forest,
+        )
+
+
+def _boruvka_rounds(spark, ce, max_rounds, truncate_every, scope,
+                    trunc_comp, trunc_forest):
     comp = (
         ce.select(F.col("u").alias("vid"))
         .unionAll(ce.select(F.col("v").alias("vid")))

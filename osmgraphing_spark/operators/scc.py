@@ -133,7 +133,14 @@ def toposort_layers(
 
     trunc_state = EphemeralTruncator(spark, "topo-state")
     trunc_front = EphemeralTruncator(spark, "topo-frontier")
+    trunc_in = EphemeralTruncator(spark, "topo-edges")
     scope = BlockScope(spark)
+
+    # the DAG is typically a live condensation plan (two joins + distinct
+    # over the SCC labels) that every relaxation round would re-run:
+    # reliably truncate it once so rounds read parquet
+    e = trunc_in.truncate(e)
+    n_e = e.limit(8_000_000).count()
 
     # batched convergence probes on tiny DAGs (same rationale as _scc:
     # per-ACTION fixed cost dominates): an empty frontier stays empty,
@@ -141,7 +148,9 @@ def toposort_layers(
     n_v = verts.limit(250_000).count()
     probe_every = max(truncate_every, 1) if n_v < 250_000 else 1
 
-    with iterative_conf(spark):
+    from ..plans.superstep import sized_shuffle
+
+    with iterative_conf(spark), sized_shuffle(spark, max(n_e, n_v)):
         state = verts.select("id", F.lit(0).cast("long").alias("layer"))
         frontier = state
         converged = False

@@ -71,6 +71,21 @@ def _run_loop(edges, c, max_iter, threshold, truncate_every):
 
     trunc = EphemeralTruncator(spark, "simrank")
     scope = BlockScope(spark)
+    from ..plans.superstep import sized_shuffle
+
+    # width proxy: pair-BSP state is bounded below by |E| and (pruned by
+    # `threshold` at scale) typically a small multiple of it — 8× biases
+    # wide, and the session conf still caps big graphs at full width
+    n_e = e.limit(1_000_000).count() * 8
+    with sized_shuffle(spark, n_e):
+        return _simrank_rounds(
+            spark, diag, ein, indeg, c, max_iter, threshold, truncate_every,
+            trunc, scope,
+        )
+
+
+def _simrank_rounds(spark, diag, ein, indeg, c, max_iter, threshold,
+                    truncate_every, trunc, scope):
     # sparse symmetric state INCLUDING the diagonal (the recurrence reads it)
     state = diag
     for it in range(1, max_iter + 1):

@@ -86,6 +86,32 @@ def _run_loop(graph, sources, weighted, max_iter, checkpoint, resume,
     trunc_state = EphemeralTruncator(spark, "sssp-state")
     trunc_front = EphemeralTruncator(spark, "sssp-frontier")
 
+    # adaptive loop width + batched probes (the scc._scc discipline): the
+    # per-round joins are bounded by |E|·|sources| wavefront work; width 1
+    # ⇒ fixture-sized, so convergence probes move to stride boundaries —
+    # exact, because a relaxation round over an EMPTY frontier is empty
+    # again (the wasted post-fixpoint rounds are no-op jobs). Checkpointed
+    # runs keep per-round probes (metrics want the per-step frontier size).
+    from ..plans.superstep import sized_shuffle
+
+    n_e = graph.edges.limit(8_000_000).count() * max(1, len(sources))
+    with sized_shuffle(spark, n_e) as p_state:
+        probe_every = (
+            max(truncate_every, 1)
+            if p_state == 1 and checkpoint is None
+            else 1
+        )
+        return _relax_rounds(
+            spark, graph, edges, sources, max_iter, checkpoint, resume,
+            track_paths, truncate_every, scope, trunc_state, trunc_front,
+            probe_every,
+        )
+
+
+def _relax_rounds(spark, graph, edges, sources, max_iter, checkpoint, resume,
+                  track_paths, truncate_every, scope, trunc_state, trunc_front,
+                  probe_every):
+
     state = spark.createDataFrame(
         [(int(s), int(s), 0.0, -1) for s in sources],
         "source long, vid long, dist double, pred long",
@@ -163,7 +189,11 @@ def _run_loop(graph, sources, weighted, max_iter, checkpoint, resume,
             merged = merged.localCheckpoint(eager=False)
         trunc_front.reap()
         trunc_state.reap()
-        n_front = new_frontier.limit(1).count()
+        n_front = (
+            -1
+            if (it - start + 1) % probe_every
+            else new_frontier.limit(1).count()
+        )
         if boundary:
             scope.release_new()
         if checkpoint is not None:

@@ -137,6 +137,17 @@ def _peel_loop(edges, k, rounds, truncate_every):
 
     live = t_live.truncate(_canonical(edges))
     n_prev = live.count()
+    from ..plans.superstep import sized_shuffle
+
+    with sized_shuffle(spark, n_prev):
+        return _peel_rounds(
+            spark, live, k, rounds, truncate_every, scope,
+            t_live, t_res, t_orient, n_prev,
+        )
+
+
+def _peel_rounds(spark, live, k, rounds, truncate_every, scope,
+                 t_live, t_res, t_orient, n_prev):
     r = 0
     while rounds is None or r < rounds:
         sup = _support(live, t_orient)

@@ -61,6 +61,29 @@ def iterative_conf(spark: SparkSession):
                 spark.conf.set(k, v)
 
 
+@contextmanager
+def sized_shuffle(spark: SparkSession, n_rows: int, rows_per_partition: int = 250_000):
+    """Loop-scoped shuffle width sized to the state actually shuffling.
+
+    Iterative per-vertex state is tiny compared to the session's configured
+    width: a 32-partition exchange per join/agg on a fixture-sized frame is
+    pure per-task fixed cost (measured ~1.7× of the wall clock on the tiny
+    driver digraphs). Target ~`rows_per_partition` rows per shuffle
+    partition, capped by the session's configured parallelism so big inputs
+    keep their full width — the manual analogue of AQE partition
+    coalescing, which ``iterative_conf`` disables for plan stability.
+    Yields the chosen width (1 ⇒ the caller may also batch its convergence
+    probes to stride boundaries, the `scc._scc` discipline); restores the
+    session conf on exit."""
+    conf_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    p = max(1, min(conf_p, (int(n_rows) + rows_per_partition - 1) // rows_per_partition))
+    spark.conf.set("spark.sql.shuffle.partitions", str(p))
+    try:
+        yield p
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(conf_p))
+
+
 def maybe_broadcast(df: DataFrame, n_rows: int) -> DataFrame:
     if BROADCAST_VERTEX_LIMIT and n_rows <= BROADCAST_VERTEX_LIMIT:
         return F.broadcast(df)
