@@ -259,6 +259,38 @@ def build_graph(
     width instead of ``weight``: dedup/clamp act on the whole vector and
     ``weight`` becomes an alias of ``metrics[0]`` (so every algorithm's
     weighted mode keeps working)."""
+    from ..plans.checkpoint import EphemeralTruncator
+    from ..plans.superstep import sized_shuffle
+
+    spark = raw_edges.sparkSession
+    # The raw edge table is typically a LIVE extraction plan (pandas-UDF
+    # parse over `content`): the build reads it three times (endpoint-key
+    # union ×2, densify join ×1), which at corpus scale is three full
+    # parses. Reliably truncate it ONCE — the extracted edges are a small
+    # fraction of corpus bytes, so one parquet round-trip beats two
+    # re-parses at every scale (and the sha256 verify fires here, failing
+    # the build on the first corrupt row before any graph work runs).
+    raw_edges = EphemeralTruncator(spark, "rawedges").truncate(raw_edges)
+    n_raw = raw_edges.limit(16_000_000).count()
+    # Build-phase exchanges (dedup, key distinct, densify, degree agg)
+    # carry edge-sized rows: run them at adaptive width — full session
+    # width for big graphs, ~250k rows/partition below that (fixture-sized
+    # builds otherwise pay ~10 full-width shuffles of per-task fixed cost).
+    # Explicit partitionings (range-partitioned vid assignment, the
+    # hash(src) resting layout) are pinned by num_blocks/id_partitions and
+    # unaffected by the session conf.
+    with sized_shuffle(spark, n_raw):
+        return _build_graph_body(
+            raw_edges, num_blocks, id_partitions, metric_names
+        )
+
+
+def _build_graph_body(
+    raw_edges: DataFrame,
+    num_blocks: int,
+    id_partitions: int,
+    metric_names: list[str] | None,
+) -> Graph:
     if metric_names:
         edges_d = dedup_edges_multi(raw_edges).withColumn(
             "weight", F.element_at(F.col("metrics"), 1)
