@@ -4416,7 +4416,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.c_nationkey::BIGINT AS src,
                    s.s_nationkey::BIGINT AS dst,
                    COUNT(*) AS n_edges,
-                   ROUND(SUM(1.0), 6) AS weight
+                   ROUND(CAST(SUM(1.0) AS DOUBLE), 6) AS weight
             FROM e
             JOIN customer c ON c.c_custkey = e.src
             JOIN supplier s ON s.s_suppkey + {SUPP_OFFSET} = e.dst
