@@ -694,6 +694,26 @@ def q_hits8(spark, sf_dir):
     )
 
 
+def q_salsa8(spark, sf_dir):
+    """SALSA (operators/salsa): 8 fixed degree-normalized walk iterations
+    (auth ← hub/outdeg, hub ← auth/indeg), L1-normalized each half-step,
+    on the customer→supplier bipartite graph — the TKC-resistant cousin of
+    HITS and the ranker behind who-to-follow recommenders. Fixed
+    iterations ⇒ exact chained-CTE replay oracle (mod 1e-6 rounding)."""
+    from osmgraphing_spark.operators import salsa as salsa_op
+
+    g = _cached_graph(spark, sf_dir, "bipartite", _bipartite_raw_edges, 8)
+    res = salsa_op.run(g, max_iter=8, tol=0.0)
+    return (
+        res.join(g.vertices, "vid")
+        .select(
+            _key_to_node_id(F.col("key")).alias("node_id"),
+            F.round("hub", 6).alias("hub"),
+            F.round("authority", 6).alias("authority"),
+        )
+    )
+
+
 EIGEN_ITERS = 6
 
 
@@ -2606,6 +2626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr5": q_ppr5,
         "link_spam_mass": q_link_spam_mass,
         "hits8": q_hits8,
+        "salsa8": q_salsa8,
         "eigen_links": q_eigen_links,
         "kcore_links": q_kcore_links,
         "triangles_per_vertex_nations": q_triangles_per_vertex_nations,
@@ -2783,6 +2804,35 @@ _HITS_ITER = """
             FROM v LEFT JOIN (
                 SELECT e.src AS vid, SUM(a{K}.auth) AS c
                 FROM e JOIN a{K} ON e.dst = a{K}.vid GROUP BY e.src
+            ) s ON v.vid = s.vid
+        )
+    )"""
+
+
+#: one SALSA iteration: HITS's sums become walk steps (÷ outdeg forward,
+#: ÷ indeg backward); od/idg CTEs are defined once in _salsa8_sql
+_SALSA_ITER = """
+    a{K} AS (
+        SELECT vid, a / SUM(a) OVER () AS auth FROM (
+            SELECT v.vid, COALESCE(s.c, 0) AS a
+            FROM v LEFT JOIN (
+                SELECT e.dst AS vid, SUM(h{P}.hub / od.d) AS c
+                FROM e
+                JOIN h{P} ON e.src = h{P}.vid
+                JOIN od ON e.src = od.src
+                GROUP BY e.dst
+            ) s ON v.vid = s.vid
+        )
+    ),
+    h{K} AS (
+        SELECT vid, h / SUM(h) OVER () AS hub FROM (
+            SELECT v.vid, COALESCE(s.c, 0) AS h
+            FROM v LEFT JOIN (
+                SELECT e.src AS vid, SUM(a{K}.auth / idg.d) AS c
+                FROM e
+                JOIN a{K} ON e.dst = a{K}.vid
+                JOIN idg ON e.dst = idg.dst
+                GROUP BY e.src
             ) s ON v.vid = s.vid
         )
     )"""
@@ -3195,6 +3245,25 @@ def _hits8_sql(iters: int = 8) -> str:
     ]
     for k in range(1, iters + 1):
         parts.append("," + _HITS_ITER.format(K=k, P=k - 1))
+    parts.append(
+        f"SELECT h{iters}.vid AS node_id, ROUND(h{iters}.hub, 6) AS hub, "
+        f"ROUND(a{iters}.auth, 6) AS authority "
+        f"FROM h{iters} JOIN a{iters} ON h{iters}.vid = a{iters}.vid"
+    )
+    return "\n".join(parts)
+
+
+def _salsa8_sql(iters: int = 8) -> str:
+    parts = [
+        "WITH e AS (" + SQL_BIPARTITE_EDGES + "),",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e),",
+        "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),",
+        "od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY src),",
+        "idg AS (SELECT dst, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY dst),",
+        "h0 AS (SELECT vid, CAST(1.0 AS DOUBLE)/(SELECT n FROM n) AS hub FROM v)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append("," + _SALSA_ITER.format(K=k, P=k - 1))
     parts.append(
         f"SELECT h{iters}.vid AS node_id, ROUND(h{iters}.hub, 6) AS hub, "
         f"ROUND(a{iters}.auth, 6) AS authority "
@@ -4025,6 +4094,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN ({_ppr5_sql()}) b ON a.node_id = b.node_id
         """,
         "hits8": _hits8_sql(),
+        "salsa8": _salsa8_sql(),
         "eigen_links": _eigen_sql(),
         "kcore_links": _kcore_sql(),
         "triangles_per_vertex_nations": """

@@ -149,6 +149,7 @@ OPERATOR_QUERIES = [
     "katz_nations",
     "doc_bpe_tokens",
     "eigen_links",
+    "salsa8",
     "link_predictors",
     "link_butterflies",
     "embed_kmeans",

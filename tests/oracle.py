@@ -178,3 +178,34 @@ def hits(
         if d < tol:
             break
     return hub, auth
+
+
+def salsa(
+    n: int,
+    edges: list[tuple[int, int]],
+    max_iter: int = 20,
+    tol: float = 1e-9,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(hub, authority), degree-normalized walk steps, L1-normalized each
+    half-step — mirrors operators/salsa.py exactly (auth from hub/outdeg
+    first, then hubs from the NEW authorities / indeg)."""
+    src = np.array([e[0] for e in edges], dtype=np.int64)
+    dst = np.array([e[1] for e in edges], dtype=np.int64)
+    od = np.zeros(n)
+    np.add.at(od, src, 1.0)
+    idg = np.zeros(n)
+    np.add.at(idg, dst, 1.0)
+    hub = np.full(n, 1.0 / n)
+    auth = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        new_auth = np.zeros(n)
+        np.add.at(new_auth, dst, hub[src] / od[src])
+        new_auth /= new_auth.sum()
+        new_hub = np.zeros(n)
+        np.add.at(new_hub, src, new_auth[dst] / idg[dst])
+        new_hub /= new_hub.sum()
+        d = np.max(np.abs(new_hub - hub)) + np.max(np.abs(new_auth - auth))
+        hub, auth = new_hub, new_auth
+        if d < tol:
+            break
+    return hub, auth
