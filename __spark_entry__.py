@@ -2035,6 +2035,30 @@ def q_doc_temp_mixture(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+RAKE_ROUNDS = 3
+
+
+def q_doc_rake_weights(spark, sf_dir):
+    """Two-margin mixture raking (operators/raking.rake_cells): IPF over
+    the (lang × source) joint with uniform targets on BOTH margins —
+    equal mass per language AND per source simultaneously, which no
+    single-margin temperature scaling can hit. Corpus touched once
+    (the cell count); the bounded cell matrix rakes driver-side and the
+    per-document weight broadcasts back. Cell masses and weights after
+    RAKE_ROUNDS rounds are value-checked against an unrolled SQL replay."""
+    from osmgraphing_spark.operators import raking
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "source")
+    cells = raking.rake_cells(docs, "lang", "source", rounds=RAKE_ROUNDS)
+    return cells.select(
+        "lang",
+        "source",
+        "n",
+        F.round("mass", 6).alias("mass"),
+        F.round("weight", 6).alias("weight"),
+    )
+
+
 def q_doc_train_split(spark, sf_dir):
     """Leakage-safe train/val/test split (operators/sampling.
     leakage_safe_split): near-dup clusters (same pipeline as
@@ -2686,6 +2710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_bowtie": q_link_bowtie,
         "doc_train_split": q_doc_train_split,
         "doc_temp_mixture": q_doc_temp_mixture,
+        "doc_rake_weights": q_doc_rake_weights,
         "multi_metric_edges": q_multi_metric_edges,
         "normalize_metrics": q_normalize_metrics,
         "harmonic_nations": q_harmonic_nations,
@@ -3249,6 +3274,40 @@ def _hits8_sql(iters: int = 8) -> str:
         f"SELECT h{iters}.vid AS node_id, ROUND(h{iters}.hub, 6) AS hub, "
         f"ROUND(a{iters}.auth, 6) AS authority "
         f"FROM h{iters} JOIN a{iters} ON h{iters}.vid = a{iters}.vid"
+    )
+    return "\n".join(parts)
+
+
+def _rake_sql(rounds: int = 3) -> str:
+    """Unrolled IPF replay: round k = row-scale (uniform per-lang target
+    total/n_langs) then column-scale (uniform per-source target
+    total/n_sources) — mirrors operators/raking.rake_cells."""
+    parts = [
+        "WITH c0 AS (SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS m,",
+        "            COUNT(*) AS n FROM documents GROUP BY lang, source),",
+        "tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM documents),",
+        "nr AS (SELECT CAST(COUNT(DISTINCT lang) AS DOUBLE) AS k FROM c0),",
+        "nc AS (SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS k FROM c0)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""
+    , r{i} AS (SELECT lang, SUM(m) AS s FROM c{i - 1} GROUP BY lang)
+    , a{i} AS (
+        SELECT c.lang, c.source, c.n,
+               c.m * ((SELECT t FROM tot) / (SELECT k FROM nr)) / r.s AS m
+        FROM c{i - 1} c JOIN r{i} r ON c.lang = r.lang
+    )
+    , s{i} AS (SELECT source, SUM(m) AS s FROM a{i} GROUP BY source)
+    , c{i} AS (
+        SELECT a.lang, a.source, a.n,
+               a.m * ((SELECT t FROM tot) / (SELECT k FROM nc)) / s.s AS m
+        FROM a{i} a JOIN s{i} s ON a.source = s.source
+    )"""
+        )
+    parts.append(
+        f"SELECT lang, source, n, ROUND(m, 6) AS mass, "
+        f"ROUND(m / n, 6) AS weight FROM c{rounds}"
     )
     return "\n".join(parts)
 
@@ -5515,6 +5574,7 @@ def oracle_sql() -> dict[str, str]:
             FROM u JOIN q ON q.lang = u.lang
             WHERE u.b < q.thresh
         """,
+        "doc_rake_weights": _rake_sql(RAKE_ROUNDS),
         "link_partition_stats": f"""
             WITH e AS ({SQL_BIPARTITE_EDGES}),
             b AS (

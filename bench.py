@@ -178,6 +178,7 @@ OPERATOR_QUERIES = [
     "doc_train_split",
     "link_ego_net",
     "doc_temp_mixture",
+    "doc_rake_weights",
     "link_bowtie",
     "link_spam_mass",
     "simrank_nations",
