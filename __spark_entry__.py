@@ -2059,6 +2059,45 @@ def q_doc_rake_weights(spark, sf_dir):
     )
 
 
+LR_ITERS = 4
+LR_RATE = 1.0
+#: the "curated seed" sources the classifier learns to recognize (GPT-3
+#: App. A shape: seed-vs-crawl logistic filter)
+LR_SEED_SOURCES = ("src0", "src1")
+
+
+def q_doc_lr_quality(spark, sf_dir):
+    """GPT-3-style quality classifier (operators/logreg): logistic
+    regression trained IN-ENGINE (full-batch GD, LR_ITERS fixed steps,
+    one map-side-combinable aggregate per step over a persisted slim
+    feature frame) to separate the curated seed sources from the rest of
+    the corpus on three text features (length factor, punct ratio,
+    stopword ratio). Scoring is a pure column expression. Training AND
+    every document's score are value-checked against an unrolled SQL
+    replay of the same gradient descent."""
+    from osmgraphing_spark.functions import text as tf
+    from osmgraphing_spark.operators import logreg
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    feats = docs.select(
+        "doc_id",
+        F.least(tf.token_count(t).cast("double") / 100.0, F.lit(1.0)).alias(
+            "x_len"
+        ),
+        tf.punct_ratio(t).alias("x_punct"),
+        tf.stopword_ratio(t).alias("x_stop"),
+        F.col("source").isin(*LR_SEED_SOURCES).cast("long").alias("is_seed"),
+    )
+    cols = ["x_len", "x_punct", "x_stop"]
+    w = logreg.train(feats, cols, "is_seed", lr=LR_RATE, iters=LR_ITERS)
+    return feats.select(
+        "doc_id",
+        F.round(logreg.score(cols, w), 6).alias("lr_score"),
+        "is_seed",
+    )
+
+
 def q_doc_train_split(spark, sf_dir):
     """Leakage-safe train/val/test split (operators/sampling.
     leakage_safe_split): near-dup clusters (same pipeline as
@@ -2711,6 +2750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_train_split": q_doc_train_split,
         "doc_temp_mixture": q_doc_temp_mixture,
         "doc_rake_weights": q_doc_rake_weights,
+        "doc_lr_quality": q_doc_lr_quality,
         "multi_metric_edges": q_multi_metric_edges,
         "normalize_metrics": q_normalize_metrics,
         "harmonic_nations": q_harmonic_nations,
@@ -3274,6 +3314,56 @@ def _hits8_sql(iters: int = 8) -> str:
         f"SELECT h{iters}.vid AS node_id, ROUND(h{iters}.hub, 6) AS hub, "
         f"ROUND(a{iters}.auth, 6) AS authority "
         f"FROM h{iters} JOIN a{iters} ON h{iters}.vid = a{iters}.vid"
+    )
+    return "\n".join(parts)
+
+
+def _lr_quality_sql(iters: int = 4, lr: float = 1.0) -> str:
+    """Unrolled full-batch-GD replay of operators/logreg.train + score —
+    mirrors q_doc_lr_quality (features, seed labels, update rule)."""
+    seeds = ", ".join(f"'{s}'" for s in LR_SEED_SOURCES)
+    parts = [
+        f"""WITH f AS (
+            SELECT doc_id,
+                   LEAST(CAST({_DOC_TOKS} AS DOUBLE) / 100.0, 1.0) AS x1,
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                             / length(text) END AS x2,
+                   CASE WHEN {_DOC_TOKS} = 0 THEN 0.0
+                        ELSE CAST({_DOC_STOP_HITS} AS DOUBLE) / {_DOC_TOKS} END AS x3,
+                   CASE WHEN source IN ({seeds}) THEN 1.0 ELSE 0.0 END AS y
+            FROM documents
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM f),
+        w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)""",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"""
+    , r{k} AS (
+        SELECT f.x1, f.x2, f.x3,
+               f.y - 1.0 / (1.0 + EXP(-(w.b + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3))) AS r
+        FROM f, w{p} w
+    )
+    , g{k} AS (
+        SELECT SUM(r) AS g0, SUM(r*x1) AS g1, SUM(r*x2) AS g2, SUM(r*x3) AS g3
+        FROM r{k}
+    )
+    , w{k} AS (
+        SELECT w.b  + {lr} * g.g0 / (SELECT n FROM nn) AS b,
+               w.w1 + {lr} * g.g1 / (SELECT n FROM nn) AS w1,
+               w.w2 + {lr} * g.g2 / (SELECT n FROM nn) AS w2,
+               w.w3 + {lr} * g.g3 / (SELECT n FROM nn) AS w3
+        FROM w{p} w, g{k} g
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT f.doc_id,
+           ROUND(1.0 / (1.0 + EXP(-(w.b + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3))), 6) AS lr_score,
+           CAST(f.y AS BIGINT) AS is_seed
+    FROM f, w{iters} w"""
     )
     return "\n".join(parts)
 
@@ -5575,6 +5665,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE u.b < q.thresh
         """,
         "doc_rake_weights": _rake_sql(RAKE_ROUNDS),
+        "doc_lr_quality": _lr_quality_sql(LR_ITERS, LR_RATE),
         "link_partition_stats": f"""
             WITH e AS ({SQL_BIPARTITE_EDGES}),
             b AS (

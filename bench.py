@@ -179,6 +179,7 @@ OPERATOR_QUERIES = [
     "link_ego_net",
     "doc_temp_mixture",
     "doc_rake_weights",
+    "doc_lr_quality",
     "link_bowtie",
     "link_spam_mass",
     "simrank_nations",
