@@ -180,6 +180,31 @@ class LinkGraph:
             vertices=labels.select(F.col("scc").alias("id")).distinct(),
         ).withColumnRenamed("id", "scc")
 
+    def hits(self, max_iter: int = 20, tol: float = 1e-9) -> DataFrame:
+        """HITS → (vid, hub, authority), L1-normalized."""
+        from .operators import hits as _hits
+
+        return _hits.run(self.graph, max_iter=max_iter, tol=tol)
+
+    def salsa(self, max_iter: int = 20, tol: float = 1e-9) -> DataFrame:
+        """SALSA (degree-normalized hubs/authorities, TKC-resistant) →
+        (vid, hub, authority), L1-normalized."""
+        from .operators import salsa as _salsa
+
+        return _salsa.run(self.graph, max_iter=max_iter, tol=tol)
+
+    def katz(self, **kw) -> DataFrame:
+        """Katz centrality → (vid, katz)."""
+        from .operators import katz as _katz
+
+        return _katz.run(self.graph, **kw)
+
+    def eigencentrality(self, **kw) -> DataFrame:
+        """Eigenvector centrality (L1 power iteration) → (vid, score)."""
+        from .operators import eigencentrality as _eigen
+
+        return _eigen.run(self.graph, **kw)
+
     def coreness(self, **kw) -> DataFrame:
         """Full core decomposition → (vid, coreness)."""
         from .operators import kcore as _kcore

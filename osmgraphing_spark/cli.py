@@ -68,6 +68,7 @@ class JobConfig:
         "pagerank", "cc", "lpa", "triangles", "degrees", "sssp", "metrics",
         "scc", "build_order", "coreness", "harmonic", "closeness", "stats",
         "clustering", "louvain", "neighborhood", "betweenness", "truss",
+        "hits", "salsa", "katz", "eigencentrality",
     )
     betweenness: dict = field(default_factory=dict)
     truss: dict = field(default_factory=lambda: {"k": 4})
@@ -177,6 +178,14 @@ def run(cfg: JobConfig, resume: bool = False) -> dict:
             df = lg.with_keys(lg.closeness_centrality())
         elif algo == "truss":
             df = lg.truss(**cfg.truss)
+        elif algo == "hits":
+            df = lg.with_keys(lg.hits())
+        elif algo == "salsa":
+            df = lg.with_keys(lg.salsa())
+        elif algo == "katz":
+            df = lg.with_keys(lg.katz())
+        elif algo == "eigencentrality":
+            df = lg.with_keys(lg.eigencentrality())
         elif algo == "stats":
             df = lg.graph_stats()
         elif algo == "clustering":

@@ -238,6 +238,17 @@ def test_api_new_algorithms_surface(spark, tmp_path):
     canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
     assert set(tr) == canon and all(s >= 0 for s in tr.values())
 
+    # link-analysis family wrappers: L1-normalized score columns
+    for rows, cols in (
+        (lg.hits(max_iter=4, tol=0.0).collect(), ("hub", "authority")),
+        (lg.salsa(max_iter=4, tol=0.0).collect(), ("hub", "authority")),
+        (lg.katz(max_iter=4).collect(), ("katz",)),
+        (lg.eigencentrality(max_iter=4).collect(), ("score",)),
+    ):
+        assert {r["vid"] for r in rows} == set(labels)
+        for c in cols:
+            assert all(r[c] >= 0 for r in rows)
+
 
 def test_cli_new_algorithms(spark, tmp_path):
     """CLI runs the new algorithm names and writes one parquet per algo."""
@@ -249,6 +260,7 @@ def test_cli_new_algorithms(spark, tmp_path):
         algorithms=[
             "scc", "build_order", "stats", "clustering", "louvain",
             "neighborhood", "betweenness", "closeness", "truss",
+            "hits", "salsa",
         ],
         truss={"k": 2},
         num_blocks=4,
@@ -258,6 +270,7 @@ def test_cli_new_algorithms(spark, tmp_path):
     assert set(summary["outputs"]) == {
         "scc", "build_order", "stats", "clustering", "louvain",
         "neighborhood", "betweenness", "closeness", "truss",
+        "hits", "salsa",
     }
     for path in summary["outputs"].values():
         assert os.path.exists(os.path.join(path, "_SUCCESS"))
