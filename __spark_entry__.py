@@ -1880,6 +1880,26 @@ def _nation_weighted_raw_edges(spark, sf_dir):
     )
 
 
+def q_link_diameter(spark, sf_dir):
+    """Double-sweep diameter lower bound (operators/graphstats
+    .double_sweep_diameter): weighted SSSP from the min vertex, again from
+    the farthest vertex reached — the iFUB seed bound (Crescenzi et al.),
+    here on the weighted nation co-region digraph (the bound covers the
+    start's reachable set, i.e. its region clique). Two BSP sweeps, O(1)
+    driver state, start/far reported as nationkeys."""
+    from osmgraphing_spark.operators import graphstats as gs
+
+    g = _cached_graph(spark, sf_dir, "nation_w", _nation_weighted_raw_edges, 4)
+    res = gs.double_sweep_diameter(g, weighted=True)
+    out = _vid_to_nationkey(g, res, ["start", "far"])
+    return out.select(
+        F.col("start").cast("int").alias("start"),
+        F.round("ecc_start", 6).alias("ecc_start"),
+        F.col("far").cast("int").alias("far"),
+        F.round("diameter_lb", 6).alias("diameter_lb"),
+    )
+
+
 def q_sssp_nations(spark, sf_dir):
     """O6/G1 capability analogue: multi-source BSP Bellman-Ford shortest
     paths (operators/sssp.py) on the weighted nation digraph; unreachable
@@ -2743,6 +2763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_pq_topk": q_embed_pq_topk,
         "embed_near_dups": q_embed_near_dups,
         "sssp_nations": q_sssp_nations,
+        "link_diameter": q_link_diameter,
         "link_landmark_est": q_link_landmark_est,
         "link_partition_stats": q_link_partition_stats,
         "link_ego_net": q_link_ego_net,
@@ -5463,6 +5484,38 @@ def oracle_sql() -> dict[str, str]:
         "embed_pq_topk": _embed_pq_topk_sql(),
         "mis_nations": _mis_nations_sql(),
         "embed_near_dups": _embed_near_dups_sql(),
+        "link_diameter": """
+            WITH RECURSIVE e AS (
+                SELECT a.n_nationkey AS src, b.n_nationkey AS dst,
+                       1.0 + ((a.n_nationkey * 7 + b.n_nationkey) % 5) AS w
+                FROM nation a JOIN nation b
+                  ON a.n_regionkey = b.n_regionkey
+                 AND a.n_nationkey <> b.n_nationkey
+            ),
+            s0 AS (SELECT MIN(n_nationkey) AS v FROM nation),
+            w1(vid, dist, hops) AS (
+                SELECT v, CAST(0 AS DOUBLE), 0 FROM s0
+                UNION ALL
+                SELECT e.dst, p.dist + e.w, p.hops + 1
+                FROM w1 p JOIN e ON e.src = p.vid
+                WHERE p.hops < 6
+            ),
+            d1 AS (SELECT vid, MIN(dist) AS d FROM w1 GROUP BY vid),
+            far AS (SELECT vid, d FROM d1 ORDER BY d DESC, vid ASC LIMIT 1),
+            w2(vid, dist, hops) AS (
+                SELECT vid, CAST(0 AS DOUBLE), 0 FROM far
+                UNION ALL
+                SELECT e.dst, p.dist + e.w, p.hops + 1
+                FROM w2 p JOIN e ON e.src = p.vid
+                WHERE p.hops < 6
+            ),
+            d2 AS (SELECT vid, MIN(dist) AS d FROM w2 GROUP BY vid)
+            SELECT CAST((SELECT v FROM s0) AS INTEGER) AS start,
+                   ROUND((SELECT d FROM far), 6) AS ecc_start,
+                   CAST((SELECT vid FROM far) AS INTEGER) AS far,
+                   ROUND(GREATEST((SELECT d FROM far),
+                                  (SELECT MAX(d) FROM d2)), 6) AS diameter_lb
+        """,
         "sssp_nations": f"""
             WITH RECURSIVE e AS (
                 SELECT a.n_nationkey AS src, b.n_nationkey AS dst,

@@ -108,6 +108,7 @@ OPERATOR_QUERIES = [
     "event_value_quantiles",
     "event_props_k",
     "sssp_nations",
+    "link_diameter",
     "multi_metric_edges",
     "kcore_links",
     "embed_near_dups",

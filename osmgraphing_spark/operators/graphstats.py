@@ -542,3 +542,39 @@ def attribute_assortativity(edges: DataFrame, labels: DataFrame) -> DataFrame:
             ).alias("assortativity")
         )
     )
+
+
+def double_sweep_diameter(
+    graph, weighted: bool = False, start: int | None = None
+) -> DataFrame:
+    """Directed double-sweep diameter lower bound → one row
+    (start, ecc_start, far, diameter_lb): BFS/SSSP from ``start`` (default:
+    min vid — deterministic), hop to the farthest reached vertex (ties:
+    min vid), sweep again from there; its eccentricity is the classic
+    double-sweep lower bound on the directed diameter (the seed step of
+    iFUB, and usually tight on real small-world graphs — Crescenzi et al.).
+
+    Scale: exactly two multi-source-BSP runs of operators/sssp (each cost =
+    diameter rounds over a delta frontier) plus two O(1) driver scalars
+    (the argmax row and the max); nothing vertex-sized leaves the cluster.
+    Unreachable vertices are absent from a sweep (the engine's SSSP
+    convention), so the bound is over the start's reachable set.
+    """
+    from . import sssp as sssp_op
+
+    spark = graph.edges.sparkSession
+    if start is None:
+        start = graph.vertices.agg(F.min("vid")).collect()[0][0]
+    d1 = sssp_op.run(graph, [int(start)], weighted=weighted)
+    far_row = (
+        d1.orderBy(F.col("dist").desc(), F.col("vid").asc())
+        .select("vid", "dist")
+        .first()
+    )
+    far, ecc1 = int(far_row["vid"]), float(far_row["dist"])
+    d2 = sssp_op.run(graph, [far], weighted=weighted)
+    ecc2 = float(d2.agg(F.max("dist")).collect()[0][0])
+    return spark.createDataFrame(
+        [(int(start), ecc1, far, max(ecc1, ecc2))],
+        "start long, ecc_start double, far long, diameter_lb double",
+    )

@@ -288,3 +288,41 @@ def test_attribute_assortativity_mirror_and_extremes(spark):
         col[j] += v
     sabn = sum(row[i] * col[i] for i in set(row) | set(col))
     assert got == round((m * trn - sabn) / (m * m - sabn), 6)
+
+
+def test_double_sweep_diameter(spark):
+    """Directed path 0->1->2->3 plus shortcut 0->2: from start 0 the BFS
+    eccentricity is 2 (0->2->3), farthest vertex = 3 (tie-break none);
+    sweep 2 from 3 reaches nothing, so the bound stays max(2, 0) = 2."""
+    from osmgraphing_spark.operators import graphstats as gs
+    from .helpers import graph_from_pairs, key_to_vid
+
+    g = graph_from_pairs(
+        spark, [("a0", "a1"), ("a1", "a2"), ("a2", "a3"), ("a0", "a2")]
+    )
+    vid = key_to_vid(g)
+    row = gs.double_sweep_diameter(g, weighted=False).collect()[0]
+    assert row["start"] == vid["a0"]
+    assert row["ecc_start"] == 2.0
+    assert row["far"] == vid["a3"]
+    assert row["diameter_lb"] == 2.0
+
+
+def test_double_sweep_weighted_cycle(spark):
+    """Weighted 3-cycle a->b (1), b->c (1), c->a (5): from a, dist(c)=2 is
+    the farthest; from c the far sweep pays 5+1=6 to b — the second sweep
+    must RAISE the bound to 6 (max of the two eccentricities)."""
+    from osmgraphing_spark.operators import graphstats as gs
+    from osmgraphing_spark.operators.build import build_graph
+    from .helpers import key_to_vid
+
+    raw = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 5.0)],
+        "src_key string, dst_key string, weight double",
+    )
+    g = build_graph(raw, num_blocks=2, id_partitions=2)
+    vid = key_to_vid(g)
+    row = gs.double_sweep_diameter(g, weighted=True).collect()[0]
+    assert row["start"] == vid["a"]
+    assert row["ecc_start"] == 2.0 and row["far"] == vid["c"]
+    assert row["diameter_lb"] == 6.0
