@@ -256,6 +256,55 @@ def _stage_train_split(spark, docs, p):
     return out, {"split_counts": counts}
 
 
+def _stage_quality_filter(spark, docs, p):
+    """GPT-3-style quality gate: train the in-engine logistic classifier
+    (operators/logreg) to recognize ``seed_sources``, then keep documents
+    scoring ≥ ``threshold`` (seed documents kept unconditionally unless
+    ``keep_seed`` is false). Reports the trained weights."""
+    from .functions import text as tf
+    from .operators import logreg
+
+    t = F.col("text")
+    feats = docs.select(
+        "doc_id",
+        F.least(tf.token_count(t).cast("double") / 100.0, F.lit(1.0)).alias(
+            "x_len"
+        ),
+        tf.punct_ratio(t).alias("x_punct"),
+        tf.stopword_ratio(t).alias("x_stop"),
+        F.col("source").isin(*p["seed_sources"]).cast("long").alias("is_seed"),
+    )
+    cols = ["x_len", "x_punct", "x_stop"]
+    w = logreg.train(
+        feats, cols, "is_seed", lr=p.get("lr", 1.0), iters=p.get("iters", 4)
+    )
+    scored = feats.select("doc_id", logreg.score(cols, w).alias("_q"), "is_seed")
+    keep = F.col("_q") >= float(p.get("threshold", 0.5))
+    if p.get("keep_seed", True):
+        keep = keep | (F.col("is_seed") == 1)
+    survivors = scored.where(keep).select("doc_id")
+    return (
+        docs.join(survivors, "doc_id", "left_semi"),
+        {"weights": [round(x, 6) for x in w]},
+    )
+
+
+def _stage_rake_weights(spark, docs, p):
+    """TRANSFORM stage (row count unchanged): attach the two-margin IPF
+    sampling weight (operators/raking) over (row_col × col_col)."""
+    from .operators import raking
+
+    out = raking.rake_weights(
+        docs,
+        p.get("row_col", "lang"),
+        p.get("col_col", "source"),
+        p.get("row_targets"),
+        p.get("col_targets"),
+        rounds=p.get("rounds", 3),
+    )
+    return out, {}
+
+
 STAGES = {
     "filter_funnel": _stage_filter_funnel,
     "exact_dedup": _stage_exact_dedup,
@@ -271,6 +320,8 @@ STAGES = {
     "nll_band": _stage_nll_band,
     "temperature_sample": _stage_temperature_sample,
     "train_split": _stage_train_split,
+    "quality_filter": _stage_quality_filter,
+    "rake_weights": _stage_rake_weights,
 }
 
 

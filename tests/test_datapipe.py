@@ -194,3 +194,25 @@ def test_pipeline_temperature_and_train_split(spark, corpus_path, tmp_path):
     assert len(cluster) <= 1
     # budget 100 >> corpus: temperature stage saturates, drops nothing
     assert report["stages"][1]["n_dropped"] == 0
+
+
+def test_pipeline_quality_filter_and_rake(spark, corpus_path, tmp_path):
+    """quality_filter trains in-pipeline and reports weights; seed docs
+    survive unconditionally; rake_weights attaches a positive weight to
+    every surviving row without changing the count."""
+    cfg = {
+        "documents": corpus_path,
+        "output": str(tmp_path / "outq"),
+        "stages": [
+            {"op": "quality_filter", "seed_sources": ["books"],
+             "threshold": 2.0},  # impossible threshold: only seeds survive
+            {"op": "rake_weights", "rounds": 3},
+        ],
+    }
+    report = datapipe.run_pipeline(spark, cfg)
+    out = spark.read.parquet(report["corpus"])
+    rows = out.collect()
+    assert {r["source"] for r in rows} == {"books"}
+    assert all(r["weight"] > 0 for r in rows)
+    stage0 = report["stages"][0]
+    assert len(stage0["weights"]) == 4  # bias + 3 features
