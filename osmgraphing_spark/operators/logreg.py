@@ -61,6 +61,8 @@ def train(
     try:
         n = float(f.count())
         w = [0.0] * (len(feature_cols) + 1)
+        if n == 0:
+            return w
         for _ in range(iters):
             resid = F.col("_y") - _sigmoid(_margin(feature_cols, w))
             aggs = [F.sum(resid).alias("g0")] + [
