@@ -1213,6 +1213,19 @@ def q_doc_dup_clusters(spark, sf_dir):
     )
 
 
+def q_doc_keep_best(spark, sf_dir):
+    """Quality-aware dedup endgame (operators/dedup.keep_best_per_cluster):
+    the same LSH → verify → connected-components clustering as
+    doc_dup_clusters, but each cluster keeps its LONGEST member (n_chars,
+    ties min id) instead of the arbitrary min-id one — dedup that never
+    downgrades content. Integer score ⇒ the keep set is engine-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = dd.keep_best_per_cluster(
+        docs, "n_chars", threshold=0.5, num_hashes=4, bands=2, n=3
+    )
+    return kept.select("doc_id", "n_chars")
+
+
 SPAN_K = 8  # k-token window for substring-level dedup
 
 
@@ -2750,6 +2763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lsh_candidates": q_doc_lsh_candidates,
         "doc_incremental_dups": q_doc_incremental_dups,
         "doc_dup_clusters": q_doc_dup_clusters,
+        "doc_keep_best": q_doc_keep_best,
         "doc_dup_spans": q_doc_dup_spans,
         "doc_containment_pairs": q_doc_containment_pairs,
         "doc_simhash_pairs": q_doc_simhash_pairs,
@@ -5372,6 +5386,75 @@ def oracle_sql() -> dict[str, str]:
                 SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
             )
             SELECT a AS id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a
+        """,
+        "doc_keep_best": f"""
+            WITH RECURSIVE {_SHINGLES_CTE},
+            sig AS (
+                SELECT id,
+                       MIN({_PORTABLE_HASH.format(seed=0)}) AS mh_0,
+                       MIN({_PORTABLE_HASH.format(seed=1)}) AS mh_1,
+                       MIN({_PORTABLE_HASH.format(seed=2)}) AS mh_2,
+                       MIN({_PORTABLE_HASH.format(seed=3)}) AS mh_3
+                FROM sh GROUP BY id
+            ),
+            buckets AS (
+                SELECT id, 0 AS band,
+                       md5(concat(CAST(mh_0 AS VARCHAR), '|', CAST(mh_1 AS VARCHAR))) AS bucket
+                FROM sig
+                UNION ALL
+                SELECT id, 1 AS band,
+                       md5(concat(CAST(mh_2 AS VARCHAR), '|', CAST(mh_3 AS VARCHAR))) AS bucket
+                FROM sig
+            ),
+            cand AS (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                FROM buckets a
+                JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+            ),
+            sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+            common AS (
+                SELECT cd.id_a, cd.id_b, COUNT(*) AS c
+                FROM cand cd
+                JOIN sh sa ON sa.id = cd.id_a
+                JOIN sh sb ON sb.id = cd.id_b AND sb.shingle = sa.shingle
+                GROUP BY cd.id_a, cd.id_b
+            ),
+            verified AS (
+                SELECT common.id_a, common.id_b
+                FROM common
+                JOIN sizes za ON common.id_a = za.id
+                JOIN sizes zb ON common.id_b = zb.id
+                WHERE CAST(c AS DOUBLE) / (za.sz + zb.sz - c) >= 0.5
+            ),
+            sym AS (
+                SELECT id_a AS a, id_b AS b FROM verified
+                UNION
+                SELECT id_b AS a, id_a AS b FROM verified
+            ),
+            reach AS (
+                SELECT a, b FROM sym
+                UNION
+                SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+            ),
+            clus AS (
+                SELECT a AS id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a
+            ),
+            best AS (
+                SELECT doc_id FROM (
+                    SELECT d.doc_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY c.cluster
+                               ORDER BY d.n_chars DESC, d.doc_id ASC
+                           ) AS rk
+                    FROM documents d JOIN clus c ON c.id = d.doc_id
+                ) WHERE rk = 1
+            ),
+            losers AS (
+                SELECT id AS doc_id FROM clus
+                WHERE id NOT IN (SELECT doc_id FROM best)
+            )
+            SELECT d.doc_id, d.n_chars FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
         """,
         "doc_train_split": f"""
             WITH RECURSIVE {_SHINGLES_CTE},

@@ -113,6 +113,7 @@ OPERATOR_QUERIES = [
     "kcore_links",
     "embed_near_dups",
     "doc_dup_clusters",
+    "doc_keep_best",
     "doc_containment_pairs",
     "link_adamic_adar",
     "link_copurchase",

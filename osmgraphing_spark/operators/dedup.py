@@ -647,6 +647,53 @@ def drop_near_duplicates(
     return docs.join(losers, id_col, "left_anti")
 
 
+def keep_best_per_cluster(
+    docs: DataFrame,
+    score_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-aware near-dedup: within each near-dup cluster keep the
+    single HIGHEST-``score_col`` document (ties: min id); singletons pass
+    through. `drop_near_duplicates` keeps the min-id representative —
+    cheap but arbitrary; production pipelines usually keep the best
+    (longest / highest-quality) copy so dedup never downgrades content.
+
+    Use an integer score (e.g. ``n_chars``) when the keep set must be
+    engine-reproducible: float scores can differ in the last ulp across
+    engines and flip an argmax; integers cannot.
+
+    Scale: one `dup_clusters` pass (bounded LSH machinery), then one
+    algebraic `max_by`-style aggregate over the (id, cluster, score)
+    rows of the ≥2-member clusters only — the corpus never shuffles; the
+    keep decision joins back by doc id (left-semi)."""
+    clusters = dup_clusters(docs, threshold, num_hashes, bands, n, id_col, text_col)
+    member = docs.select(id_col, score_col).join(
+        clusters.withColumnRenamed("id", id_col), id_col, "inner"
+    )
+    # max(struct(score, -id)) = highest score, then smallest id
+    best = (
+        member.groupBy("cluster")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(score_col).alias("_s"),
+                    (-F.col(id_col)).alias("_nid"),
+                )
+            ).alias("_b")
+        )
+        .select((-F.col("_b._nid")).alias(id_col))
+    )
+    losers = clusters.select(F.col("id").alias(id_col)).join(
+        best, id_col, "left_anti"
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
 def containment_pairs(
     docs: DataFrame,
     threshold: float = 0.9,

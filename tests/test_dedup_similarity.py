@@ -371,6 +371,26 @@ def test_drop_near_duplicates_keeps_min_and_singletons(spark):
     assert kept == [20, 22]
 
 
+def test_keep_best_per_cluster(spark):
+    """Quality-aware dedup keeps the HIGHEST-score member per cluster
+    (tie: min id), not the min id; singletons pass through untouched."""
+    rows = [
+        (20, "one two three four five six seven eight nine ten", 10),
+        (21, "one two three four five six seven eight nine eleven", 50),  # ≈20, longer
+        (22, "completely different content that stands alone here now", 7),
+        (23, "one two three four five six seven eight nine ten", 50),     # ≈20, ties 21
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    kept = sorted(
+        r["doc_id"]
+        for r in dd.keep_best_per_cluster(
+            docs, "n_chars", threshold=0.5, num_hashes=16, bands=8
+        ).collect()
+    )
+    # cluster {20,21,23}: best score 50 shared by 21 and 23 -> min id 21
+    assert kept == [21, 22]
+
+
 def test_components_of_pairs_empty_and_chain(spark):
     from osmgraphing_spark.operators import cc as cc_op
 
