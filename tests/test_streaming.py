@@ -443,3 +443,40 @@ def test_hll_sketch_stream_equals_batch(spark, tmp_path):
         for r in hll_sketch(spark.read.parquet(in_dir), "uid", log2m=6).collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_logreg_score_filters_stream(spark, tmp_path):
+    """The quality classifier's scorer is a pure column expression, so a
+    batch-trained model gates a STREAM with zero extra machinery; the
+    streamed keep set must equal the batch filter's."""
+    from osmgraphing_spark.operators import logreg
+
+    in_dir = str(tmp_path / "qin")
+    out_dir = str(tmp_path / "qout")
+    ck_dir = str(tmp_path / "qck")
+    rows = [
+        (1, 0.9, 0.1), (2, 0.2, 0.8), (3, 0.8, 0.3),
+        (4, 0.1, 0.9), (5, 0.7, 0.2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, x1 double, x2 double")
+    train = df.withColumn("y", (F.col("x1") > F.col("x2")).cast("double"))
+    w = logreg.train(train, ["x1", "x2"], "y", lr=2.0, iters=20)
+    score = logreg.score(["x1", "x2"], w)
+
+    batch_kept = sorted(
+        r["doc_id"] for r in df.where(score >= 0.5).collect()
+    )
+
+    df.write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema("doc_id long, x1 double, x2 double").parquet(in_dir)
+    q = (
+        stream.where(score >= 0.5)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_kept = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
+    assert stream_kept == batch_kept and len(batch_kept) >= 2
