@@ -944,6 +944,22 @@ def q_order_ranks(spark, sf_dir):
     )
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_event_funnel(spark, sf_dir):
+    """Ordered conversion funnel (operators/funnel.conversion_funnel):
+    users whose first 'view' precedes a 'click' precedes a 'purchase'
+    (each step strictly after the previous step's first qualifying time —
+    first-touch semantics). Per-step user counts + conversion vs step 1;
+    shuffles carry only per-user scalars."""
+    from osmgraphing_spark.operators import funnel as funnel_op
+
+    return funnel_op.conversion_funnel(
+        _t(spark, sf_dir, "events"), FUNNEL_STEPS
+    )
+
+
 def q_sessionize_events(spark, sf_dir):
     """Sessionization (gap > 1800 s) via lag + running sum — the batch
     equivalent of the streaming session-window operator."""
@@ -2735,6 +2751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clamped_discount": q_clamped_discount,
         "order_ranks": q_order_ranks,
         "sessionize_events": q_sessionize_events,
+        "event_funnel": q_event_funnel,
         "hourly_events": q_hourly_events,
         "event_cohort_retention": q_event_cohort_retention,
         "event_value_quantiles": q_event_value_quantiles,
@@ -4800,6 +4817,37 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
                    ) AS rn
             FROM orders
+        """,
+        "event_funnel": """
+            WITH s1 AS (
+                SELECT user_id AS u, MIN(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+                SELECT e.user_id AS u, MIN(e.ts) AS t
+                FROM events e JOIN s1 ON s1.u = e.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t
+                GROUP BY e.user_id
+            ),
+            s3 AS (
+                SELECT e.user_id AS u, MIN(e.ts) AS t
+                FROM events e JOIN s2 ON s2.u = e.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                GROUP BY e.user_id
+            ),
+            n AS (
+                SELECT 1 AS step, 'view' AS event_type, COUNT(*) AS users FROM s1
+                UNION ALL
+                SELECT 2, 'click', COUNT(*) FROM s2
+                UNION ALL
+                SELECT 3, 'purchase', COUNT(*) FROM s3
+            )
+            SELECT step, event_type, users,
+                   ROUND(CASE WHEN (SELECT users FROM n WHERE step = 1) > 0
+                         THEN CAST(users AS DOUBLE)
+                              / (SELECT users FROM n WHERE step = 1)
+                         ELSE 0.0 END, 6) AS conversion
+            FROM n
         """,
         "sessionize_events": """
             SELECT event_id, user_id,

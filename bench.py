@@ -104,6 +104,7 @@ OPERATOR_QUERIES = [
     "embed_topk",
     "embed_ann",
     "sessionize_events",
+    "event_funnel",
     "event_cohort_retention",
     "event_value_quantiles",
     "event_props_k",

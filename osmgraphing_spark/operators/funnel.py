@@ -158,3 +158,70 @@ def kept(
     for _, keep in rules:
         cond = cond & keep
     return docs.where(cond)
+
+
+def conversion_funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel over an event log → one row per step
+    (step int, event_type, users long, conversion double): users who
+    performed every step so far IN ORDER (each step strictly after the
+    previous one's first qualifying occurrence — the standard
+    first-touch funnel semantics of product analytics), with conversion
+    = users / step-1 users.
+
+    Scale design: step k is one filtered scan of the (pre-filtered) event
+    log + a min-aggregate groupBy(user) joined against step k−1's slim
+    (user, ts) frame — the shuffle carries only per-user scalars, heavy
+    users collapse map-side into one (user, min_ts) pair, and the final
+    counts are 1-row aggregates unioned driver-free. The event table is
+    filtered once to the step set before the per-step passes."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ev = events.where(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t"),
+        F.col(type_col).alias("s"),
+    )
+    frames = []
+    prev = None
+    for name in steps:
+        cur_ev = ev.where(F.col("s") == name).select("u", "t")
+        if prev is None:
+            cur = cur_ev.groupBy("u").agg(F.min("t").alias("t"))
+        else:
+            cur = (
+                cur_ev.join(prev.select("u", F.col("t").alias("pt")), "u")
+                .where(F.col("t") > F.col("pt"))
+                .groupBy("u")
+                .agg(F.min("t").alias("t"))
+            )
+        frames.append(cur)
+        prev = cur
+    counts = None
+    for i, (name, fr) in enumerate(zip(steps, frames)):
+        one = fr.agg(F.count("*").alias("users")).select(
+            F.lit(i + 1).alias("step"),
+            F.lit(name).alias("event_type"),
+            "users",
+        )
+        counts = one if counts is None else counts.unionByName(one)
+    base = counts.where(F.col("step") == 1).select(
+        F.col("users").alias("_base")
+    )
+    return counts.crossJoin(F.broadcast(base)).select(
+        "step",
+        "event_type",
+        "users",
+        F.round(
+            F.when(
+                F.col("_base") > 0,
+                F.col("users").cast("double") / F.col("_base"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("conversion"),
+    )

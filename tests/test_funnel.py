@@ -115,3 +115,51 @@ def test_source_stats_planted_duplicates(spark):
     assert s["s2"]["dup_frac"] == 0.0               # cross-source copy doesn't
     assert s["s1"]["avg_tokens"] == round((3 + 3 + 2) / 3, 6)
     assert s["s2"]["avg_tokens"] == round((3 + 4) / 2, 6)
+
+
+def test_conversion_funnel_ordering(spark):
+    """First-touch ordered semantics: a user who clicks BEFORE their first
+    view does not convert at step 2 unless a later click follows; ties
+    (same timestamp) do NOT advance the funnel (strict >)."""
+    from osmgraphing_spark.operators.funnel import conversion_funnel
+
+    rows = [
+        # u1: view@1, click@2, purchase@3 -> full conversion
+        (1, "2024-01-01 00:00:01", 1, "view"),
+        (2, "2024-01-01 00:00:02", 1, "click"),
+        (3, "2024-01-01 00:00:03", 1, "purchase"),
+        # u2: click@1 BEFORE view@2, no later click -> stops at step 1
+        (4, "2024-01-01 00:00:01", 2, "click"),
+        (5, "2024-01-01 00:00:02", 2, "view"),
+        (6, "2024-01-01 00:00:03", 2, "purchase"),
+        # u3: view@1, click@1 (tie -> not after) -> stops at step 1
+        (7, "2024-01-01 00:00:01", 3, "view"),
+        (8, "2024-01-01 00:00:01", 3, "click"),
+        # u4: view@1, click@2, no purchase -> stops at step 2
+        (9, "2024-01-01 00:00:01", 4, "view"),
+        (10, "2024-01-01 00:00:02", 4, "click"),
+        # u5: never views -> not in funnel at all
+        (11, "2024-01-01 00:00:01", 5, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["step"]: (r["event_type"], r["users"], r["conversion"])
+        for r in conversion_funnel(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert got[1] == ("view", 4, 1.0)
+    assert got[2] == ("click", 2, 0.5)
+    assert got[3] == ("purchase", 1, 0.25)
+
+
+def test_conversion_funnel_validates(spark):
+    from osmgraphing_spark.operators.funnel import conversion_funnel
+
+    ev = spark.createDataFrame([], "user_id long, ts timestamp, event_type string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        conversion_funnel(ev, [])
+    got = {r["step"]: r["users"] for r in conversion_funnel(ev, ["view"]).collect()}
+    assert got == {1: 0}
