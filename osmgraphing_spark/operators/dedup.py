@@ -667,26 +667,27 @@ def keep_best_per_cluster(
     engine-reproducible: float scores can differ in the last ulp across
     engines and flip an argmax; integers cannot.
 
-    Scale: one `dup_clusters` pass (bounded LSH machinery), then one
-    algebraic `max_by`-style aggregate over the (id, cluster, score)
-    rows of the ≥2-member clusters only — the corpus never shuffles; the
-    keep decision joins back by doc id (left-semi)."""
+    Scale: one `dup_clusters` pass (bounded LSH machinery), then two
+    algebraic aggregates (per-cluster max score, then min id among the
+    tied best) over the (id, cluster, score) rows of the ≥2-member
+    clusters only — the corpus never shuffles; the keep decision joins
+    back by doc id (left-semi). Works for string doc ids and NULL
+    scores (an all-NULL cluster still keeps its min-id member)."""
     clusters = dup_clusters(docs, threshold, num_hashes, bands, n, id_col, text_col)
     member = docs.select(id_col, score_col).join(
         clusters.withColumnRenamed("id", id_col), id_col, "inner"
     )
-    # max(struct(score, -id)) = highest score, then smallest id
+    # argmax in two algebraic passes over the slim member frame: per-cluster
+    # max score (F.max skips NULLs; an all-NULL cluster still keeps a
+    # member via eqNullSafe), then min id among the tied best. Works for
+    # string doc ids too — no numeric negation trick.
+    mx = member.groupBy("cluster").agg(F.max(score_col).alias("_ms"))
     best = (
-        member.groupBy("cluster")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col(score_col).alias("_s"),
-                    (-F.col(id_col)).alias("_nid"),
-                )
-            ).alias("_b")
-        )
-        .select((-F.col("_b._nid")).alias(id_col))
+        member.join(mx, "cluster")
+        .where(F.col(score_col).eqNullSafe(F.col("_ms")))
+        .groupBy("cluster")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
     )
     losers = clusters.select(F.col("id").alias(id_col)).join(
         best, id_col, "left_anti"

@@ -174,12 +174,14 @@ def conversion_funnel(
     first-touch funnel semantics of product analytics), with conversion
     = users / step-1 users.
 
-    Scale design: step k is one filtered scan of the (pre-filtered) event
-    log + a min-aggregate groupBy(user) joined against step k−1's slim
-    (user, ts) frame — the shuffle carries only per-user scalars, heavy
-    users collapse map-side into one (user, min_ts) pair, and the final
-    counts are 1-row aggregates unioned driver-free. The event table is
-    filtered once to the step set before the per-step passes."""
+    Scale design: ONE pass over the event log filtered to the step set —
+    a single groupBy(user) collects per-step time arrays (map-side
+    combined; array size bounded by that user's events on funnel steps
+    only), then the sequential step times t₁ = min(a₁), tₖ =
+    min(x ∈ aₖ : x > tₖ₋₁) are pure column expressions (array_min over a
+    correlated higher-order filter; a missed step nulls every later
+    one), and all k user counts come from a single 1-row aggregate. No
+    per-step joins, no k² rescans of the event table."""
     if not steps:
         raise ValueError("steps must be non-empty")
     ev = events.where(F.col(type_col).isin(list(steps))).select(
@@ -187,41 +189,40 @@ def conversion_funnel(
         F.col(ts_col).alias("t"),
         F.col(type_col).alias("s"),
     )
-    frames = []
+    per_user = ev.groupBy("u").agg(
+        *[
+            F.collect_list(F.when(F.col("s") == name, F.col("t"))).alias(f"_a{i}")
+            for i, name in enumerate(steps)
+        ]
+    )
     prev = None
-    for name in steps:
-        cur_ev = ev.where(F.col("s") == name).select("u", "t")
-        if prev is None:
-            cur = cur_ev.groupBy("u").agg(F.min("t").alias("t"))
-        else:
-            cur = (
-                cur_ev.join(prev.select("u", F.col("t").alias("pt")), "u")
-                .where(F.col("t") > F.col("pt"))
-                .groupBy("u")
-                .agg(F.min("t").alias("t"))
-            )
-        frames.append(cur)
-        prev = cur
-    counts = None
-    for i, (name, fr) in enumerate(zip(steps, frames)):
-        one = fr.agg(F.count("*").alias("users")).select(
-            F.lit(i + 1).alias("step"),
-            F.lit(name).alias("event_type"),
-            "users",
+    for i in range(len(steps)):
+        a = F.col(f"_a{i}")
+        t = (
+            F.array_min(a)
+            if prev is None
+            else F.array_min(F.filter(a, lambda x: x > prev))  # noqa: B023 — F.filter evaluates the lambda eagerly, this iteration's prev is captured
         )
-        counts = one if counts is None else counts.unionByName(one)
-    base = counts.where(F.col("step") == 1).select(
-        F.col("users").alias("_base")
+        per_user = per_user.withColumn(f"_t{i}", t)
+        prev = F.col(f"_t{i}")
+    one = per_user.agg(
+        *[F.count(f"_t{i}").alias(f"_c{i}") for i in range(len(steps))]
     )
-    return counts.crossJoin(F.broadcast(base)).select(
-        "step",
-        "event_type",
-        "users",
-        F.round(
-            F.when(
-                F.col("_base") > 0,
-                F.col("users").cast("double") / F.col("_base"),
-            ).otherwise(F.lit(0.0)),
-            6,
-        ).alias("conversion"),
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step"),
+                F.lit(name).alias("event_type"),
+                F.col(f"_c{i}").alias("users"),
+                F.round(
+                    F.when(
+                        F.col("_c0") > 0,
+                        F.col(f"_c{i}").cast("double") / F.col("_c0"),
+                    ).otherwise(F.lit(0.0)),
+                    6,
+                ).alias("conversion"),
+            )
+            for i, name in enumerate(steps)
+        ]
     )
+    return one.select(F.explode(rows).alias("r")).select("r.*")

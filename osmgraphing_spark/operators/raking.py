@@ -54,8 +54,13 @@ def rake_cells(
         .agg(F.count("*").alias("n"))
         .collect()
     )
-    rows = sorted({r[row_col] for r in cells})
-    cols = sorted({r[col_col] for r in cells})
+    # null-last ordering: real corpora carry NULL lang/source margins, and
+    # a mixed None/str set breaks plain sorted() under Python 3. A NULL
+    # margin is a legitimate cell (uniform default gives it an equal
+    # share; explicit target maps address it with a None key).
+    _margin_key = lambda v: (v is None, str(v))  # noqa: E731
+    rows = sorted({r[row_col] for r in cells}, key=_margin_key)
+    cols = sorted({r[col_col] for r in cells}, key=_margin_key)
     total = float(sum(r["n"] for r in cells))
     rt = (
         {v: total / len(rows) for v in rows}
@@ -106,9 +111,14 @@ def rake_cells(
         ),
         key=lambda t: (str(t[0]), str(t[1])),
     )
+    # margin column types come from the input schema (an int year or a
+    # region key must round-trip as itself, or the broadcast join back in
+    # rake_weights silently mismatches on a string-cast key)
+    field = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     return spark.createDataFrame(
         data,
-        f"{row_col} string, {col_col} string, n long, mass double, weight double",
+        f"{row_col} {field[row_col]}, {col_col} {field[col_col]}, "
+        "n long, mass double, weight double",
     )
 
 
@@ -124,7 +134,16 @@ def rake_weights(
     ``df`` (broadcast join on the bounded cell matrix; single corpus
     scan beyond rake_cells' count)."""
     cells = rake_cells(df, row_col, col_col, row_targets, col_targets, rounds)
-    w = cells.select(row_col, col_col, "weight")
-    return df.join(F.broadcast(w), [row_col, col_col], "left").fillna(
-        {"weight": 0.0}
+    w = cells.select(
+        F.col(row_col).alias("_rk_r"),
+        F.col(col_col).alias("_rk_c"),
+        "weight",
+    )
+    # null-safe equality: a NULL margin is a real raked cell (rake_cells
+    # keeps it), and a plain equi-join would silently drop those rows
+    cond = df[row_col].eqNullSafe(w["_rk_r"]) & df[col_col].eqNullSafe(w["_rk_c"])
+    return (
+        df.join(F.broadcast(w), cond, "left")
+        .drop("_rk_r", "_rk_c")
+        .fillna({"weight": 0.0})
     )

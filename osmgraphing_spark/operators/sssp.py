@@ -42,6 +42,29 @@ from ..plans.superstep import BlockScope, iterative_conf
 from .build import Graph
 
 
+# sources=None ("exact" centrality) collects every vertex id to the driver
+# and runs |V| simultaneous frontiers — O(|V|²) frontier state. That is a
+# deliberate small-graph convenience, so it refuses to run past this cap
+# rather than detonate on a production graph (pass an explicit landmark
+# sample instead — see harmonic_centrality's docstring).
+EXACT_SOURCE_CAP = 4096
+
+
+def _exact_sources(graph: Graph, cap: int, op: str) -> list[int]:
+    n = graph.vertices.count()
+    if n > cap:
+        raise ValueError(
+            f"{op}(sources=None) is the EXACT mode: it materializes all "
+            f"{n} vertex ids on the driver and runs {n} simultaneous BSP "
+            f"frontiers (O(V^2) state), which exceeds the safety cap of "
+            f"{cap}. Pass an explicit landmark sample, e.g. "
+            f"sources=[r['vid'] for r in sampling.sample_rows(graph.vertices, "
+            f"k).collect()], or raise max_exact_sources if you really "
+            f"mean it."
+        )
+    return [r["vid"] for r in graph.vertices.select("vid").collect()]
+
+
 def run(
     graph: Graph,
     sources: list[int],
@@ -277,6 +300,7 @@ def harmonic_centrality(
     sources: list[int] | None = None,
     weighted: bool = False,
     max_iter: int = 100,
+    max_exact_sources: int = EXACT_SOURCE_CAP,
 ) -> DataFrame:
     """→ (vid, harmonic): inbound harmonic centrality
     Σ_{s ∈ sources, s ≠ v, v reachable from s} 1 / d(s, v) — the standard
@@ -291,7 +315,7 @@ def harmonic_centrality(
     converges with a few hundred landmarks on power-law graphs. Vertices
     reached by no source are absent (their centrality is 0)."""
     if sources is None:
-        sources = [r["vid"] for r in graph.vertices.select("vid").collect()]
+        sources = _exact_sources(graph, max_exact_sources, "harmonic_centrality")
     d = run(graph, sources, weighted=weighted, max_iter=max_iter)
     return (
         d.where(F.col("source") != F.col("vid"))
@@ -305,6 +329,7 @@ def closeness_centrality(
     sources: list[int] | None = None,
     weighted: bool = False,
     max_iter: int = 100,
+    max_exact_sources: int = EXACT_SOURCE_CAP,
 ) -> DataFrame:
     """→ (vid, n_reach, closeness): inbound closeness in the
     disconnected-graph-safe Lin/Wasserman–Faust form,
@@ -318,7 +343,7 @@ def closeness_centrality(
     differ only in the final aggregate); vertices no source reaches are
     absent (centrality 0)."""
     if sources is None:
-        sources = [r["vid"] for r in graph.vertices.select("vid").collect()]
+        sources = _exact_sources(graph, max_exact_sources, "closeness_centrality")
     d = run(graph, sources, weighted=weighted, max_iter=max_iter)
     return (
         d.where((F.col("source") != F.col("vid")) & (F.col("dist") > 0))

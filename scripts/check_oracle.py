@@ -95,7 +95,22 @@ def main() -> int:
         try:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # Fetch through pandas, NOT fetchall(): the driver's compare
+            # goes through a dataframe, so a DuckDB HUGEINT (e.g. an
+            # uncast SUM over BIGINT) degrades to float64 there and
+            # fingerprints as "2523.000000" vs Spark's long "2523".
+            # fetchall() returns Python ints and masks exactly that class
+            # of wrong-dtype oracle (the r2 link_butterflies red row).
+            odf = res.df()
+            orows = [
+                tuple(
+                    None if v is None or (isinstance(v, float) and math.isnan(v))
+                    else bool(v) if type(v).__name__ == "bool_"
+                    else v
+                    for v in t
+                )
+                for t in odf.itertuples(index=False, name=None)
+            ]
         except Exception as e:  # noqa: BLE001
             print(f"{name}: ORACLE ERROR {type(e).__name__}: {e}")
             failed.append(name)
