@@ -6030,7 +6030,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM cprobe c LEFT JOIN words w ON w.word = c.pos // 63
                 GROUP BY id, shingle
             )
-            SELECT id AS doc_id, COUNT(*) AS sz, SUM(hit) AS n_bloom_hits
+            SELECT id AS doc_id, COUNT(*) AS sz,
+                   CAST(SUM(hit) AS BIGINT) AS n_bloom_hits
             FROM probed GROUP BY id
         """,
         "doc_decontaminate": f"""

@@ -4,9 +4,10 @@ A 100 TB training-data pipeline carries media as ``binary`` columns with a
 metadata struct; all Spark-side plumbing here is real (schemas, Arrow batch
 shapes, partition-preserving mapInPandas). Codecs are real where a format
 is decodable without external libraries — PPM (P6) images via a pure-numpy
-header parse and WAV (PCM) audio via the stdlib ``wave`` module — and
-STUBBED for everything else (PNG/JPEG/MP4 need PIL/libvips/ffmpeg, absent
-in this container): a clearly-marked NotImplementedError in strict mode, a
+header parse, 8-bit PNG (gray/RGB/RGBA/palette, all five scanline filters)
+via stdlib zlib + numpy, and WAV (PCM) audio via the stdlib ``wave``
+module — and STUBBED for the rest (JPEG/MP4 need libjpeg/ffmpeg, absent in
+this container): a clearly-marked NotImplementedError in strict mode, a
 deterministic content-hash fake in test mode. Swap ``_decode_image_impl``'s
 fallback for a PIL call in production; nothing else changes.
 
@@ -93,15 +94,160 @@ def _decode_ppm(data: bytes) -> np.ndarray:
     return raster.reshape(h, w, 3)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(data: bytes):
+    pos = 8
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        typ = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        if len(body) != ln:
+            raise ValueError("truncated PNG chunk")
+        got = int.from_bytes(data[pos + 8 + ln : pos + 12 + ln], "big")
+        import zlib as _z
+
+        if _z.crc32(typ + body) & 0xFFFFFFFF != got:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        yield typ, body
+        pos += 12 + ln
+        if typ == b"IEND":
+            return
+    raise ValueError("PNG missing IEND")
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Per-scanline defilter (PNG spec §6: None/Sub/Up/Average/Paeth).
+    Up is fully vectorized; Sub/Average/Paeth need the left neighbor so
+    they walk the row — fine for the thumbnail-scale images a metadata
+    pipeline decodes (heavy rasters belong to the GPU stage, not Spark)."""
+    rows = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint16)
+    prev = np.zeros(stride, dtype=np.uint16)
+    for y in range(h):
+        ft, row = rows[y, 0], rows[y, 1:].astype(np.uint16)
+        if ft == 0:
+            cur = row
+        elif ft == 1:  # Sub
+            cur = row.copy()
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif ft == 3:  # Average
+            cur = row.copy()
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            cur = row.copy()
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pr) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = cur
+        prev = cur
+    return out.astype(np.uint8)
+
+
+def _decode_png(data: bytes) -> np.ndarray:
+    """REAL decode: 8-bit non-interlaced PNG (gray / gray+alpha / RGB /
+    RGBA / palette) → (h, w, c) uint8, pure stdlib-zlib + numpy. Interlaced
+    or 16-bit files raise — they are rare in web corpora and a production
+    deploy swaps in PIL without touching the Spark plumbing."""
+    import zlib as _z
+
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    ihdr = None
+    plte = trns = None
+    idat = bytearray()
+    for typ, body in _png_chunks(data):
+        if typ == b"IHDR":
+            ihdr = body
+        elif typ == b"PLTE":
+            plte = body
+        elif typ == b"tRNS":
+            trns = body
+        elif typ == b"IDAT":
+            idat.extend(body)
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, _comp, _filt, interlace = ihdr[8:13]
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported (depth={depth})")
+    if interlace:
+        raise ValueError("interlaced PNG not supported")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if nch is None:
+        raise ValueError(f"unknown PNG color type {ctype}")
+    raw = np.frombuffer(_z.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * nch
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    img = _png_unfilter(raw, h, stride, nch).reshape(h, w, nch)
+    if ctype == 3:  # palette → RGB(A)
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        rgb = pal[img[:, :, 0]]
+        if trns is not None:
+            alpha = np.full(256, 255, dtype=np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            return np.dstack([rgb, alpha[img[:, :, 0]]])
+        return rgb
+    return img
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w[, c]) uint8 → PNG bytes (filter 0 rows, one zlib stream).
+    Lib-free counterpart of ``_decode_png`` for roundtrip tests/synth."""
+    import zlib as _z
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, ctype, 0, 0, 0])
+    )
+    raster = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    idat = _z.compress(raster, 6)
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big") + typ + body
+            + (_z.crc32(typ + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
 def _decode_image_impl(
     data: bytes, width: int, height: int, channels: int, strict: bool | None = None
 ) -> np.ndarray:
-    """PPM (P6) decodes for REAL (pure numpy). Other formats: production
+    """PPM (P6) and 8-bit PNG decode for REAL (pure numpy + stdlib zlib).
+    Remaining formats (JPEG/MP4 need DCT/ffmpeg machinery): production
     would call PIL.Image.open(io.BytesIO(data)); here they raise in strict
     mode or produce a deterministic fake keyed on sha256(data) so tests
     exercise the full pipeline shape with reproducible values."""
     if data.startswith(b"P6"):
         return _decode_ppm(data)
+    if data.startswith(_PNG_SIG):
+        return _decode_png(data)
     if STRICT if strict is None else strict:
         raise NotImplementedError(
             "non-PPM image decode requires an image library not present in "
@@ -325,18 +471,35 @@ def synth_audio_from_ids(
     return ids_df.select(id_col).mapInPandas(run, schema=schema)
 
 
+def _decode_image_real(data: bytes) -> np.ndarray:
+    """Strict REAL-decode dispatch (no fakes): P6 PPM or 8-bit PNG →
+    (h, w, c) uint8; anything else raises."""
+    if data.startswith(b"P6"):
+        return _decode_ppm(data)
+    if data.startswith(_PNG_SIG):
+        return _decode_png(data)
+    raise ValueError("unsupported image format for real decode (PPM/PNG only)")
+
+
 def image_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
-    """REAL decode → per-image header dims + per-channel means.
+    """REAL decode (PPM or PNG, never the fake) → per-image header dims +
+    per-channel means.
     → (id_col, width, height, n_px, mean_r, mean_g, mean_b). Width/height
     come from the decoded raster shape (proving the header parse ran), not
-    from metadata. Same Arrow-batched mapInPandas shape as image_features."""
+    from metadata; grayscale broadcasts its single channel to r=g=b and an
+    alpha channel is excluded from the means. Same Arrow-batched
+    mapInPandas shape as image_features."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in
                    (id_col, "width", "height", "n_px", "mean_r", "mean_g", "mean_b")}
             for row in pdf.itertuples(index=False):
-                img = _decode_ppm(bytes(row.data))
+                img = _decode_image_real(bytes(row.data))
+                if img.shape[2] in (2, 4):  # drop alpha
+                    img = img[:, :, : img.shape[2] - 1]
+                if img.shape[2] == 1:  # gray → r=g=b
+                    img = np.repeat(img, 3, axis=2)
                 h, w = img.shape[:2]
                 means = img.astype(np.float64).mean(axis=(0, 1))
                 out[id_col].append(getattr(row, id_col))

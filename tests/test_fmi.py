@@ -1,0 +1,168 @@
+"""FMI text-graph source (sources/fmi.py) — parse + strictness + the full
+file→Graph→algorithm path, pinned against the reference's OWN resource files
+when present (read as data fixtures, never as code)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from osmgraphing_spark.operators import sssp
+from osmgraphing_spark.sources import fmi
+
+REF = "/root/reference/resources"
+
+PLAIN_NODES = [("node_id", "long"), ("lat", "double"), ("lon", "double")]
+PLAIN_EDGES = [
+    ("src_id", "long"),
+    ("dst_id", "long"),
+    ("meters", "double"),
+    ("kmph", "double"),
+]
+
+
+def _write(tmp_path, text):
+    p = tmp_path / "g.fmi"
+    p.write_text(text)
+    return str(p)
+
+
+SYNTH = """\
+# synthetic plain fmi
+2
+
+# edge-count below
+3
+# nodes
+10 48.5 9.0   # a
+20 48.6 9.1
+# edges
+10 20 100 50
+20 10 100 50  # back
+10 10 7 30
+"""
+
+
+def test_plain_parse_counts_types_and_inline_comments(spark, tmp_path):
+    t = fmi.read_fmi(spark, _write(tmp_path, SYNTH), PLAIN_NODES, PLAIN_EDGES)
+    assert (t.metric_count, t.node_count, t.edge_count) == (None, 2, 3)
+    nodes = {r["node_id"]: (r["lat"], r["lon"]) for r in t.nodes.collect()}
+    assert nodes == {10: (48.5, 9.0), 20: (48.6, 9.1)}
+    edges = sorted(
+        (r["src_id"], r["dst_id"], r["meters"], r["kmph"])
+        for r in t.edges.collect()
+    )
+    assert edges == [
+        (10, 10, 7.0, 30.0),
+        (10, 20, 100.0, 50.0),
+        (20, 10, 100.0, 50.0),
+    ]
+
+
+def test_header_count_mismatch_fails(spark, tmp_path):
+    bad = SYNTH.replace("\n3\n", "\n4\n")
+    with pytest.raises(ValueError, match="header declares"):
+        fmi.read_fmi(spark, _write(tmp_path, bad), PLAIN_NODES, PLAIN_EDGES)
+
+
+def test_malformed_token_fails(spark, tmp_path):
+    bad = SYNTH.replace("10 20 100 50", "10 20 oops 50")
+    with pytest.raises(Exception, match="typed cast|CAST_INVALID_INPUT"):
+        fmi.read_fmi(spark, _write(tmp_path, bad), PLAIN_NODES, PLAIN_EDGES)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference resources absent")
+def test_simple_stuttgart_reference_file(spark):
+    """The reference's own 6-node demo graph parses to its documented
+    counts and a spot-checked edge (graph.fmi:1-30)."""
+    t = fmi.read_fmi(
+        spark, f"{REF}/simple_stuttgart/graph.fmi", PLAIN_NODES, PLAIN_EDGES
+    )
+    assert (t.node_count, t.edge_count) == (6, 13)
+    row = t.edges.where(
+        (t.edges.src_id == 26033921) & (t.edges.dst_id == 26160028)
+    ).collect()
+    assert len(row) == 1 and row[0]["meters"] == 8000.0
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference resources absent")
+def test_bidirectional_bait_golden_through_fmi_graph(spark):
+    """End-to-end: the reference's bidirectional_bait graph.fmi through
+    fmi_graph → BSP SSSP reproduces the bait golden (top 3-hop path cost 9
+    beats the 2-hop bottom path's 10 — tests/bidirectional_bait/routing/
+    fastest.rs), previously pinned only via a hand-built fixture."""
+    g = fmi.fmi_graph(
+        spark,
+        f"{REF}/bidirectional_bait/graph.fmi",
+        PLAIN_NODES,
+        PLAIN_EDGES,
+        num_blocks=4,
+    )
+    assert g.num_vertices == 5 and g.num_edges == 10
+    vid = {r["key"]: r["vid"] for r in g.vertices.collect()}
+    d = sssp.run(g, [vid["0"]], weighted=True, max_iter=10)
+    cost = {
+        r["vid"]: r["dist"] for r in d.collect()
+    }
+    assert cost[vid["2"]] == pytest.approx(9.0)  # ll -> rr via the top path
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference resources absent")
+def test_ch_file_positional_mode(spark):
+    """graph.ch.fmi has 6-wide node AND edge rows — width discrimination is
+    impossible, so the reader slices by file position; 3-count CH header."""
+    ch_nodes = [
+        ("ignored_idx", "string"),
+        ("node_id", "long"),
+        ("lat", "double"),
+        ("lon", "double"),
+        ("ignored_elev", "string"),
+        ("level", "long"),
+    ]
+    ch_edges = [
+        ("src_id", "long"),
+        ("dst_id", "long"),
+        ("meters", "double"),
+        ("seconds", "double"),
+        ("sc0", "long"),
+        ("sc1", "long"),
+    ]
+    t = fmi.read_fmi(spark, f"{REF}/small/graph.ch.fmi", ch_nodes, ch_edges)
+    assert (t.metric_count, t.node_count, t.edge_count) == (3, 8, 25)
+    assert t.nodes.where(t.nodes.level == 4).collect()[0]["node_id"] == 7
+    # shortcut slots parse as longs, -1 = none
+    assert t.edges.where(t.edges.sc0 == -1).count() > 0
+
+
+def test_blueprint_schema_lowering():
+    raw = {
+        "parsing": {
+            "map-file": "x.fmi",
+            "nodes": [
+                "ignored",
+                {"meta": {"info": "NodeId", "id": "node-id"}},
+                {"metric": {"unit": "Latitude", "id": "latitude"}},
+                {"metric": {"unit": "Longitude", "id": "longitude"}},
+            ],
+            "edges": {
+                "data": [
+                    {"meta": {"info": "SrcId", "id": "src-id"}},
+                    {"meta": {"info": "DstId", "id": "dst-id"}},
+                    {"metric": {"unit": "Kilometers", "id": "kilometers"}},
+                ]
+            },
+        }
+    }
+    n, e = fmi.schemas_from_blueprint(raw)
+    assert n == [
+        ("ignored_n0", "string"),
+        ("node_id", "long"),
+        ("latitude", "double"),
+        ("longitude", "double"),
+    ]
+    assert e == [
+        ("src_id", "long"),
+        ("dst_id", "long"),
+        ("kilometers", "double"),
+    ]
