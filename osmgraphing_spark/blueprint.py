@@ -60,7 +60,9 @@ def _unit(name: str) -> str:
     return _CAMEL_RE.sub("_", name).lower()
 
 
-def _lower_generating(entries: list, warnings: list[str]) -> list[dict]:
+def _lower_generating(
+    entries: list, warnings: list[str], allow_haversine: bool = False
+) -> list[dict]:
     specs: list[dict] = []
     for e in entries or []:
         if e == "ignored" or e is None:
@@ -71,6 +73,11 @@ def _lower_generating(entries: list, warnings: list[str]) -> list[dict]:
         if kind == "meta":
             continue  # id registration only — nothing to compute
         if kind == "haversine":
+            if allow_haversine:
+                # graph-file inputs (pbf) carry node coordinates; the CLI
+                # materializes this via sources.pbf.pbf_graph(with_haversine)
+                specs.append({"op": "haversine", "name": body["id"]})
+                continue
             raise ValueError(
                 "generating: haversine requires node lat/lon attributes; a "
                 "source-code link graph has none (declare the metric via "
@@ -140,12 +147,33 @@ def lower_blueprint(raw: dict) -> tuple[dict, list[str]]:
 
     if "map-file" not in parsing:
         raise ValueError("parsing.map-file is required")
-    kwargs["corpus"] = parsing["map-file"]
+    mf = str(parsing["map-file"])
+    fmt = (
+        "pbf" if mf.endswith(".pbf")
+        else "fmi" if mf.endswith(".fmi")
+        else "parquet"
+    )
+    kwargs["corpus"] = mf
+    if fmt != "parquet":
+        # a reference user's own .fmi/.pbf map-file now ingests directly
+        # (sources/fmi.py, sources/pbf.py) instead of erroring
+        kwargs["map_format"] = fmt
 
-    for section in ("vehicles",):
-        if section in parsing:
-            warnings.append(f"parsing.{section} has no equivalent here — ignored")
-    if "nodes" in parsing:
+    veh = parsing.get("vehicles") or {}
+    if fmt == "pbf":
+        kwargs["vehicle"] = str(veh.get("category", "Car")).lower()
+        kwargs["picky"] = bool(veh.get("are_drivers_picky", True))
+    elif veh:
+        warnings.append(
+            "parsing.vehicles only affects pbf street filtering — ignored"
+        )
+    if fmt == "fmi":
+        from .sources.fmi import schemas_from_blueprint
+
+        ns, es = schemas_from_blueprint(raw)
+        kwargs["fmi_node_schema"] = [list(t) for t in ns]
+        kwargs["fmi_edge_schema"] = [list(t) for t in es]
+    elif "nodes" in parsing and fmt == "parquet":
         warnings.append(
             "parsing.nodes declarations are ignored — vertex ids come from "
             "the corpus (repo, path)"
@@ -162,7 +190,7 @@ def lower_blueprint(raw: dict) -> tuple[dict, list[str]]:
         for d in (edges.get("data") or [])
         if isinstance(d, dict) and "metric" in d
     ]
-    if declared:
+    if fmt == "parquet" and declared:
         kwargs["metric_names"] = declared[:1]
         if len(declared) > 1:
             warnings.append(
@@ -171,11 +199,32 @@ def lower_blueprint(raw: dict) -> tuple[dict, list[str]]:
                 f"{declared[0]!r} = the annotated edge weight) — produce the "
                 "rest via generating: specs"
             )
+    elif fmt == "pbf":
+        # the reference's pbf preprocess admits only KilometersPerHour /
+        # LaneCount as provided metrics (pbf.rs:26-67); everything else
+        # must be generated
+        bad = [d for d in declared if d not in ("kmph", "lanecount")]
+        if bad:
+            warnings.append(
+                f"pbf provides metrics kmph/lanecount only; declared ids "
+                f"{bad} are ignored (generate them instead)"
+            )
 
     gen = parsing.get("generating") or {}
     if gen.get("nodes"):
         warnings.append("parsing.generating.nodes ignored (no node metrics here)")
-    specs = _lower_generating(gen.get("edges") or [], warnings)
+    specs = _lower_generating(
+        gen.get("edges") or [], warnings, allow_haversine=(fmt == "pbf")
+    )
+    hav = [sp for sp in specs if sp["op"] == "haversine"]
+    if hav:
+        specs = [sp for sp in specs if sp["op"] != "haversine"]
+        kwargs["pbf_haversine"] = True
+        if any(sp["name"] != "kilometers" for sp in hav):
+            warnings.append(
+                "pbf haversine metric is always materialized under the id "
+                "'kilometers'"
+            )
     if specs:
         kwargs["generating"] = specs
     return kwargs, warnings

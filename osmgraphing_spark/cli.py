@@ -63,6 +63,14 @@ class JobConfig:
     metric_names: list = field(default_factory=list)
     normalize_metrics: bool = False
     warnings: list = field(default_factory=list)
+    # graph-file ingest (reference .fmi/.pbf map-files, sources/fmi+pbf):
+    # corpus then names the graph file instead of a parquet corpus table
+    map_format: str = "parquet"  # parquet | fmi | pbf
+    fmi_node_schema: list = field(default_factory=list)  # [[name, type], ...]
+    fmi_edge_schema: list = field(default_factory=list)
+    vehicle: str = "car"
+    picky: bool = True
+    pbf_haversine: bool = False
 
     VALID_ALGOS = (
         "pagerank", "cc", "lpa", "triangles", "degrees", "sssp", "metrics",
@@ -112,14 +120,36 @@ def run(cfg: JobConfig, resume: bool = False) -> dict:
     from .session import get_spark
 
     spark = get_spark(app_name="osmgraphing-spark-job", master=cfg.master)
-    corpus = spark.read.parquet(cfg.corpus)
-    ref = (
-        spark.read.parquet(cfg.reference_hashes) if cfg.reference_hashes else None
-    )
-    lg = LinkGraph.from_corpus(
-        spark, corpus, ref, num_blocks=cfg.num_blocks,
-        checkpoint_root=cfg.checkpoint_root,
-    )
+    if cfg.map_format == "pbf":
+        from .sources import pbf as _pbf
+
+        g = _pbf.pbf_graph(
+            spark, cfg.corpus, vehicle=cfg.vehicle, picky=cfg.picky,
+            num_blocks=cfg.num_blocks, with_haversine=cfg.pbf_haversine,
+            hours=False,  # hours derive from the config's calc spec below
+        )
+        lg = LinkGraph(g, cfg.checkpoint_root)
+    elif cfg.map_format == "fmi":
+        from .sources import fmi as _fmi
+
+        g = _fmi.fmi_graph(
+            spark, cfg.corpus,
+            [tuple(t) for t in cfg.fmi_node_schema],
+            [tuple(t) for t in cfg.fmi_edge_schema],
+            num_blocks=cfg.num_blocks,
+        )
+        lg = LinkGraph(g, cfg.checkpoint_root)
+    else:
+        corpus = spark.read.parquet(cfg.corpus)
+        ref = (
+            spark.read.parquet(cfg.reference_hashes)
+            if cfg.reference_hashes
+            else None
+        )
+        lg = LinkGraph.from_corpus(
+            spark, corpus, ref, num_blocks=cfg.num_blocks,
+            checkpoint_root=cfg.checkpoint_root,
+        )
     import sys
     from dataclasses import replace as _replace
 

@@ -469,12 +469,15 @@ def pbf_graph(
     picky: bool = True,
     num_blocks: int = 32,
     with_haversine: bool = False,
+    hours: bool = True,
 ):
     """PBF file → finalized ``build.Graph`` with metrics [kmph, lanecount]
-    (+ [kilometers, hours] when ``with_haversine`` — the isle_of_man
-    config's generated metrics, computed from the node coordinates with
-    functions.geo.haversine). Pinned against the reference's own fixture
-    counts in tests/test_pbf.py."""
+    (+ [kilometers] when ``with_haversine``, + [hours] when also ``hours``
+    — the isle_of_man config's generated metrics, computed from the node
+    coordinates with functions.geo.haversine; the CLI passes hours=False
+    and derives hours through the config's own calc generating spec).
+    Pinned against the reference's own fixture counts in
+    tests/test_pbf.py."""
     from pyspark.sql import functions as F
 
     from ..operators.build import build_graph
@@ -506,9 +509,11 @@ def pbf_graph(
                     F.col("_slat"), F.col("_slon"), F.col("_dlat"), F.col("_dlon")
                 ),
             )
-            .withColumn("hours", F.col("kilometers") / F.col("kmph"))
         )
-        metric_names = ["kmph", "lanecount", "kilometers", "hours"]
+        metric_names = ["kmph", "lanecount", "kilometers"]
+        if hours:
+            e = e.withColumn("hours", F.col("kilometers") / F.col("kmph"))
+            metric_names.append("hours")
     raw = e.select(
         F.col("src_id").cast("string").alias("src_key"),
         F.col("dst_id").cast("string").alias("dst_key"),

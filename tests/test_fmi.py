@@ -166,3 +166,39 @@ def test_blueprint_schema_lowering():
         ("dst_id", "long"),
         ("kilometers", "double"),
     ]
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference resources absent")
+def test_blueprint_cli_ingests_fmi_map_file(tmp_path):
+    """A reference-shaped YAML whose map-file is an actual .fmi now runs
+    through the batch CLI end-to-end (blueprint → fmi_graph → algorithms),
+    instead of requiring a parquet corpus."""
+    from osmgraphing_spark.cli import JobConfig, run
+
+    cfgf = tmp_path / "job.yaml"
+    cfgf.write_text(f"""\
+parsing:
+  map-file: '{REF}/bidirectional_bait/graph.fmi'
+  nodes:
+  - meta: {{ info: 'NodeId', id: 'node-id' }}
+  - metric: {{ unit: 'Latitude', id: 'lat' }}
+  - metric: {{ unit: 'Longitude', id: 'lon' }}
+  edges:
+    data:
+    - meta: {{ info: 'SrcId', id: 'src-id' }}
+    - meta: {{ info: 'DstId', id: 'dst-id' }}
+    - metric: {{ unit: 'Meters', id: 'meters' }}
+    - metric: {{ unit: 'KilometersPerHour', id: 'kmph' }}
+output: '{tmp_path}/out'
+algorithms: ['degrees']
+master: 'local[4]'
+num_blocks: 4
+""")
+    cfg = JobConfig.from_file(str(cfgf))
+    assert cfg.map_format == "fmi"
+    assert cfg.fmi_edge_schema == [
+        ["src_id", "long"], ["dst_id", "long"],
+        ["meters", "double"], ["kmph", "double"],
+    ]
+    summary = run(cfg)
+    assert summary["vertices"] == 5 and summary["edges"] == 10

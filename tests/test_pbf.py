@@ -116,3 +116,50 @@ def test_pbf_haversine_metrics(spark):
         ).collect()[0]
     )
     assert 0.0 <= row["lo"] and row["hi"] < 60.0
+
+
+@pytest.mark.skipif(not os.path.exists(PBF), reason="reference pbf absent")
+def test_blueprint_cli_ingests_pbf_map_file(tmp_path):
+    """The reference's osm.pbf.yaml shape (vehicles + provided kmph/
+    lanecount + generated haversine km and calc hours) runs through the
+    batch CLI: street filter honors the vehicles section, haversine is
+    materialized by pbf_graph, hours derives via the generic calc spec,
+    and the golden counts hold."""
+    from osmgraphing_spark.cli import JobConfig, run
+
+    cfgf = tmp_path / "job.yaml"
+    cfgf.write_text(f"""\
+parsing:
+  map-file: '{PBF}'
+  vehicles:
+    category: 'Car'
+    are_drivers_picky: true
+  nodes:
+  - meta: {{ info: 'NodeId', id: 'node-id' }}
+  - metric: {{ unit: 'Latitude', id: 'latitude' }}
+  - metric: {{ unit: 'Longitude', id: 'longitude' }}
+  edges:
+    data:
+    - meta: {{ info: 'SrcId', id: 'src-id' }}
+    - meta: {{ info: 'DstId', id: 'dst-id' }}
+    - ignored
+    - metric: {{ unit: 'KilometersPerHour', id: 'kmph' }}
+    - metric: {{ unit: 'LaneCount', id: 'lanecount' }}
+  generating:
+    edges:
+    - haversine: {{ unit: 'Kilometers', id: 'kilometers' }}
+    - calc:
+        result: {{ unit: 'Hours', id: 'hours' }}
+        a: {{ unit: 'Kilometers', id: 'kilometers' }}
+        b: {{ unit: 'KilometersPerHour', id: 'kmph' }}
+output: '{tmp_path}/out'
+algorithms: ['degrees']
+master: 'local[4]'
+num_blocks: 4
+""")
+    cfg = JobConfig.from_file(str(cfgf))
+    assert cfg.map_format == "pbf"
+    assert cfg.vehicle == "car" and cfg.picky and cfg.pbf_haversine
+    assert [sp["op"] for sp in cfg.generating] == ["calc"]
+    summary = run(cfg)
+    assert summary["vertices"] == 30_575 and summary["edges"] == 61_579
