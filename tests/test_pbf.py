@@ -163,3 +163,42 @@ num_blocks: 4
     assert [sp["op"] for sp in cfg.generating] == ["calc"]
     summary = run(cfg)
     assert summary["vertices"] == 30_575 and summary["edges"] == 61_579
+
+
+@pytest.mark.skipif(not os.path.exists(PBF), reason="reference pbf absent")
+def test_pbf_to_fmi_roundtrip(spark, tmp_path):
+    """The reference's pbf→fmi conversion workflow (pbf_to_fmi.yaml):
+    parse the pbf, write a native .fmi with the config's column order,
+    read it BACK with sources.fmi and rebuild — the golden counts hold
+    across the round trip and the total kilometers metric agrees."""
+    from pyspark.sql import functions as F
+
+    from osmgraphing_spark.sources import fmi, writers
+
+    out = str(tmp_path / "iom.fmi")
+    g = writers.pbf_to_fmi(spark, PBF, out, num_blocks=4)
+    assert g.num_vertices == 30_575 and g.num_edges == 61_579
+
+    node_schema = [
+        ("node_idx", "long"), ("node_id", "long"),
+        ("latitude", "double"), ("longitude", "double"),
+    ]
+    edge_schema = [
+        ("edge_id", "long"), ("src_id", "long"), ("dst_id", "long"),
+        ("kilometers", "double"), ("hours", "double"), ("lane_count", "long"),
+    ]
+    t = fmi.read_fmi(spark, out, node_schema, edge_schema)
+    assert (t.metric_count, t.node_count, t.edge_count) == (3, 30_575, 61_579)
+
+    g2 = fmi.fmi_graph(
+        spark, out, node_schema, edge_schema,
+        src_col="src_id", dst_col="dst_id", num_blocks=4,
+    )
+    assert g2.num_vertices == 30_575 and g2.num_edges == 61_579
+    km1 = g.edges.agg(
+        F.round(F.sum(F.round(F.element_at("metrics", 3), 6)), 3)
+    ).collect()[0][0]
+    km2 = g2.edges.agg(
+        F.round(F.sum(F.element_at("metrics", 1)), 3)
+    ).collect()[0][0]
+    assert km1 == km2
