@@ -605,6 +605,35 @@ def write_baseline_md(scaling: dict, headline: dict, times: dict, total: float) 
         f.write("\n".join(lines) + "\n")
 
 
+PBF_FIXTURE = "/root/reference/resources/isle_of_man_2020-03-14/graph.osm.pbf"
+
+
+def run_ingest_leg(spark) -> dict:
+    """Reference-format ingest: full .osm.pbf parse → street filter →
+    build_graph on the reference's isle_of_man fixture (its README benches
+    this file at < 1 s single-threaded parse; the parsed-graph golden is
+    30,575 / 61,579). Honest footing: our wall on a 2.4 MB file is
+    dominated by fixed Spark job overhead — the scale story is the
+    blob-parallel decode (one task per self-contained blob), which is what
+    this leg's edges/sec would amortize into on a planet-sized file."""
+    if (
+        os.environ.get("SPARK_GRAFT_BENCH_NO_PBF") == "1"
+        or not os.path.exists(PBF_FIXTURE)
+    ):
+        return {}
+    from osmgraphing_spark.sources import pbf as _pbf
+
+    t0 = time.time()
+    g = _pbf.pbf_graph(spark, PBF_FIXTURE, num_blocks=min(CPUS, 32))
+    wall = round(time.time() - t0, 2)
+    return {
+        "wall_sec": wall,
+        "vertices": g.num_vertices,
+        "edges": g.num_edges,
+        "edges_per_sec": round(g.num_edges / wall, 1),
+    }
+
+
 def main() -> None:
     t_start = time.time()
     from osmgraphing_spark.session import get_spark
@@ -614,6 +643,10 @@ def main() -> None:
 
     graph_dir = ensure_prebuilt(spark)
     times = run_operator_leg(spark)
+    ingest = run_ingest_leg(spark)
+    if ingest:
+        # rides the operator table + queries dict (driver-recorded)
+        times["pbf_parse_build_isle_of_man"] = ingest["wall_sec"]
     spark.stop()
 
     scaling, headline = {}, {}
@@ -645,6 +678,7 @@ def main() -> None:
         "scaling_efficiency": scaling.get("scaling_efficiency"),
         "scaling_pairs": scaling.get("pairs"),
         "supersteps_per_hour_local32": headline.get("supersteps_per_hour"),
+        "pbf_ingest": ingest or None,
         "total_sec": round(total, 2),
     }
     print(json.dumps(out))
