@@ -1,0 +1,137 @@
+"""CH query execution (operators/ch.py) — validated the same way the
+reference validates its CHDijkstra (tests/small/routing/fastest.rs): CH
+answers on the contracted map must equal plain Dijkstra on the contracted
+map AND on the original uncontracted map, for every pair."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmgraphing_spark.operators import ch
+from osmgraphing_spark.sources import fmi
+
+REF = "/root/reference/resources"
+
+CH_NODES = [
+    ("vid", "long"),
+    ("ignored_osm", "string"),
+    ("lat", "double"),
+    ("lon", "double"),
+    ("ignored_h", "string"),
+    ("level", "long"),
+]
+CH_EDGES = [
+    ("src", "long"),
+    ("dst", "long"),
+    ("meters", "double"),
+    ("seconds", "double"),
+    ("sc0", "long"),
+    ("sc1", "long"),
+]
+PLAIN_NODES = [("vid", "long"), ("lat", "double"), ("lon", "double")]
+PLAIN_EDGES = [
+    ("src", "long"),
+    ("dst", "long"),
+    ("meters", "double"),
+    ("kmph", "double"),
+]
+
+
+def _python_dijkstra_all_pairs(edges):
+    """Floyd-Warshall oracle over a [(s, t, w)] list."""
+    INF = float("inf")
+    vids = sorted({v for e in edges for v in e[:2]})
+    d = {(a, b): (0.0 if a == b else INF) for a in vids for b in vids}
+    for s, t, w in edges:
+        d[(s, t)] = min(d[(s, t)], w)
+    for k in vids:
+        for i in vids:
+            for j in vids:
+                if d[(i, k)] + d[(k, j)] < d[(i, j)]:
+                    d[(i, j)] = d[(i, k)] + d[(k, j)]
+    return vids, d
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference resources absent")
+def test_ch_matches_plain_dijkstra_on_reference_fixture(spark):
+    """Every (s, t) pair on small/graph.ch.fmi: the CH bidirectional
+    upward answer equals the Floyd-Warshall truth of the contracted map
+    (shortcuts carry real costs) AND of the original small/graph.fmi in
+    the duration metric (seconds = meters * 0.12 at 30 km/h) — the
+    reference's own chdijkstra_on_chmap / dijkstra_on_map cross-check."""
+    t = fmi.read_fmi(spark, f"{REF}/small/graph.ch.fmi", CH_NODES, CH_EDGES)
+    levels = t.nodes.select("vid", "level")
+    edges = t.edges.select("src", "dst", F.col("seconds").alias("w"))
+
+    ch_edge_list = [
+        (r["src"], r["dst"], r["w"]) for r in edges.collect()
+    ]
+    vids, truth = _python_dijkstra_all_pairs(ch_edge_list)
+
+    # original (uncontracted) map in the same duration metric
+    p = fmi.read_fmi(spark, f"{REF}/small/graph.fmi", PLAIN_NODES, PLAIN_EDGES)
+    orig_list = [
+        (r["src"], r["dst"], r["meters"] * 3.6 / r["kmph"])
+        for r in p.edges.collect()
+    ]
+    _, truth_orig = _python_dijkstra_all_pairs(orig_list)
+    for k, v in truth.items():
+        assert truth_orig[k] == pytest.approx(v), (
+            f"fixture self-consistency: contracted vs original disagree at {k}"
+        )
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a in vids for b in vids if a != b], "src long, dst long"
+    )
+    got = {
+        (r["src"], r["dst"]): r["cost"]
+        for r in ch.ch_route_costs(edges, levels, pairs).collect()
+    }
+    INF = float("inf")
+    for a in vids:
+        for b in vids:
+            if a == b:
+                continue
+            if truth[(a, b)] == INF:
+                assert (a, b) not in got
+            else:
+                assert got[(a, b)] == pytest.approx(truth[(a, b)]), (a, b)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference resources absent")
+def test_upward_filter_prunes_and_shortcuts_carry(spark):
+    """The forward upward graph of the fixture drops every edge into a
+    strictly lower level and keeps both shortcuts (they end at b/f which
+    sit above or equal their tails)."""
+    t = fmi.read_fmi(spark, f"{REF}/small/graph.ch.fmi", CH_NODES, CH_EDGES)
+    levels = t.nodes.select("vid", "level")
+    edges = t.edges.select("src", "dst", F.col("seconds").alias("w"))
+    up = ch.upward_edges(edges, levels)
+    lv = {r["vid"]: r["level"] for r in levels.collect()}
+    for r in up.collect():
+        assert lv[r["dst"]] >= lv[r["src"]]
+    # the two shortcut edges 4->1 and 7->1 (levels 2->3, 4->3): the first
+    # is upward and must survive; total upward count < total count
+    assert up.where((F.col("src") == 4) & (F.col("dst") == 1)).count() == 1
+    assert up.count() < edges.count()
+
+
+def test_ch_distances_small_synthetic(spark):
+    """ch_distances agrees with the python oracle on a hand-built
+    3-level chain with one shortcut (a->b->c contracted to a->c)."""
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 2.0)], "src long, dst long, w double"
+    )
+    levels = spark.createDataFrame(
+        [(1, 1), (2, 3), (3, 2)], "vid long, level long"
+    )
+    got = {
+        (r["source"], r["vid"]): r["dist"]
+        for r in ch.ch_distances(edges, levels, [1]).collect()
+    }
+    assert got[(1, 2)] == pytest.approx(1.0)
+    assert got[(1, 3)] == pytest.approx(2.0)
+    assert got[(1, 1)] == pytest.approx(0.0)
