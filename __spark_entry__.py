@@ -1948,6 +1948,41 @@ def q_sssp_nations(spark, sf_dir):
     )
 
 
+def q_ch_routes_nations(spark, sf_dir):
+    """G2 for REAL (operators/ch.py): contract the weighted nation
+    digraph (parallel independent-set contraction, witness-free
+    shortcuts), then answer batched point queries with the bidirectional
+    upward-BSP CH search — sources = SSSP_SOURCES, targets = every other
+    nation. The oracle is plain recursive-CTE shortest paths: CH preserves
+    distances exactly, so agreement validates the whole
+    construction + query stack, not just the sweep."""
+    from osmgraphing_spark.operators import ch as ch_op
+
+    g = _cached_graph(spark, sf_dir, "nation_w", _nation_weighted_raw_edges, 4)
+    ch_e, lv = ch_op.contract_graph(
+        g.edges.select("src", "dst", F.col("weight").alias("w"))
+    )
+    keys = [f"n{s:03d}" for s in SSSP_SOURCES]
+    vids = {
+        r["key"]: r["vid"]
+        for r in g.vertices.where(F.col("key").isin(keys)).collect()
+    }
+    pairs = (
+        spark.createDataFrame(
+            [(vids[k],) for k in keys if k in vids], "src long"
+        )
+        .crossJoin(g.vertices.select(F.col("vid").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+    )
+    res = ch_op.ch_route_costs(ch_e, lv, pairs)
+    out = _vid_to_nationkey(g, res, ["src", "dst"])
+    return out.select(
+        F.col("src").cast("int").alias("src"),
+        F.col("dst").cast("int").alias("dst"),
+        F.round("cost", 6).alias("cost"),
+    )
+
+
 LANDMARKS = (0, 4, 9, 14, 21)
 
 
@@ -2701,6 +2736,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # content is unchanged, only the iteration order.
 _DRIVER_WINDOW_ORDER = [
     "link_butterflies",
+    "ch_routes_nations",  # new in round 3 — CH construction + query stack
     # never driver-checked (r1 ∪ r2), oldest families first
     "event_funnel", "event_cohort_retention", "event_value_quantiles",
     "event_props_k", "doc_repetition", "doc_filter_funnel",
@@ -2833,6 +2869,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_pq_topk": q_embed_pq_topk,
         "embed_near_dups": q_embed_near_dups,
         "sssp_nations": q_sssp_nations,
+        "ch_routes_nations": q_ch_routes_nations,
         "link_diameter": q_link_diameter,
         "link_landmark_est": q_link_landmark_est,
         "link_partition_stats": q_link_partition_stats,
@@ -5708,6 +5745,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(vid AS INTEGER) AS n_nationkey,
                    ROUND(MIN(dist), 6) AS dist
             FROM walk GROUP BY source, vid
+        """,
+        "ch_routes_nations": f"""
+            WITH RECURSIVE e AS (
+                SELECT a.n_nationkey AS src, b.n_nationkey AS dst,
+                       1.0 + ((a.n_nationkey * 7 + b.n_nationkey) % 5) AS w
+                FROM nation a JOIN nation b
+                  ON a.n_regionkey = b.n_regionkey
+                 AND a.n_nationkey <> b.n_nationkey
+            ),
+            walk(source, vid, dist, hops) AS (
+                SELECT s.v, s.v, CAST(0 AS DOUBLE), 0
+                FROM (VALUES {", ".join(f"({s})" for s in SSSP_SOURCES)}) s(v)
+                WHERE s.v IN (SELECT n_nationkey FROM nation)
+                UNION ALL
+                SELECT p.source, e.dst, p.dist + e.w, p.hops + 1
+                FROM walk p JOIN e ON e.src = p.vid
+                WHERE p.hops < 6
+            )
+            SELECT CAST(source AS INTEGER) AS src,
+                   CAST(vid AS INTEGER) AS dst,
+                   ROUND(MIN(dist), 6) AS cost
+            FROM walk WHERE source <> vid GROUP BY source, vid
         """,
         "link_landmark_est": f"""
             WITH RECURSIVE e AS (

@@ -194,3 +194,152 @@ def ch_distances(
         .groupBy("source", "vid")
         .agg(F.min("dist").alias("dist"))
     )
+
+
+def contract_graph(
+    edges: DataFrame,
+    max_rounds: int = 200,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Build a contraction hierarchy → (ch_edges (src, dst, w), levels
+    (vid, level)): original edges + witness-free shortcuts, levels = the
+    round each vertex was contracted in.
+
+    The reference DELEGATES construction to an external single-machine
+    tool (README: CHConstructor); this is the Spark-native equivalent, a
+    parallel independent-set contraction in the PHAST/OSRM family:
+
+    - each round selects the set S of vertices whose priority (active
+      degree, hash tiebreak — both deterministic under ``seed``) is a
+      strict local minimum among their active neighbors. S is independent
+      by construction, so contracting its members simultaneously equals
+      contracting them sequentially — no member touches another's edges.
+    - contracting v inserts ALL (u→v→w) shortcuts (cost = sum). Skipping
+      the witness search is the classic simplicity/query-time trade and
+      CORRECTNESS-NEUTRAL: every shortcut carries a real path cost, and
+      the all-pairs insertion is exactly the step of the textbook
+      distance-preservation induction, so d(active graph) is preserved
+      round to round and every shortest path has an up-down
+      representation (query correctness needs nothing else).
+    - degree-first priority contracts hubs LAST (a hub is never a local
+      minimum while any lower-degree neighbor lives), which bounds the
+      deg² shortcut fan-in the same way the wedge-join caps do elsewhere.
+    - same-round vertices are never adjacent when contracted, so the
+      query's ``level(head) >= level(tail)`` tie handling is safe.
+
+    Per round: one degree aggregate, one local-min join, one v-keyed
+    wedge self-join for shortcuts, one min-dedup — all map-side-combined
+    DataFrame ops; rounds shrink the active graph geometrically on
+    sparse graphs (MIS-style), so ~O(log V) supersteps."""
+    spark = edges.sparkSession
+    trunc_a = EphemeralTruncator(spark, "ch-active")
+    trunc_l = EphemeralTruncator(spark, "ch-levels")
+    trunc_s = EphemeralTruncator(spark, "ch-shortcuts")
+    scope = BlockScope(spark)
+
+    base = edges.select("src", "dst", "w").where(F.col("src") != F.col("dst"))
+    # the deduped base goes on the PERSISTENT truncator (trunc_s,
+    # reap=False): the final union still reads it after the rolling
+    # active-frame truncator has reaped all its own steps
+    active = trunc_s.truncate(
+        base.groupBy("src", "dst").agg(F.min("w").alias("w")), reap=False
+    )
+    all_edges = [active]
+    levels = spark.createDataFrame([], "vid long, level long")
+    rnd = 0  # loop may not run at all (edgeless input)
+
+    with iterative_conf(spark):
+        for rnd in range(1, max_rounds + 1):
+            und = active.select("src", "dst").unionByName(
+                active.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            ).distinct()
+            deg = und.groupBy("src").agg(F.count("*").alias("d"))
+            if deg.limit(1).count() == 0:
+                break
+            # priority = struct(degree, salted hash, vid): EXACT
+            # lexicographic comparison (a packed double would overflow the
+            # 53-bit mantissa and manufacture ties, which can deadlock the
+            # local-min selection); vid makes the order strictly total
+            pri = deg.select(
+                F.col("src").alias("vid"),
+                F.struct(
+                    F.col("d").alias("_d"),
+                    F.pmod(
+                        F.xxhash64(F.col("src"), F.lit(seed)), F.lit(2**61)
+                    ).alias("_h"),
+                    F.col("src").alias("_v"),
+                ).alias("p"),
+            )
+            nbr_min = (
+                und.join(pri.withColumnRenamed("vid", "dst"), "dst")
+                .groupBy("src")
+                .agg(F.min("p").alias("np"))
+            )
+            s_set = (
+                pri.join(nbr_min.withColumnRenamed("src", "vid"), "vid")
+                .where(F.col("p") < F.col("np"))
+                .select("vid")
+            )
+            levels = trunc_l.truncate(
+                levels.unionByName(
+                    s_set.select("vid", F.lit(rnd).cast("long").alias("level"))
+                )
+            )
+            ins = active.join(
+                s_set.withColumnRenamed("vid", "dst"), "dst"
+            ).select(F.col("src").alias("u"), F.col("dst").alias("v"), F.col("w").alias("w1"))
+            outs = active.join(
+                s_set.withColumnRenamed("vid", "src"), "src"
+            ).select(F.col("src").alias("v"), F.col("dst").alias("wv"), F.col("w").alias("w2"))
+            # materialize this round's shortcuts to their own parquet step
+            # (reap=False): the final union reads every round's file, and
+            # the active-frame truncations below delete the active parquet
+            # these lazy wedge joins would otherwise still be scanning
+            shortcuts = trunc_s.truncate(
+                ins.join(outs, "v")
+                .where(F.col("u") != F.col("wv"))
+                .select(
+                    F.col("u").alias("src"), F.col("wv").alias("dst"),
+                    (F.col("w1") + F.col("w2")).alias("w"),
+                )
+                .groupBy("src", "dst")
+                .agg(F.min("w").alias("w")),
+                reap=False,
+            )
+            survivors = (
+                active.join(s_set.withColumnRenamed("vid", "src"), "src", "left_anti")
+                .join(s_set.withColumnRenamed("vid", "dst"), "dst", "left_anti")
+            )
+            active = trunc_a.truncate(
+                survivors.select("src", "dst", "w")
+                .unionByName(shortcuts)
+                .groupBy("src", "dst")
+                .agg(F.min("w").alias("w"))
+            )
+            all_edges.append(shortcuts)
+        else:
+            raise RuntimeError(f"CH contraction did not finish in {max_rounds} rounds")
+        scope.release_new()
+
+    ch_edges = all_edges[0]
+    for sc in all_edges[1:]:
+        ch_edges = ch_edges.unionByName(sc)
+    ch_edges = trunc_a.truncate(
+        ch_edges.groupBy("src", "dst").agg(F.min("w").alias("w"))
+    )
+    # vertices still uncontracted when the edges ran out OUTLIVED every
+    # neighbor — in contraction order they come last, so they take the
+    # HIGHEST level (a low level here would break the up-down property of
+    # paths ending at them); truly isolated vertices ride along harmlessly
+    vs = (
+        edges.select(F.col("src").alias("vid"))
+        .unionByName(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    top = rnd + 1
+    missing = vs.join(levels, "vid", "left_anti").select(
+        "vid", F.lit(top).cast("long").alias("level")
+    )
+    return ch_edges, levels.unionByName(missing)

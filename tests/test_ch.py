@@ -135,3 +135,71 @@ def test_ch_distances_small_synthetic(spark):
     assert got[(1, 2)] == pytest.approx(1.0)
     assert got[(1, 3)] == pytest.approx(2.0)
     assert got[(1, 1)] == pytest.approx(0.0)
+
+
+def test_contract_graph_random_matches_floyd_warshall(spark):
+    """Full-stack pin: build the hierarchy with contract_graph (parallel
+    independent-set contraction, witness-free shortcuts) on a random
+    30-vertex digraph, answer 8×29 point queries with ch_route_costs,
+    compare every answer (and every absence, for unreachable pairs)
+    against Floyd-Warshall truth on the ORIGINAL graph."""
+    import random
+
+    rng = random.Random(42)
+    n, m = 30, 90
+    raw = [
+        (rng.randrange(n), rng.randrange(n), round(rng.uniform(1, 10), 3))
+        for _ in range(m)
+    ]
+    raw = [(s, t, w) for s, t, w in raw if s != t]
+    e = spark.createDataFrame(raw, "src long, dst long, w double")
+    ch_e, lv = ch.contract_graph(e)
+
+    vids, truth = _python_dijkstra_all_pairs(raw)
+    INF = float("inf")
+    pairs = spark.createDataFrame(
+        [(a, b) for a in vids[:8] for b in vids if a != b],
+        "src long, dst long",
+    )
+    got = {
+        (r["src"], r["dst"]): r["cost"]
+        for r in ch.ch_route_costs(ch_e, lv, pairs).collect()
+    }
+    for a in vids[:8]:
+        for b in vids:
+            if a == b:
+                continue
+            if truth[(a, b)] == INF:
+                assert (a, b) not in got, f"spurious path {a}->{b}"
+            else:
+                assert got[(a, b)] == pytest.approx(truth[(a, b)]), (a, b)
+
+
+def test_contract_graph_structure(spark):
+    """Levels are a strict hierarchy: every vertex gets exactly one
+    level, same-level vertices are never adjacent in the ORIGINAL graph
+    (the independence invariant that makes simultaneous contraction equal
+    sequential contraction), and shortcut costs are sums of real paths
+    (>= the true distance, never below)."""
+    import random
+
+    rng = random.Random(7)
+    raw = [
+        (rng.randrange(20), rng.randrange(20), float(rng.randint(1, 9)))
+        for _ in range(50)
+    ]
+    raw = [(s, t, w) for s, t, w in raw if s != t]
+    e = spark.createDataFrame(raw, "src long, dst long, w double")
+    ch_e, lv = ch.contract_graph(e)
+    levels = {r["vid"]: r["level"] for r in lv.collect()}
+    vids = {v for ed in raw for v in ed[:2]}
+    assert set(levels) == vids  # every vertex leveled exactly once
+    # same-level adjacency check — only for levels assigned IN a round
+    # (the shared top level of outliving vertices is exempt by design)
+    top = max(levels.values())
+    for s, t, _ in raw:
+        if levels[s] == levels[t] and levels[s] != top:
+            pytest.fail(f"adjacent same-level pair {s},{t}")
+    _, truth = _python_dijkstra_all_pairs(raw)
+    for r in ch_e.collect():
+        assert r["w"] >= truth[(r["src"], r["dst"])] - 1e-9
