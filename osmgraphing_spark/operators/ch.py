@@ -201,8 +201,10 @@ def contract_graph(
     max_rounds: int = 200,
     seed: int = 42,
 ) -> tuple[DataFrame, DataFrame]:
-    """Build a contraction hierarchy → (ch_edges (src, dst, w), levels
-    (vid, level)): original edges + witness-free shortcuts, levels = the
+    """Build a contraction hierarchy → (ch_edges (src, dst, w, via),
+    levels (vid, level)): original edges + witness-free shortcuts (via =
+    the contracted middle vertex, NULL for originals — the provenance
+    ``ch_shortest_paths`` expands back into full routes), levels = the
     round each vertex was contracted in.
 
     The reference DELEGATES construction to an external single-machine
@@ -237,13 +239,27 @@ def contract_graph(
     trunc_s = EphemeralTruncator(spark, "ch-shortcuts")
     scope = BlockScope(spark)
 
-    base = edges.select("src", "dst", "w").where(F.col("src") != F.col("dst"))
+    # every edge carries `via`: NULL for originals, the contracted middle
+    # vertex for shortcuts — the provenance ch_shortest_paths expands.
+    # Dedup keeps min(struct(w, via)); Spark's nulls-first struct ordering
+    # makes a cost-tied original beat a shortcut (fewer expansions).
+    def _min_edge(df):
+        return (
+            df.groupBy("src", "dst")
+            .agg(F.min(F.struct("w", "via")).alias("m"))
+            .select(
+                "src", "dst",
+                F.col("m.w").alias("w"), F.col("m.via").alias("via"),
+            )
+        )
+
+    base = edges.select(
+        "src", "dst", "w", F.lit(None).cast("long").alias("via")
+    ).where(F.col("src") != F.col("dst"))
     # the deduped base goes on the PERSISTENT truncator (trunc_s,
     # reap=False): the final union still reads it after the rolling
     # active-frame truncator has reaped all its own steps
-    active = trunc_s.truncate(
-        base.groupBy("src", "dst").agg(F.min("w").alias("w")), reap=False
-    )
+    active = trunc_s.truncate(_min_edge(base), reap=False)
     all_edges = [active]
     levels = spark.createDataFrame([], "vid long, level long")
     rnd = 0  # loop may not run at all (edgeless input)
@@ -298,14 +314,15 @@ def contract_graph(
             # the active-frame truncations below delete the active parquet
             # these lazy wedge joins would otherwise still be scanning
             shortcuts = trunc_s.truncate(
-                ins.join(outs, "v")
-                .where(F.col("u") != F.col("wv"))
-                .select(
-                    F.col("u").alias("src"), F.col("wv").alias("dst"),
-                    (F.col("w1") + F.col("w2")).alias("w"),
-                )
-                .groupBy("src", "dst")
-                .agg(F.min("w").alias("w")),
+                _min_edge(
+                    ins.join(outs, "v")
+                    .where(F.col("u") != F.col("wv"))
+                    .select(
+                        F.col("u").alias("src"), F.col("wv").alias("dst"),
+                        (F.col("w1") + F.col("w2")).alias("w"),
+                        F.col("v").alias("via"),
+                    )
+                ),
                 reap=False,
             )
             survivors = (
@@ -313,10 +330,10 @@ def contract_graph(
                 .join(s_set.withColumnRenamed("vid", "dst"), "dst", "left_anti")
             )
             active = trunc_a.truncate(
-                survivors.select("src", "dst", "w")
-                .unionByName(shortcuts)
-                .groupBy("src", "dst")
-                .agg(F.min("w").alias("w"))
+                _min_edge(
+                    survivors.select("src", "dst", "w", "via")
+                    .unionByName(shortcuts)
+                )
             )
             all_edges.append(shortcuts)
         else:
@@ -326,9 +343,7 @@ def contract_graph(
     ch_edges = all_edges[0]
     for sc in all_edges[1:]:
         ch_edges = ch_edges.unionByName(sc)
-    ch_edges = trunc_a.truncate(
-        ch_edges.groupBy("src", "dst").agg(F.min("w").alias("w"))
-    )
+    ch_edges = trunc_a.truncate(_min_edge(ch_edges))
     # vertices still uncontracted when the edges ran out OUTLIVED every
     # neighbor — in contraction order they come last, so they take the
     # HIGHEST level (a low level here would break the up-down property of
@@ -343,3 +358,237 @@ def contract_graph(
         "vid", F.lit(top).cast("long").alias("level")
     )
     return ch_edges, levels.unionByName(missing)
+
+
+def _upward_sssp_pred(
+    spark, up_edges: DataFrame, sources: list[int], max_iter: int
+) -> DataFrame:
+    """`_upward_sssp` with predecessor tracking → (source, vid, dist,
+    pred); pred = -1 on the source row, min-(dist, pred) tie-break (every
+    (dist, pred) pair comes from a real relaxation, so the winning pred is
+    a valid tree parent — the sssp.run discipline)."""
+    trunc = EphemeralTruncator(spark, "ch-up-p")
+    scope = BlockScope(spark)
+    state = spark.createDataFrame(
+        [(int(s), int(s), 0.0, -1) for s in sources],
+        "source long, vid long, dist double, pred long",
+    )
+
+    def _merge(df):
+        return (
+            df.groupBy("source", "vid")
+            .agg(F.min(F.struct("dist", "pred")).alias("m"))
+            .select(
+                "source", "vid",
+                F.col("m.dist").alias("dist"), F.col("m.pred").alias("pred"),
+            )
+        )
+
+    frontier = state
+    with iterative_conf(spark):
+        for _ in range(max_iter):
+            relaxed = frontier.join(
+                up_edges.withColumnRenamed("src", "vid"), "vid"
+            ).select(
+                "source",
+                F.col("dst").alias("vid"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+                F.col("vid").alias("pred"),
+            )
+            merged = _merge(state.unionByName(relaxed))
+            new_frontier = (
+                merged.join(
+                    state.select("source", "vid", F.col("dist").alias("_old")),
+                    ["source", "vid"],
+                    "left",
+                )
+                .where(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+                .select("source", "vid", "dist", "pred")
+            )
+            new_frontier = trunc.truncate(new_frontier, reap=False)
+            state = trunc.truncate(merged, reap=False)
+            frontier = new_frontier
+            if frontier.limit(1).count() == 0:
+                break
+        scope.release_new()
+        return state
+
+
+def _walk_tree(trunc, pairs_with_meet, tree, append: bool, max_hops: int):
+    """Pred-chain walk (the sssp.shortest_paths pattern): per hop one
+    equi-join of the still-active rows against the tree. ``append=False``
+    prepends (forward tree: chain m→…→s read as s→…→m); ``append=True``
+    appends (backward tree on the reversed graph: chain m→…→t IS the
+    original-direction suffix)."""
+    walk = pairs_with_meet  # (qsrc, qdst, root, cur, nodes)
+    for _ in range(max_hops):
+        j = walk.join(
+            tree.select(
+                F.col("source").alias("root"), F.col("vid").alias("cur"), "pred"
+            ),
+            ["root", "cur"],
+            "left",
+        )
+        done = F.col("cur") == F.col("root")
+        grown = F.when(done, F.col("nodes")).otherwise(
+            F.concat(F.col("nodes"), F.array(F.col("pred")))
+            if append
+            else F.concat(F.array(F.col("pred")), F.col("nodes"))
+        )
+        walk = trunc.truncate(
+            j.select(
+                "qsrc", "qdst", "root",
+                F.when(done, F.col("cur")).otherwise(F.col("pred")).alias("cur"),
+                grown.alias("nodes"),
+            ),
+            reap=False,
+        )
+        if walk.where(F.col("cur") != F.col("root")).limit(1).count() == 0:
+            break
+    return walk
+
+
+def ch_shortest_paths(
+    edges: DataFrame,
+    levels: DataFrame,
+    pairs: DataFrame,
+    max_iter: int = 64,
+    max_expand: int = 64,
+) -> DataFrame:
+    """Batched CH routes: (src, dst) pairs → (src, dst, cost, nodes
+    array<long>) — full node sequences in the ORIGINAL graph, path-less
+    pairs dropped (the reference's G3 path flatten, on the CH engine).
+
+    Three phases, all batched across every query pair:
+    1. the two upward sweeps of ``ch_route_costs`` but predecessor-tracked,
+       + an argmin join picking each pair's meeting vertex;
+    2. two pred-chain walks reconstruct the up-down CH-edge path
+       (s →up→ m ←up← t);
+    3. shortcut expansion: each adjacent (a, b) in a path joins the CH
+       edge table's ``via``; a non-NULL via splits the hop into
+       (a, via, b) at the midpoint position — repeated until no hop is a
+       shortcut (≤ contraction depth rounds). Positions are dyadic
+       doubles, nesting ≤ one split per round, far inside double
+       precision."""
+    spark = edges.sparkSession
+    sources = [r["src"] for r in pairs.select("src").distinct().collect()]
+    targets = [r["dst"] for r in pairs.select("dst").distinct().collect()]
+    fwd = _upward_sssp_pred(
+        spark, upward_edges(edges, levels), sources, max_iter
+    )
+    bwd = _upward_sssp_pred(
+        spark, upward_edges(edges, levels, reverse=True), targets, max_iter
+    )
+    trunc = EphemeralTruncator(spark, "ch-paths")
+
+    meet = (
+        fwd.select(F.col("source").alias("qsrc"), "vid", F.col("dist").alias("_df"))
+        .join(
+            bwd.select(
+                F.col("source").alias("qdst"), "vid", F.col("dist").alias("_db")
+            ),
+            "vid",
+        )
+        .join(
+            pairs.select(
+                F.col("src").alias("qsrc"), F.col("dst").alias("qdst")
+            ).distinct(),
+            ["qsrc", "qdst"],
+        )
+        .groupBy("qsrc", "qdst")
+        .agg(
+            F.min(
+                F.struct((F.col("_df") + F.col("_db")).alias("cost"), "vid")
+            ).alias("m")
+        )
+        .select(
+            "qsrc", "qdst",
+            F.col("m.cost").alias("cost"), F.col("m.vid").alias("meet"),
+        )
+    )
+    meet = trunc.truncate(meet, reap=False)
+
+    up = _walk_tree(
+        trunc,
+        meet.select(
+            "qsrc", "qdst", F.col("qsrc").alias("root"),
+            F.col("meet").alias("cur"), F.array("meet").alias("nodes"),
+        ),
+        fwd,
+        append=False,
+        max_hops=max_iter,
+    ).select("qsrc", "qdst", F.col("nodes").alias("up_nodes"))
+    down = _walk_tree(
+        trunc,
+        meet.select(
+            "qsrc", "qdst", F.col("qdst").alias("root"),
+            F.col("meet").alias("cur"), F.array("meet").alias("nodes"),
+        ),
+        bwd,
+        append=True,
+        max_hops=max_iter,
+    ).select("qsrc", "qdst", F.col("nodes").alias("down_nodes"))
+
+    path = (
+        meet.join(up, ["qsrc", "qdst"]).join(down, ["qsrc", "qdst"])
+        .select(
+            "qsrc", "qdst", "cost",
+            F.concat(
+                F.col("up_nodes"), F.slice(F.col("down_nodes"), 2, 1 << 20)
+            ).alias("nodes"),
+        )
+    )
+    # → positional rows for expansion: pos = dyadic double
+    rows = path.select(
+        "qsrc", "qdst", "cost", F.posexplode("nodes").alias("pos0", "vid")
+    ).select(
+        "qsrc", "qdst", "cost",
+        F.col("pos0").cast("double").alias("pos"), "vid",
+    )
+    rows = trunc.truncate(rows, reap=False)
+    via_map = edges.where(F.col("via").isNotNull()).select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), "w", "via"
+    ) if "via" in edges.columns else None
+    if via_map is not None:
+        from pyspark.sql import Window
+
+        for _ in range(max_expand):
+            wspec = Window.partitionBy("qsrc", "qdst").orderBy("pos")
+            hops = rows.select(
+                "qsrc", "qdst", "cost", "pos", "vid",
+                F.lead("pos").over(wspec).alias("npos"),
+                F.lead("vid").over(wspec).alias("nvid"),
+            ).where(F.col("npos").isNotNull())
+            # a hop that matches a SHORTCUT row must only expand when the
+            # shortcut is the cheapest (a, b) edge — which it is exactly
+            # when contract_graph's min-dedup kept it; the edge table has
+            # one row per (a, b), so the join is decisive
+            splits = (
+                hops.join(
+                    via_map,
+                    (F.col("vid") == F.col("a")) & (F.col("nvid") == F.col("b")),
+                )
+                .select(
+                    "qsrc", "qdst", "cost",
+                    ((F.col("pos") + F.col("npos")) / 2).alias("pos"),
+                    F.col("via").alias("vid"),
+                )
+            )
+            splits = trunc.truncate(splits, reap=False)
+            if splits.limit(1).count() == 0:
+                break
+            rows = trunc.truncate(
+                rows.unionByName(splits), reap=False
+            )
+    return (
+        rows.groupBy("qsrc", "qdst", "cost")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "vid"))
+            ).alias("_sv")
+        )
+        .select(
+            F.col("qsrc").alias("src"), F.col("qdst").alias("dst"), "cost",
+            F.transform(F.col("_sv"), lambda x: x["vid"]).alias("nodes"),
+        )
+    )

@@ -203,3 +203,49 @@ def test_contract_graph_structure(spark):
     _, truth = _python_dijkstra_all_pairs(raw)
     for r in ch_e.collect():
         assert r["w"] >= truth[(r["src"], r["dst"])] - 1e-9
+
+
+def test_ch_shortest_paths_full_routes(spark):
+    """ch_shortest_paths returns REAL routes: on a random digraph, every
+    returned pair's cost equals Floyd-Warshall truth, the node sequence
+    starts/ends correctly, every hop is an ORIGINAL edge (all shortcuts
+    expanded via provenance), and the hop-weight sum equals the cost."""
+    import random
+
+    rng = random.Random(42)
+    n, m = 25, 70
+    raw = [
+        (rng.randrange(n), rng.randrange(n), float(rng.randint(1, 9)))
+        for _ in range(m)
+    ]
+    raw = [(s, t, w) for s, t, w in raw if s != t]
+    e = spark.createDataFrame(raw, "src long, dst long, w double")
+    ch_e, lv = ch.contract_graph(e)
+
+    vids, truth = _python_dijkstra_all_pairs(raw)
+    INF = float("inf")
+    ew = {}
+    for s, t, w in raw:
+        ew[(s, t)] = min(ew.get((s, t), INF), w)
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a in vids[:5] for b in vids if a != b],
+        "src long, dst long",
+    )
+    got = {
+        (r["src"], r["dst"]): (r["cost"], list(r["nodes"]))
+        for r in ch.ch_shortest_paths(ch_e, lv, pairs).collect()
+    }
+    for a in vids[:5]:
+        for b in vids:
+            if a == b:
+                continue
+            if truth[(a, b)] == INF:
+                assert (a, b) not in got
+                continue
+            cost, nodes = got[(a, b)]
+            assert cost == pytest.approx(truth[(a, b)]), (a, b)
+            assert nodes[0] == a and nodes[-1] == b
+            assert sum(ew[(x, y)] for x, y in zip(nodes, nodes[1:])) == (
+                pytest.approx(cost)
+            ), (a, b, nodes)
