@@ -246,3 +246,155 @@ def pbf_to_fmi(
         edge_cols=["edge_id", "src_id", "dst_id", "kilometers", "hours", "lane_count"],
     )
     return g
+
+
+def contract_to_ch_fmi(
+    spark,
+    fmi_path: str,
+    out_path: str,
+    node_schema: list[tuple[str, str]],
+    edge_schema: list[tuple[str, str]],
+    src_col: str,
+    dst_col: str,
+    weight_col: str,
+    metric_cols: list[str] | None = None,
+    max_expand: int = 64,
+) -> None:
+    """The reference's fmi→CH workflow WITHOUT the external tool: its
+    fmi_to_ch.yaml merely re-writes the graph as input for
+    multi-ch-constructor, which produces graph.ch.fmi
+    (resources/isle_of_man_2020-03-14/fmi_to_ch.yaml). Here
+    ``operators.ch.contract_graph`` does the contraction in-engine and
+    this function writes the contracted result straight to the
+    reference's ch-fmi shape: 3-count header, node rows
+    [idx, id, lat, lon, height, level], edge rows
+    [src, dst, *metrics, sc0, sc1] with -1/-1 on originals and the
+    component edge INDICES on shortcuts (fmi.rs's ShortcutIdx columns).
+
+    Non-contraction metrics on shortcut rows are resolved by the same
+    bottom-up pass the sc indices come from: a shortcut's metric vector
+    is the sum of its two components', resolved iteratively in via-level
+    order (component levels strictly decrease, so ≤ depth rounds)."""
+    from pyspark.sql import Window
+
+    from ..operators import ch as ch_op
+    from .fmi import read_fmi
+
+    t = read_fmi(spark, fmi_path, node_schema, edge_schema)
+    metric_cols = metric_cols or [
+        n for n, ty in edge_schema
+        if ty == "double" and n not in (src_col, dst_col)
+    ]
+    e = t.edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+        F.col(weight_col).alias("w"),
+        *[F.col(c) for c in metric_cols],
+    )
+    ch_e, levels = ch_op.contract_graph(
+        e.select("src", "dst", "w")
+    )
+    # deterministic edge numbering (0-based) for the shortcut indices
+    eid = ch_e.withColumn(
+        "eid", F.row_number().over(Window.orderBy("src", "dst")) - 1
+    )
+    # resolve metric vectors bottom-up: originals seed from the input
+    # edge table (min-w row per pair), shortcuts sum their components
+    orig_m = e.groupBy("src", "dst").agg(
+        F.min(F.struct("w", *metric_cols)).alias("m")
+    ).select(
+        "src", "dst", *[F.col(f"m.{c}").alias(c) for c in metric_cols]
+    )
+    resolved = (
+        eid.where(F.col("via").isNull())
+        .join(orig_m, ["src", "dst"], "left")
+        .select("eid", "src", "dst", "via", *metric_cols)
+    )
+    pending = eid.where(F.col("via").isNotNull()).select(
+        "eid", "src", "dst", "via"
+    )
+    for _ in range(max_expand):
+        if pending.limit(1).count() == 0:
+            break
+        comp = resolved.select(
+            "src", "dst", *[F.col(c).alias(f"_m_{c}") for c in metric_cols]
+        )
+        step = (
+            pending.join(
+                comp.select(
+                    F.col("src"), F.col("dst").alias("via"),
+                    *[F.col(f"_m_{c}").alias(f"_a_{c}") for c in metric_cols],
+                ),
+                ["src", "via"],
+            )
+            .join(
+                comp.select(
+                    F.col("src").alias("via"), F.col("dst"),
+                    *[F.col(f"_m_{c}").alias(f"_b_{c}") for c in metric_cols],
+                ),
+                ["via", "dst"],
+            )
+            .select(
+                "eid", "src", "dst", "via",
+                *[
+                    (F.col(f"_a_{c}") + F.col(f"_b_{c}")).alias(c)
+                    for c in metric_cols
+                ],
+            )
+        )
+        resolved = resolved.unionByName(step)
+        pending = pending.join(step.select("eid"), "eid", "left_anti")
+    else:
+        raise RuntimeError("shortcut metric resolution did not converge")
+
+    comp_eid = eid.select("src", "dst", F.col("eid").alias("_ceid"))
+    edges_out = (
+        resolved
+        .join(
+            comp_eid.select(
+                F.col("src"), F.col("dst").alias("via"),
+                F.col("_ceid").alias("sc0"),
+            ),
+            ["src", "via"],
+            "left",
+        )
+        .join(
+            comp_eid.select(
+                F.col("src").alias("via"), F.col("dst"),
+                F.col("_ceid").alias("sc1"),
+            ),
+            ["via", "dst"],
+            "left",
+        )
+        .select(
+            "src", "dst",
+            *[F.round(F.col(c), 6).alias(c) for c in metric_cols],
+            F.coalesce("sc0", F.lit(-1)).cast("long").alias("sc0"),
+            F.coalesce("sc1", F.lit(-1)).cast("long").alias("sc1"),
+            "eid",
+        )
+        .orderBy("eid")
+        .drop("eid")
+    )
+    node_id_col = node_schema[0][0] if not node_schema[0][0].startswith("ignored") else node_schema[1][0]
+    nodes_out = (
+        t.nodes.join(
+            levels.withColumnRenamed("vid", node_id_col), node_id_col, "left"
+        )
+        .select(
+            F.col(node_id_col).alias("node_idx"),
+            F.col(node_id_col).alias("node_id"),
+            *[
+                F.col(n) for n, ty in node_schema
+                if ty == "double" and not n.startswith("ignored")
+            ],
+            F.lit(0).alias("height"),
+            F.coalesce("level", F.lit(0)).cast("long").alias("level"),
+        )
+        .orderBy("node_idx")
+    )
+    write_fmi(
+        out_path, nodes_out, edges_out,
+        metric_count=len(metric_cols),
+        node_cols=list(nodes_out.columns),
+        edge_cols=list(edges_out.columns),
+    )

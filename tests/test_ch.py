@@ -249,3 +249,74 @@ def test_ch_shortest_paths_full_routes(spark):
             assert sum(ew[(x, y)] for x, y in zip(nodes, nodes[1:])) == (
                 pytest.approx(cost)
             ), (a, b, nodes)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference resources absent")
+def test_contract_to_ch_fmi_roundtrip(spark, tmp_path):
+    """The reference's fmi→CH workflow without its external constructor:
+    contract small/graph.fmi in-engine, write a graph.ch.fmi (3-count
+    header, node levels, shortcut component indices), read it BACK with
+    sources.fmi and answer all pairs — every cost equals Floyd-Warshall
+    truth on the original map, and every shortcut row's sc0/sc1 indices
+    point at a valid component chain whose costs sum to the shortcut's."""
+    from osmgraphing_spark.sources import writers
+
+    out = str(tmp_path / "small.ch.fmi")
+    writers.contract_to_ch_fmi(
+        spark, f"{REF}/small/graph.fmi", out,
+        [("vid", "long"), ("lat", "double"), ("lon", "double")],
+        [("src", "long"), ("dst", "long"),
+         ("meters", "double"), ("kmph", "double")],
+        "src", "dst", "meters", metric_cols=["meters"],
+    )
+    t = fmi.read_fmi(
+        spark, out,
+        [("node_idx", "long"), ("node_id", "long"), ("lat", "double"),
+         ("lon", "double"), ("h", "long"), ("level", "long")],
+        [("src", "long"), ("dst", "long"), ("meters", "double"),
+         ("sc0", "long"), ("sc1", "long")],
+    )
+    assert (t.metric_count, t.node_count) == (1, 8)
+    lv = t.nodes.select(F.col("node_id").alias("vid"), "level")
+    edges = t.edges.select("src", "dst", F.col("meters").alias("w"))
+
+    p = fmi.read_fmi(
+        spark, f"{REF}/small/graph.fmi",
+        [("vid", "long"), ("lat", "double"), ("lon", "double")],
+        [("src", "long"), ("dst", "long"),
+         ("meters", "double"), ("kmph", "double")],
+    )
+    raw = [(r["src"], r["dst"], r["meters"]) for r in p.edges.collect()]
+    vids, truth = _python_dijkstra_all_pairs(raw)
+    INF = float("inf")
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a in vids for b in vids if a != b], "src long, dst long"
+    )
+    got = {
+        (r["src"], r["dst"]): r["cost"]
+        for r in ch.ch_route_costs(edges, lv, pairs).collect()
+    }
+    for a in vids:
+        for b in vids:
+            if a == b:
+                continue
+            if truth[(a, b)] == INF:
+                assert (a, b) not in got
+            else:
+                assert got[(a, b)] == pytest.approx(truth[(a, b)]), (a, b)
+
+    # sc-index integrity: file order == eid order by construction
+    rows = [
+        (r["src"], r["dst"], r["meters"], r["sc0"], r["sc1"])
+        for r in t.edges.collect()
+    ]
+    rows.sort()  # eid was assigned by (src, dst) order
+    n_sc = 0
+    for s, d, w, a, b in rows:
+        if a >= 0:
+            n_sc += 1
+            ea, eb = rows[a], rows[b]
+            assert ea[0] == s and ea[1] == eb[0] and eb[1] == d
+            assert ea[2] + eb[2] == pytest.approx(w)
+    assert n_sc > 0  # the fixture graph does produce shortcuts
