@@ -148,6 +148,40 @@ class LinkGraph:
 
         write_smarts(self.shortest_paths(pairs, weighted=weighted), path)
 
+    def contract(self) -> tuple[DataFrame, DataFrame]:
+        """Build a contraction hierarchy on the weighted edge table →
+        (ch_edges (src, dst, w, via), levels (vid, level)); feed the pair
+        to ``ch_route_costs`` / ``ch_shortest_paths`` for repeated
+        point-query workloads (operators/ch.py — the accelerator the
+        reference gets from its external CHConstructor)."""
+        from pyspark.sql import functions as F
+
+        from .operators import ch as _ch
+
+        return _ch.contract_graph(
+            self.graph.edges.select(
+                "src", "dst", F.col("weight").alias("w")
+            )
+        )
+
+    def ch_route_costs(
+        self, ch_edges: DataFrame, levels: DataFrame, pairs: DataFrame
+    ) -> DataFrame:
+        """Batched CH point queries on a hierarchy from ``contract()`` →
+        (src, dst, cost); per-batch cost independent of the pair count."""
+        from .operators import ch as _ch
+
+        return _ch.ch_route_costs(ch_edges, levels, pairs)
+
+    def ch_shortest_paths(
+        self, ch_edges: DataFrame, levels: DataFrame, pairs: DataFrame
+    ) -> DataFrame:
+        """Batched CH routes → (src, dst, cost, nodes array<long>), all
+        shortcuts expanded back to original-graph hops."""
+        from .operators import ch as _ch
+
+        return _ch.ch_shortest_paths(ch_edges, levels, pairs)
+
     def generate_metrics(self, specs: list[dict]) -> "LinkGraph":
         """Apply a config-declared `generating:` list (copy / constant /
         convert / unit-aware calc) to the metric vector; a single-weight
