@@ -5,9 +5,10 @@ metadata struct; all Spark-side plumbing here is real (schemas, Arrow batch
 shapes, partition-preserving mapInPandas). Codecs are real where a format
 is decodable without external libraries — PPM (P6) images via a pure-numpy
 header parse, 8-bit PNG (gray/RGB/RGBA/palette, all five scanline filters)
-via stdlib zlib + numpy, and WAV (PCM) audio via the stdlib ``wave``
-module — and STUBBED for the rest (JPEG/MP4 need libjpeg/ffmpeg, absent in
-this container): a clearly-marked NotImplementedError in strict mode, a
+via stdlib zlib + numpy, single-frame GIF (variable-width LZW, global or
+local palette), and WAV (PCM) audio via the stdlib ``wave`` module — and
+STUBBED for the rest (JPEG/MP4 need libjpeg/ffmpeg, absent in this
+container): a clearly-marked NotImplementedError in strict mode, a
 deterministic content-hash fake in test mode. Swap ``_decode_image_impl``'s
 fallback for a PIL call in production; nothing else changes.
 
@@ -236,6 +237,154 @@ def encode_png(img: np.ndarray) -> bytes:
     )
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW (GIF89a spec appendix F): variable code width
+    starting at min_code_size+1, CLEAR/EOI codes, dictionary grows to
+    4096 then freezes until CLEAR. Returns the index stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out: list[int] = []
+    # bit reader, LSB-first
+    bitpos = 0
+    nbits = len(data) * 8
+
+    def read(width: int) -> int:
+        nonlocal bitpos
+        v = 0
+        for i in range(width):
+            if bitpos >= nbits:
+                return -1
+            byte = data[bitpos >> 3]
+            v |= ((byte >> (bitpos & 7)) & 1) << i
+            bitpos += 1
+        return v
+
+    def reset():
+        d = {i: [i] for i in range(clear)}
+        return d, min_code_size + 1
+
+    table, width = reset()
+    prev: list[int] | None = None
+    while True:
+        code = read(width)
+        if code in (-1, eoi):
+            break
+        if code == clear:
+            table, width = reset()
+            prev = None
+            continue
+        if code in table:
+            entry = table[code]
+        elif prev is not None and code == len(table) + 2:
+            entry = prev + [prev[0]]
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out.extend(entry)
+        if prev is not None and len(table) + 2 < 4096:
+            table[len(table) + 2] = prev + [entry[0]]
+            if len(table) + 2 == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+def _decode_gif(data: bytes) -> np.ndarray:
+    """REAL decode: first frame of a GIF87a/89a → (h, w, 3) uint8
+    (global/local palette, LZW sub-blocks; interlace and transparency
+    composition unsupported — raise, like the PNG decoder's exclusions)."""
+    if not data.startswith((b"GIF87a", b"GIF89a")):
+        raise ValueError("not a GIF")
+    pos = 6
+    sw, sh = int.from_bytes(data[pos:pos+2], "little"), int.from_bytes(data[pos+2:pos+4], "little")
+    flags = data[pos+4]
+    pos += 7
+    gpal = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gpal = np.frombuffer(data[pos:pos + 3*n], dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            w = int.from_bytes(data[pos+5:pos+7], "little")
+            h = int.from_bytes(data[pos+7:pos+9], "little")
+            iflags = data[pos+9]
+            pos += 10
+            pal = gpal
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                pal = np.frombuffer(data[pos:pos + 3*n], dtype=np.uint8).reshape(-1, 3)
+                pos += 3 * n
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            if pal is None:
+                raise ValueError("GIF frame has no palette")
+            mcs = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                lzw.extend(data[pos+1:pos+1+ln])
+                pos += 1 + ln
+            idx = _gif_lzw_decode(bytes(lzw), mcs)
+            if len(idx) < w * h:
+                raise ValueError("GIF raster truncated")
+            arr = np.array(idx[: w * h], dtype=np.int32).reshape(h, w)
+            return pal[arr].astype(np.uint8)
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image frame")
+
+
+def encode_gif(img: np.ndarray, palette: np.ndarray) -> bytes:
+    """(h, w) palette-index uint8 + (n, 3) palette → single-frame GIF89a
+    (uncompressed-style LZW: emit a CLEAR before every literal so codes
+    never grow — valid per spec, sidesteps encoder dictionary logic)."""
+    h, w = img.shape
+    n = len(palette)
+    bits = max(2, int(np.ceil(np.log2(max(n, 4)))))
+    pal_n = 1 << bits
+    pal = np.zeros((pal_n, 3), dtype=np.uint8)
+    pal[:n] = palette
+    head = (
+        b"GIF89a"
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x80 | (bits - 1), 0, 0])
+        + pal.tobytes()
+    )
+    clear = 1 << bits
+    mcs = bits
+    width = bits + 1
+    out_bits: list[int] = []
+
+    def emit(code: int):
+        for i in range(width):
+            out_bits.append((code >> i) & 1)
+
+    emit(clear)
+    for v in img.flatten():
+        emit(int(v))
+        emit(clear)  # keep the decoder table permanently fresh
+    emit(clear + 1)  # EOI
+    by = bytearray()
+    for i in range(0, len(out_bits), 8):
+        chunk = out_bits[i:i+8]
+        by.append(sum(bit << j for j, bit in enumerate(chunk)))
+    body = bytearray([0x2C]) + (0).to_bytes(2, "little") * 2         + w.to_bytes(2, "little") + h.to_bytes(2, "little") + bytes([0, mcs])
+    for i in range(0, len(by), 255):
+        sub = by[i:i+255]
+        body += bytes([len(sub)]) + sub
+    body += b"\x00\x3b"
+    return head + bytes(body)
+
+
 def _decode_image_impl(
     data: bytes, width: int, height: int, channels: int, strict: bool | None = None
 ) -> np.ndarray:
@@ -248,6 +397,8 @@ def _decode_image_impl(
         return _decode_ppm(data)
     if data.startswith(_PNG_SIG):
         return _decode_png(data)
+    if data.startswith((b"GIF87a", b"GIF89a")):
+        return _decode_gif(data)
     if STRICT if strict is None else strict:
         raise NotImplementedError(
             "non-PPM image decode requires an image library not present in "
@@ -478,7 +629,9 @@ def _decode_image_real(data: bytes) -> np.ndarray:
         return _decode_ppm(data)
     if data.startswith(_PNG_SIG):
         return _decode_png(data)
-    raise ValueError("unsupported image format for real decode (PPM/PNG only)")
+    if data.startswith((b"GIF87a", b"GIF89a")):
+        return _decode_gif(data)
+    raise ValueError("unsupported image format for real decode (PPM/PNG/GIF only)")
 
 
 def image_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
