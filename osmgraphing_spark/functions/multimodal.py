@@ -6,8 +6,9 @@ shapes, partition-preserving mapInPandas). Codecs are real where a format
 is decodable without external libraries — PPM (P6) images via a pure-numpy
 header parse, 8-bit PNG (gray/RGB/RGBA/palette, all five scanline filters)
 via stdlib zlib + numpy, single-frame GIF (variable-width LZW, global or
-local palette), and WAV (PCM) audio via the stdlib ``wave`` module — and
-STUBBED for the rest (JPEG/MP4 need libjpeg/ffmpeg, absent in this
+local palette), baseline JPEG (functions/jpeg.py: Huffman + IDCT +
+4:4:4/4:2:0, pure numpy), and WAV (PCM) audio via the stdlib ``wave``
+module — and STUBBED only for video (MP4 needs ffmpeg, absent in this
 container): a clearly-marked NotImplementedError in strict mode, a
 deterministic content-hash fake in test mode. Swap ``_decode_image_impl``'s
 fallback for a PIL call in production; nothing else changes.
@@ -399,11 +400,15 @@ def _decode_image_impl(
         return _decode_png(data)
     if data.startswith((b"GIF87a", b"GIF89a")):
         return _decode_gif(data)
+    if data.startswith(b"\xff\xd8"):
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     if STRICT if strict is None else strict:
         raise NotImplementedError(
-            "non-PPM image decode requires an image library not present in "
-            "this container; set functions.multimodal.STRICT=False for the "
-            "deterministic fake"
+            "image decode for this format requires a library not present in "
+            "this container (PPM/PNG/GIF/baseline-JPEG decode natively); "
+            "set functions.multimodal.STRICT=False for the deterministic fake"
         )
     seed = int.from_bytes(hashlib.sha256(data).digest()[:8], "big")
     rng = np.random.default_rng(seed)
@@ -631,7 +636,13 @@ def _decode_image_real(data: bytes) -> np.ndarray:
         return _decode_png(data)
     if data.startswith((b"GIF87a", b"GIF89a")):
         return _decode_gif(data)
-    raise ValueError("unsupported image format for real decode (PPM/PNG/GIF only)")
+    if data.startswith(b"\xff\xd8"):
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(data)
+    raise ValueError(
+        "unsupported image format for real decode (PPM/PNG/GIF/JPEG only)"
+    )
 
 
 def image_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
