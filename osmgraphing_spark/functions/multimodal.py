@@ -744,3 +744,155 @@ def synth_media(spark, n: int = 32) -> DataFrame:
             }
         rows.append((i, kind, bytearray(payload), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MP4 container metadata (REAL box parse; frame decode stays stubbed)
+# ---------------------------------------------------------------------------
+
+
+def _mp4_boxes(data: bytes, start: int = 0, end: int | None = None):
+    """Iterate ISO BMFF boxes: (type, body_start, body_end). 64-bit
+    largesize boxes supported; size-0 (to-EOF) supported at top level."""
+    pos = start
+    end = len(data) if end is None else end
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos:pos + 4], "big")
+        typ = data[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:
+            size = int.from_bytes(data[pos + 8:pos + 16], "big")
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError(f"malformed MP4 box {typ!r} at {pos}")
+        yield typ.decode("latin1"), body, pos + size
+        pos += size
+
+
+def mp4_metadata(data: bytes) -> dict:
+    """REAL parse of an MP4/ISO-BMFF container's structure → dict with
+    duration_s, timescale, n_tracks, and per-track (handler, width,
+    height, codec). This is the metadata a 100 TB pipeline filters on
+    BEFORE shipping bytes to a GPU decode stage; the frame decode itself
+    remains the documented stub (H.264/AV1 entropy decoding is the one
+    thing this repo does not reimplement)."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an MP4 (missing ftyp)")
+    out: dict = {"duration_s": None, "timescale": None, "tracks": []}
+    for typ, b, e in _mp4_boxes(data):
+        if typ != "moov":
+            continue
+        for t2, b2, e2 in _mp4_boxes(data, b, e):
+            if t2 == "mvhd":
+                ver = data[b2]
+                if ver == 1:
+                    ts = int.from_bytes(data[b2 + 20:b2 + 24], "big")
+                    dur = int.from_bytes(data[b2 + 24:b2 + 32], "big")
+                else:
+                    ts = int.from_bytes(data[b2 + 12:b2 + 16], "big")
+                    dur = int.from_bytes(data[b2 + 16:b2 + 20], "big")
+                out["timescale"] = ts
+                out["duration_s"] = round(dur / ts, 6) if ts else None
+            elif t2 == "trak":
+                trk = {"handler": None, "width": None, "height": None,
+                       "codec": None}
+                for t3, b3, e3 in _mp4_boxes(data, b2, e2):
+                    if t3 == "tkhd":
+                        ver = data[b3]
+                        off = b3 + (96 if ver == 1 else 84)
+                        # 16.16 fixed-point width/height at the box tail
+                        trk["width"] = int.from_bytes(
+                            data[off - 8:off - 4], "big") >> 16 or None
+                        trk["height"] = int.from_bytes(
+                            data[off - 4:off], "big") >> 16 or None
+                    elif t3 == "mdia":
+                        for t4, b4, e4 in _mp4_boxes(data, b3, e3):
+                            if t4 == "hdlr":
+                                trk["handler"] = data[b4 + 8:b4 + 12].decode(
+                                    "latin1")
+                            elif t4 == "minf":
+                                for t5, b5, e5 in _mp4_boxes(data, b4, e4):
+                                    if t5 != "stbl":
+                                        continue
+                                    for t6, b6, e6 in _mp4_boxes(
+                                            data, b5, e5):
+                                        if t6 == "stsd":
+                                            n = int.from_bytes(
+                                                data[b6 + 4:b6 + 8], "big")
+                                            if n:
+                                                trk["codec"] = data[
+                                                    b6 + 12:b6 + 16
+                                                ].decode("latin1")
+                out["tracks"].append(trk)
+    if out["timescale"] is None:
+        raise ValueError("MP4 has no moov/mvhd (fragmented-only streams "
+                         "unsupported)")
+    out["n_tracks"] = len(out["tracks"])
+    return out
+
+
+def video_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """REAL MP4 container parse → (id_col, duration_s, n_tracks, width,
+    height, codec) — width/height/codec from the first video track. Same
+    Arrow-batched mapInPandas shape as image_stats; the binary column is
+    read but never decoded beyond box structure."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   (id_col, "duration_s", "n_tracks", "width", "height",
+                    "codec")}
+            for row in pdf.itertuples(index=False):
+                m = mp4_metadata(bytes(row.data))
+                vid = next(
+                    (t for t in m["tracks"] if t["handler"] == "vide"),
+                    {"width": None, "height": None, "codec": None},
+                )
+                out[id_col].append(getattr(row, id_col))
+                out["duration_s"].append(m["duration_s"])
+                out["n_tracks"].append(m["n_tracks"])
+                out["width"].append(vid["width"])
+                out["height"].append(vid["height"])
+                out["codec"].append(vid["codec"])
+            yield pd.DataFrame(out)
+
+    return media.select(id_col, "data").mapInPandas(
+        run,
+        schema=(f"{id_col} long, duration_s double, n_tracks int, "
+                "width int, height int, codec string"),
+    )
+
+
+def encode_mp4_skeleton(
+    duration_s: float,
+    width: int,
+    height: int,
+    codec: str = "avc1",
+    timescale: int = 1000,
+) -> bytes:
+    """Minimal structurally-valid MP4 (ftyp + moov[mvhd + trak[tkhd +
+    mdia[hdlr + minf[stbl[stsd]]]]], no media data) for metadata-path
+    tests — the container the parser reads, with none of the frames it
+    refuses to decode."""
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return (len(body) + 8).to_bytes(4, "big") + typ + body
+
+    dur = int(round(duration_s * timescale))
+    mvhd = box(b"mvhd", bytes(12) + timescale.to_bytes(4, "big")
+               + dur.to_bytes(4, "big") + bytes(80))
+    tkhd = box(b"tkhd", bytes(76)
+               + (width << 16).to_bytes(4, "big")
+               + (height << 16).to_bytes(4, "big"))
+    hdlr = box(b"hdlr", bytes(8) + b"vide" + bytes(12))
+    stsd = box(b"stsd", bytes(4) + (1).to_bytes(4, "big")
+               + box(codec.encode("latin1")[:4].ljust(4), bytes(8)))
+    stbl = box(b"stbl", stsd)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    ftyp = box(b"ftyp", b"isom" + bytes(4) + b"isomiso2")
+    return ftyp + moov

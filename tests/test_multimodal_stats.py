@@ -260,3 +260,36 @@ def test_gif_handcrafted_golden():
         dtype=np.uint8,
     )
     assert np.array_equal(got, expect)
+
+
+# ---------------------------------------------------------------------------
+# MP4 container metadata (real box parse; frames stay stubbed)
+# ---------------------------------------------------------------------------
+
+
+def test_mp4_metadata_roundtrip_and_stats(spark):
+    data = mm.encode_mp4_skeleton(12.5, 640, 360, "avc1")
+    m = mm.mp4_metadata(data)
+    assert m["duration_s"] == 12.5 and m["n_tracks"] == 1
+    assert m["tracks"][0] == {
+        "handler": "vide", "width": 640, "height": 360, "codec": "avc1"
+    }
+    df = spark.createDataFrame(
+        [(21, "video", bytearray(data),
+          {"width": 640, "height": 360, "channels": None,
+           "sample_rate": None, "n_frames": 300, "format": "mp4"})],
+        mm.MEDIA_SCHEMA,
+    )
+    row = mm.video_stats(df).collect()[0]
+    assert (row["duration_s"], row["width"], row["height"], row["codec"]) == (
+        12.5, 640, 360, "avc1"
+    )
+
+
+def test_mp4_rejects_non_mp4_and_fragmented():
+    with pytest.raises(ValueError, match="ftyp"):
+        mm.mp4_metadata(b"\x00" * 32)
+    # ftyp but no moov → explicit fragmented-stream error
+    ftyp = (16).to_bytes(4, "big") + b"ftyp" + b"isom" + b"\x00" * 4
+    with pytest.raises(ValueError, match="moov"):
+        mm.mp4_metadata(ftyp)
