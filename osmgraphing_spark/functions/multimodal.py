@@ -896,3 +896,41 @@ def encode_mp4_skeleton(
     moov = box(b"moov", mvhd + trak)
     ftyp = box(b"ftyp", b"isom" + bytes(4) + b"isomiso2")
     return ftyp + moov
+
+
+def synth_mp4_from_ids(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic MP4 skeleton per id, encoded executor-side
+    (mapInPandas): duration_s = (id % 97 + 1)/4 (exact quarter-seconds at
+    timescale 1000), width = 320 + id%5·160, height = 240 + id%3·120,
+    codec cycling avc1/hvc1/av01 — every field a closed form a SQL oracle
+    reproduces, so the container parse is value-checked end to end.
+    → (id_col, kind='video', data, meta) rows in MEDIA_SCHEMA shape."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, datas, metas = [], [], []
+            for i in pdf[id_col].astype("int64"):
+                i = int(i)
+                dur = (i % 97 + 1) / 4.0
+                w = 320 + (i % 5) * 160
+                h = 240 + (i % 3) * 120
+                codec = ["avc1", "hvc1", "av01"][i % 3]
+                ids.append(i)
+                datas.append(encode_mp4_skeleton(dur, w, h, codec))
+                metas.append(
+                    {"width": w, "height": h, "channels": None,
+                     "sample_rate": None, "n_frames": None, "format": "mp4"}
+                )
+            yield pd.DataFrame(
+                {id_col: ids, "kind": "video", "data": datas, "meta": metas}
+            )
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("kind", StringType()),
+            StructField("data", BinaryType()),
+            StructField("meta", MEDIA_SCHEMA["meta"].dataType),
+        ]
+    )
+    return ids_df.select(id_col).mapInPandas(run, schema=schema)
