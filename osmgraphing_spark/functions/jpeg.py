@@ -75,15 +75,13 @@ _AC_CHROMA = (
 
 # 8-point DCT-II basis matrix: C[u, x] = a(u) cos((2x+1)uπ/16)
 _C = np.array([
-    [np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8)
-     * np.cos((2 * x + 1) * u * np.pi / 16)
-     if False else 0.0 for x in range(8)] for u in range(8)
+    [
+        (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+        * np.cos((2 * x + 1) * u * np.pi / 16)
+        for x in range(8)
+    ]
+    for u in range(8)
 ])
-# (the comprehension above is kept trivial; real values assigned here)
-for _u in range(8):
-    for _x in range(8):
-        a = np.sqrt(1 / 8) if _u == 0 else np.sqrt(2 / 8)
-        _C[_u, _x] = a * np.cos((2 * _x + 1) * _u * np.pi / 16)
 
 
 def _dct2(block: np.ndarray) -> np.ndarray:
