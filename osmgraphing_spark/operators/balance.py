@@ -79,3 +79,103 @@ def averaging_update(
         ),
     ).drop("_new")
     return _normalize_by_mean(joined, metric_col)
+
+
+def balance_loop(
+    edges: DataFrame,
+    pairs: DataFrame,
+    num_iter: int = 2,
+    rule: str = "averaging",
+    correction: float = 0.1,
+) -> tuple[DataFrame, list[dict]]:
+    """The reference's flagship ``osmgraphing balancing`` binary, composed
+    in-engine (/root/reference/src/bin/osmgraphing/balancing/mod.rs:34-71):
+    per iteration it (1) CONTRACTS the current graph — the step the
+    reference ships out to multi-ch-constructor, here
+    ``ch.contract_graph`` — (2) routes the whole pair workload over the
+    hierarchy in ONE batch (``ch.ch_shortest_paths``; the reference
+    routes pairs in a thread pool, mod.rs multithreading), (3) counts
+    per-edge usage from the expanded routes (A1), and (4) blends the
+    usage into the metric with the configured rule (ExplicitEuler /
+    Averaging, defaults.rs:132-259) + 1e-6 clamp + mean renormalization.
+
+    ``pairs`` may carry a ``count`` column (the route-pairs file's
+    multiplicity); usage is then count-weighted. Returns the final
+    (src, dst, w) frame and a per-iteration history
+    [{iteration, routed_pairs, mean_w}].
+
+    Scale: each iteration is a contraction (bounded wedge joins), one
+    batched route job whose cost is independent of the pair count, one
+    explode + algebraic groupBy over route hops, and two 1-row mean
+    aggregates — no per-pair driver work anywhere."""
+    from ..plans.checkpoint import EphemeralTruncator
+    from . import ch as ch_op
+
+    if rule not in ("averaging", "explicit_euler"):
+        raise ValueError(f"unknown balancing rule {rule!r}")
+    spark = edges.sparkSession
+    trunc = EphemeralTruncator(spark, "balance-loop")
+    cur = trunc.truncate(
+        edges.select("src", "dst", F.col("w").cast("double").alias("w")),
+        reap=False,
+    )
+    has_count = "count" in pairs.columns
+    p = pairs.select(
+        "src", "dst",
+        (F.col("count").cast("double") if has_count else F.lit(1.0)).alias("_n"),
+    ).groupBy("src", "dst").agg(F.sum("_n").alias("_n"))
+    p = trunc.truncate(p, reap=False)
+
+    history: list[dict] = []
+    for it in range(num_iter):
+        ch_e, lv = ch_op.contract_graph(cur)
+        routes = ch_op.ch_shortest_paths(
+            ch_e, lv, p.select("src", "dst")
+        ).join(p, ["src", "dst"])
+        hops = (
+            routes.where(F.size("nodes") >= 2)
+            .select(
+                "_n",
+                F.explode(
+                    F.arrays_zip(
+                        F.expr("slice(nodes, 1, size(nodes) - 1)").alias("a"),
+                        F.expr("slice(nodes, 2, size(nodes) - 1)").alias("b"),
+                    )
+                ).alias("h"),
+            )
+            .select(
+                F.struct(
+                    F.col("h.a").alias("src"), F.col("h.b").alias("dst")
+                ).alias("_ek"),
+                "_n",
+            )
+        )
+        usage = hops.groupBy("_ek").agg(F.sum("_n").alias("workload"))
+        metrics = cur.select(
+            F.struct("src", "dst").alias("_ek"), "src", "dst",
+            F.col("w").alias("metric"),
+        )
+        if rule == "averaging":
+            updated = averaging_update(
+                metrics, usage, iteration=it, key="_ek",
+                metric_col="metric", workload_col="workload",
+            )
+        else:
+            updated = explicit_euler_update(
+                metrics, usage, key="_ek",
+                metric_col="metric", workload_col="workload",
+                correction=correction,
+            )
+        cur = trunc.truncate(
+            updated.select("src", "dst", F.col("metric").alias("w")),
+            reap=False,
+        )
+        row = cur.agg(F.round(F.avg("w"), 9).alias("m")).collect()[0]
+        history.append(
+            {
+                "iteration": it,
+                "routed_pairs": routes.count(),
+                "mean_w": float(row["m"]),
+            }
+        )
+    return cur, history

@@ -142,3 +142,38 @@ def test_balancer_updates(spark):
     mean = sum(raw.values()) / 3
     for k in raw:
         assert rows[k] == pytest.approx(raw[k] / mean, abs=1e-12)
+
+
+def test_balance_loop_matches_python_mirror(spark):
+    """The full balancing binary composition (contract → batched CH route
+    → usage count → blend rule → clamp → renormalize), two iterations on
+    a diamond with unique shortest paths, against an exact python mirror
+    — including the route FLIP in iteration 2 after iteration 1's update
+    makes the previously-unused branch cheaper."""
+    from osmgraphing_spark.operators import balance
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (1, 4, 5.0), (4, 3, 5.0)],
+        "src long, dst long, w double",
+    )
+    pairs = spark.createDataFrame([(1, 3, 2)], "src long, dst long, count int")
+    out, hist = balance.balance_loop(edges, pairs, num_iter=2, rule="averaging")
+    got = {(r["src"], r["dst"]): r["w"] for r in out.collect()}
+    assert [h["routed_pairs"] for h in hist] == [1, 1]
+    assert all(abs(h["mean_w"] - 1.0) < 1e-6 for h in hist)
+
+    F64 = 1e-6
+    w = {(1, 2): 1.0, (2, 3): 1.0, (1, 4): 5.0, (4, 3): 5.0}
+    for it in range(2):
+        via2 = w[(1, 2)] + w[(2, 3)]
+        via4 = w[(1, 4)] + w[(4, 3)]
+        path = [(1, 2), (2, 3)] if via2 <= via4 else [(1, 4), (4, 3)]
+        usage = {e: (2.0 if e in path else 0.0) for e in w}
+        pos = [v for v in usage.values() if v > 0]
+        mu = sum(pos) / len(pos)
+        norm = {e: (usage[e] / mu if usage[e] > 0 else 0.0) for e in w}
+        new = {e: max(F64, (it * w[e] + norm[e]) / (it + 1)) for e in w}
+        m = sum(new.values()) / len(new)
+        w = {e: new[e] / m for e in w}
+    for e, v in w.items():
+        assert got[e] == pytest.approx(v, abs=1e-6), e
