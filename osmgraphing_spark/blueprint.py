@@ -178,9 +178,40 @@ def lower_blueprint(raw: dict) -> tuple[dict, list[str]]:
             "parsing.nodes declarations are ignored — vertex ids come from "
             "the corpus (repo, path)"
         )
-    for section in ("writing", "balancing", "routing"):
-        if section in raw:
-            warnings.append(f"top-level {section}: section ignored by the batch CLI")
+    if "writing" in raw:
+        warnings.append("top-level writing: section ignored by the batch CLI")
+    bal = raw.get("balancing")
+    routing = raw.get("routing") or {}
+    if bal:
+        # the flagship balancing binary's config → balance_loop kwargs
+        # (operators/balance.balance_loop; contraction is in-engine, so the
+        # multi-ch-constructor subsection is obsolete here)
+        method = (bal.get("optimizing_with") or {}).get("method", "averaging")
+        if isinstance(method, dict) and "explicit_euler" in method:
+            rule = "explicit_euler"
+            correction = float(
+                (method["explicit_euler"] or {}).get("correction", 0.1)
+            )
+        else:
+            rule = "averaging"
+            correction = 0.1
+        bcfg = {
+            "rule": rule,
+            "correction": correction,
+            "num_iter": int(bal.get("number_of_metric-updates", 2)),
+            "min_metric": float(bal.get("min_new_metric", 1e-6)),
+        }
+        if routing.get("route-pairs-file"):
+            bcfg["route_pairs"] = routing["route-pairs-file"]
+        kwargs["balancing"] = bcfg
+        for k in ("multi-ch-constructor", "iter-0-cfg", "iter-i-cfg"):
+            if k in bal:
+                warnings.append(
+                    f"balancing.{k} is obsolete here (contraction runs "
+                    "in-engine; iterations share one config)"
+                )
+    elif routing:
+        warnings.append("top-level routing: section ignored by the batch CLI")
 
     edges = parsing.get("edges") or {}
     if edges.get("will_normalize_metrics_by_mean"):

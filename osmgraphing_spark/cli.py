@@ -76,8 +76,9 @@ class JobConfig:
         "pagerank", "cc", "lpa", "triangles", "degrees", "sssp", "metrics",
         "scc", "build_order", "coreness", "harmonic", "closeness", "stats",
         "clustering", "louvain", "neighborhood", "betweenness", "truss",
-        "hits", "salsa", "katz", "eigencentrality",
+        "hits", "salsa", "katz", "eigencentrality", "balancing",
     )
+    balancing: dict = field(default_factory=dict)
     betweenness: dict = field(default_factory=dict)
     truss: dict = field(default_factory=lambda: {"k": 4})
 
@@ -97,9 +98,13 @@ class JobConfig:
 
             kwargs, warns = lower_blueprint(raw)
             # native keys in the same file (output, algorithms, ...) win —
-            # a migrating user keeps parsing:/generating: and adds them
+            # a migrating user keeps parsing:/generating: and adds them.
+            # Reference-dialect sections that lower_blueprint consumes are
+            # NOT native overrides (a blueprint 'balancing:' is its binary's
+            # config shape, not our JobConfig.balancing dict)
+            _dialect = {"parsing", "balancing", "routing", "writing"}
             for k, v in raw.items():
-                if k in cls.__dataclass_fields__:
+                if k in cls.__dataclass_fields__ and k not in _dialect:
                     kwargs[k] = v
             kwargs["warnings"] = warns
             raw = kwargs
@@ -112,6 +117,11 @@ class JobConfig:
             raise ValueError(f"unknown algorithms: {missing} (valid: {cls.VALID_ALGOS})")
         if "sssp" in cfg.algorithms and not cfg.sssp.get("sources"):
             raise ValueError('algorithm "sssp" requires sssp.sources: [vertex keys]')
+        if "balancing" in cfg.algorithms and not cfg.balancing.get("route_pairs"):
+            raise ValueError(
+                'algorithm "balancing" requires balancing.route_pairs (or a '
+                "blueprint routing.route-pairs-file)"
+            )
         return cfg
 
 
@@ -191,6 +201,48 @@ def run(cfg: JobConfig, resume: bool = False) -> dict:
         elif algo == "triangles":
             n = lg.triangle_count()
             df = spark.createDataFrame([(n,)], "n_triangles bigint")
+        elif algo == "balancing":
+            from pyspark.sql import functions as F
+
+            from .operators.balance import balance_loop
+            from .sources.readers import read_route_pairs
+
+            bcfg = dict(cfg.balancing)
+            rp = read_route_pairs(spark, bcfg.pop("route_pairs"))
+            # route-pairs carry EXTERNAL node ids → map through the vertex
+            # table (inner joins: the reference's generator only emits
+            # reachable in-graph pairs, so drops indicate a stale file)
+            vk = lg.graph.vertices.select(
+                F.col("key"), F.col("vid")
+            )
+            pairs = (
+                rp.join(
+                    vk.select(
+                        F.col("key").alias("_sk"), F.col("vid").alias("src")
+                    ),
+                    F.col("src_id").cast("string") == F.col("_sk"),
+                )
+                .join(
+                    vk.select(
+                        F.col("key").alias("_dk"), F.col("vid").alias("dst")
+                    ),
+                    F.col("dst_id").cast("string") == F.col("_dk"),
+                )
+                .select("src", "dst", "count")
+            )
+            balanced, hist = balance_loop(
+                lg.graph.edges.select(
+                    "src", "dst", F.col("weight").alias("w")
+                ),
+                pairs,
+                **bcfg,
+            )
+            df = lg.with_keys(
+                balanced.select(
+                    F.col("src").alias("vid"), "dst", F.col("w").alias("balanced_w")
+                )
+            ).withColumnRenamed("vid", "src").withColumnRenamed("key", "src_key")
+            summary.setdefault("balancing_history", hist)
         elif algo == "sssp":
             opts = dict(cfg.sssp)
             opts["source_keys"] = opts.pop("sources")

@@ -87,6 +87,7 @@ def balance_loop(
     num_iter: int = 2,
     rule: str = "averaging",
     correction: float = 0.1,
+    min_metric: float = F64_ABS,
 ) -> tuple[DataFrame, list[dict]]:
     """The reference's flagship ``osmgraphing balancing`` binary, composed
     in-engine (/root/reference/src/bin/osmgraphing/balancing/mod.rs:34-71):
@@ -166,8 +167,16 @@ def balance_loop(
                 metric_col="metric", workload_col="workload",
                 correction=correction,
             )
+        # the reference's min_new_metric floor (blueprint.yaml:150-153:
+        # zero-ish edges breed useless shortcuts and slow the router);
+        # applied after the rule's own renormalization, so the mean can sit
+        # slightly above 1 when the floor binds — same as the reference,
+        # which clamps after normalizing
         cur = trunc.truncate(
-            updated.select("src", "dst", F.col("metric").alias("w")),
+            updated.select(
+                "src", "dst",
+                F.greatest(F.col("metric"), F.lit(float(min_metric))).alias("w"),
+            ),
             reap=False,
         )
         row = cur.agg(F.round(F.avg("w"), 9).alias("m")).collect()[0]

@@ -99,3 +99,42 @@ def load_prebuilt_graph(spark: SparkSession, base_dir: str, num_blocks: int):
         num_edges=man["num_edges"],
         num_blocks=num_blocks,
     )
+
+
+def read_route_pairs(spark: SparkSession, path: str) -> DataFrame:
+    """The reference's ``.route-pairs`` workload file (S7 ingest side;
+    format: '#'-commented text, a single-token route-count header, then
+    ``src-id dst-id count`` lines — written by
+    /root/reference/src/io/writing/routing/random_or_all.rs and consumed
+    by the balancer) → (src_id long, dst_id long, count long), with the
+    declared route-count asserted against the parsed population (S4
+    discipline). Same shuffle-free functional-line machinery as the FMI
+    reader: line kind is token arity, so no ordering is needed."""
+    from .fmi import _functional_lines
+
+    lines = _functional_lines(spark, path)
+    counts = [
+        int(r["t"][0])
+        for r in lines.where(F.size("t") == 1).orderBy("mono").collect()
+    ]
+    if len(counts) != 1:
+        raise ValueError(
+            f"route-pairs file: expected ONE route-count header line, "
+            f"found {len(counts)}"
+        )
+    pairs = lines.where(F.size("t") == 3).select(
+        F.col("t").getItem(0).cast("long").alias("src_id"),
+        F.col("t").getItem(1).cast("long").alias("dst_id"),
+        F.col("t").getItem(2).cast("long").alias("count"),
+    )
+    got = pairs.count()
+    if got != counts[0]:
+        raise ValueError(
+            f"route-pairs file declares {counts[0]} routes but parsed {got}"
+        )
+    bad = pairs.where(
+        F.col("src_id").isNull() | F.col("dst_id").isNull() | F.col("count").isNull()
+    )
+    if bad.limit(1).count() > 0:
+        raise ValueError("route-pairs file: malformed line (typed cast failed)")
+    return pairs

@@ -202,3 +202,81 @@ num_blocks: 4
     ]
     summary = run(cfg)
     assert summary["vertices"] == 5 and summary["edges"] == 10
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference resources absent")
+def test_read_route_pairs_reference_file(spark):
+    """The reference's real 10k-route workload file parses with the
+    declared count asserted and typed columns."""
+    from osmgraphing_spark.sources.readers import read_route_pairs
+
+    rp = read_route_pairs(
+        spark, f"{REF}/isle_of_man_2020-03-14/10_000.route-pairs"
+    )
+    assert rp.count() == 10_000
+    first = rp.orderBy("src_id", "dst_id").first()
+    assert first["count"] >= 1
+
+
+def test_read_route_pairs_strictness(spark, tmp_path):
+    from osmgraphing_spark.sources.readers import read_route_pairs
+
+    p = tmp_path / "w.route-pairs"
+    p.write_text("# c\n2\n\n1 2 1\n")  # declares 2, has 1
+    with pytest.raises(ValueError, match="declares 2"):
+        read_route_pairs(spark, str(p))
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference resources absent")
+def test_blueprint_cli_balancing_workflow(tmp_path):
+    """The reference's flagship balancing binary, driven by its own
+    config shape (parsing + balancing.optimizing_with + routing
+    .route-pairs-file) through the batch CLI: per-iteration in-engine
+    contraction + batched CH routing + averaging blend, min_new_metric
+    floor honored, balanced metric parquet + history emitted."""
+    from osmgraphing_spark.cli import JobConfig, run
+
+    rp = tmp_path / "pairs.route-pairs"
+    rp.write_text("# route-count\n2\n\n0 2 3\n1 0 1\n")
+    cfgf = tmp_path / "job.yaml"
+    cfgf.write_text(f"""\
+parsing:
+  map-file: '{REF}/bidirectional_bait/graph.fmi'
+  nodes:
+  - meta: {{ info: 'NodeId', id: 'node-id' }}
+  - metric: {{ unit: 'Latitude', id: 'lat' }}
+  - metric: {{ unit: 'Longitude', id: 'lon' }}
+  edges:
+    data:
+    - meta: {{ info: 'SrcId', id: 'src-id' }}
+    - meta: {{ info: 'DstId', id: 'dst-id' }}
+    - metric: {{ unit: 'Meters', id: 'meters' }}
+    - metric: {{ unit: 'KilometersPerHour', id: 'kmph' }}
+balancing:
+  optimizing_with:
+    metric-id: 'workload'
+    method:
+      averaging
+  number_of_metric-updates: 2
+  min_new_metric: 0.1
+routing:
+  route-pairs-file: '{rp}'
+output: '{tmp_path}/out'
+algorithms: ['balancing']
+master: 'local[4]'
+num_blocks: 4
+""")
+    cfg = JobConfig.from_file(str(cfgf))
+    assert cfg.balancing["rule"] == "averaging"
+    assert cfg.balancing["num_iter"] == 2
+    assert cfg.balancing["min_metric"] == 0.1
+    summary = run(cfg)
+    hist = summary["balancing_history"]
+    assert [h["routed_pairs"] for h in hist] == [2, 2]
+    import duckdb
+
+    df = duckdb.sql(
+        f"SELECT * FROM '{tmp_path}/out/balancing/*.parquet'"
+    ).df()
+    assert len(df) == 10
+    assert df["balanced_w"].min() >= 0.1 - 1e-9  # the floor binds
