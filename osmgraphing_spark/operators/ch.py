@@ -59,13 +59,20 @@ def upward_edges(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
         )
     lv = levels.select("vid", "level")
+    # the level table is 16 B/vertex — always slim relative to the edge
+    # table, so hint the broadcast explicitly (plan-pinned in
+    # test_plan_quality) instead of relying on source statistics
     return (
         e.join(
-            lv.select(F.col("vid").alias("src"), F.col("level").alias("_ls")),
+            F.broadcast(
+                lv.select(F.col("vid").alias("src"), F.col("level").alias("_ls"))
+            ),
             "src",
         )
         .join(
-            lv.select(F.col("vid").alias("dst"), F.col("level").alias("_ld")),
+            F.broadcast(
+                lv.select(F.col("vid").alias("dst"), F.col("level").alias("_ld"))
+            ),
             "dst",
         )
         .where(F.col("_ld") >= F.col("_ls"))

@@ -576,3 +576,52 @@ def test_partition_stats_single_scan_two_aggregates(spark):
     # nothing else — in particular no join-shaped shuffle of the edges
     assert plan.count("Exchange hashpartitioning") <= 3, plan
     assert "Join" not in plan, plan
+
+
+def test_fmi_width_mode_parse_is_shuffle_free(spark, tmp_path):
+    """The fmi reader's width mode classifies lines by token arity — a
+    pure function of the row — so the node/edge frames' physical plans
+    must contain NO Exchange (the SCALE.md §8 claim: a multi-GB file
+    parses at scan speed)."""
+    from osmgraphing_spark.sources import fmi
+
+    p = tmp_path / "g.fmi"
+    p.write_text("2\n1\n1 0.0 0.0\n2 0.0 0.0\n1 2 5.0 30\n")
+    t = fmi.read_fmi(
+        spark, str(p),
+        [("vid", "long"), ("lat", "double"), ("lon", "double")],
+        [("src", "long"), ("dst", "long"), ("w", "double"), ("kmph", "double")],
+    )
+    for df in (t.nodes, t.edges):
+        assert "Exchange" not in _plan(df), _plan(df)
+
+
+def test_pbf_decode_plan_is_map_only(spark):
+    """The pbf blob decode is mapInPandas over the blob-offset table:
+    no Exchange anywhere before the decoded rows exist (the
+    embarrassingly-parallel claim)."""
+    PBF = "/root/reference/resources/isle_of_man_2020-03-14/graph.osm.pbf"
+    if not os.path.exists(PBF):
+        pytest.skip("reference pbf absent")
+    from osmgraphing_spark.sources import pbf
+
+    plan = _plan(pbf.read_pbf_edges(spark, PBF))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan
+
+
+def test_ch_upward_filter_broadcasts_levels(spark):
+    """The CH query's upward filter joins the slim level table twice —
+    both sides must come in as broadcasts (16 B/vertex at any scale),
+    never a shuffle of the edge table."""
+    from osmgraphing_spark.operators import ch
+
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(50)], "src long, dst long, w double"
+    )
+    levels = spark.createDataFrame(
+        [(i, i % 7) for i in range(51)], "vid long, level long"
+    )
+    plan = _plan(ch.upward_edges(edges, levels))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
