@@ -166,26 +166,44 @@ def ch_route_costs(
     return pairs.select("src", "dst").distinct().join(cand, ["src", "dst"])
 
 
+# ch_distances' one-to-all mode launches a backward frontier from EVERY
+# vertex — O(V·V) state, the same footgun class as the exact-centrality
+# default (operators/sssp.EXACT_SOURCE_CAP): refuse past this cap rather
+# than detonate on a production graph.
+ONE_TO_ALL_CAP = 4096
+
+
 def ch_distances(
     edges: DataFrame,
     levels: DataFrame,
     sources: list[int],
     max_iter: int = 64,
+    max_vertices: int = ONE_TO_ALL_CAP,
 ) -> DataFrame:
     """One-to-all distances via CH: forward upward sweep from ``sources``
     + backward upward sweep from ALL vertices is pointless at that width,
     so this runs forward-up from the sources and backward-up from every
-    vertex the forward sweep settled — correct but only sensible on small
-    graphs; batched point queries should use ``ch_route_costs``."""
+    vertex the forward sweep settled — correct but only sane on small
+    graphs, so it REFUSES past ``max_vertices`` (pass explicit pairs to
+    ``ch_route_costs`` instead, whose cost is independent of pair
+    count)."""
     spark = edges.sparkSession
     fwd = _upward_sssp(spark, upward_edges(edges, levels), sources, max_iter)
-    verts = [
-        r["vid"]
-        for r in edges.select(F.col("src").alias("vid"))
+    vdf = (
+        edges.select(F.col("src").alias("vid"))
         .unionByName(edges.select(F.col("dst").alias("vid")))
         .distinct()
-        .collect()
-    ]
+    )
+    n = vdf.count()
+    if n > max_vertices:
+        raise ValueError(
+            f"ch_distances one-to-all mode materializes all {n} vertex ids "
+            f"on the driver and runs {n} simultaneous backward frontiers "
+            f"(O(V^2) state), exceeding the safety cap of {max_vertices}. "
+            f"Use ch_route_costs with an explicit pair table, or raise "
+            f"max_vertices if you really mean it."
+        )
+    verts = [r["vid"] for r in vdf.collect()]
     bwd = _upward_sssp(
         spark, upward_edges(edges, levels, reverse=True), verts, max_iter
     )

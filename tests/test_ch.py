@@ -320,3 +320,17 @@ def test_contract_to_ch_fmi_roundtrip(spark, tmp_path):
             assert ea[0] == s and ea[1] == eb[0] and eb[1] == d
             assert ea[2] + eb[2] == pytest.approx(w)
     assert n_sc > 0  # the fixture graph does produce shortcuts
+
+
+def test_ch_distances_cap_refuses_large_graphs(spark):
+    """One-to-all mode must refuse to detonate: past max_vertices it
+    raises with guidance toward ch_route_costs (the same safe-default
+    discipline as the exact-centrality source cap)."""
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(10)], "src long, dst long, w double"
+    )
+    levels = spark.createDataFrame(
+        [(i, i) for i in range(11)], "vid long, level long"
+    )
+    with pytest.raises(ValueError, match="ch_route_costs"):
+        ch.ch_distances(edges, levels, [0], max_vertices=3)
