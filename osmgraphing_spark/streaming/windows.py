@@ -256,3 +256,137 @@ def hll_sketch_stream(
     from ..operators.cardinality import hll_sketch
 
     return hll_sketch(docs, col, log2m, by, salt)
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps: list[str],
+    window_s: int,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming first-touch conversion funnel → one FINAL row per user
+    ``(user_id, t1 timestamp, steps_completed int, converted boolean)``,
+    exactly once: the user's funnel attempt anchors at their earliest
+    step-1 event (t1) and must complete within ``window_s``; progression
+    uses the batch ``operators.funnel.conversion_funnel`` semantics
+    (step k strictly after step k−1's chosen time, all within
+    [t1, t1 + W]).
+
+    Late-data correctness inside the watermark: a late step-1 event can
+    LOWER t1 (re-anchoring the window), and a late mid-step event can
+    re-enter the sequential-min chain — so state keeps, per later step,
+    every event time still inside the mutable window, and the chain is
+    recomputed at FINALIZATION, which happens exactly when the watermark
+    passes t1 + W (from then on no admissible event can change t1 or
+    join the window; provably final). Idle users finalize through an
+    event-time timeout armed at t1 + W.
+
+    State bound: t1 is a scalar (only the min matters for first-touch);
+    step-i lists are pruned to the live window [watermark horizon,
+    t1 + W] — bounded by the user's event rate × (window + allowed
+    lateness), never by history."""
+    k = len(steps)
+    if k < 2:
+        raise ValueError("funnel_stream needs >= 2 steps")
+    w_us = window_s * 1_000_000
+    out_schema = (
+        "user_id long, t1 timestamp, steps_completed int, converted boolean"
+    )
+    state_schema = "t1 long, " + ", ".join(
+        f"s{i} array<long>" for i in range(1, k)
+    )
+    step_idx = {name: i for i, name in enumerate(steps)}
+
+    def fn(key, pdfs, state: GroupState):
+        uid = int(key[0])
+        if state.exists:
+            got = state.get
+            t1 = int(got[0])
+            lists = [sorted(got[i]) for i in range(1, k)]
+        else:
+            t1 = -1
+            lists = [[] for _ in range(1, k)]
+        if not state.hasTimedOut:
+            parts = [p for p in pdfs if len(p)]
+            if parts:
+                pdf = pd.concat(parts, ignore_index=True)
+                ts_us = pdf["ts"].astype("int64").to_numpy() // 1000
+                for t, s in zip(ts_us, pdf["event_type"]):
+                    i = step_idx.get(s)
+                    if i is None:
+                        continue
+                    if i == 0:
+                        t1 = int(t) if t1 < 0 else min(t1, int(t))
+                    else:
+                        lists[i - 1].append(int(t))
+        else:
+            list(pdfs)
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        # prune dead events: beyond the (shrink-only) window end, or —
+        # when no attempt exists yet — below the watermark (a future t1
+        # is >= wm, so nothing below wm can ever fall in its window)
+        hi = (t1 + w_us) if t1 >= 0 else None
+        lo = wm_us if t1 < 0 else None
+        lists = [
+            sorted(
+                t for t in l
+                if (hi is None or t <= hi) and (lo is None or t >= lo)
+            )
+            for l in lists
+        ]
+
+        if t1 >= 0 and t1 + w_us < wm_us:
+            # FINAL: recompute the sequential chain inside the window
+            cur = t1
+            done = 1
+            for l in lists:
+                nxt = [t for t in l if cur < t <= t1 + w_us]
+                if not nxt:
+                    break
+                cur = min(nxt)
+                done += 1
+            if state.exists:
+                state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series([uid], dtype="int64"),
+                    "t1": pd.to_datetime([t1], unit="us"),
+                    "steps_completed": pd.Series([done], dtype="int32"),
+                    "converted": pd.Series([done == k], dtype="bool"),
+                }
+            )
+            return
+        if t1 >= 0 or any(lists):
+            state.update((t1, *lists))
+            if t1 >= 0:
+                state.setTimeoutTimestamp(
+                    max(
+                        (t1 + w_us) // 1000 + 1,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+        elif state.exists:
+            state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "t1": pd.to_datetime([], unit="us"),
+                "steps_completed": pd.Series([], dtype="int32"),
+                "converted": pd.Series([], dtype="bool"),
+            }
+        )
+
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.where(F.col("event_type").isin(list(steps)))
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

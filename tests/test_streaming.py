@@ -480,3 +480,74 @@ def test_logreg_score_filters_stream(spark, tmp_path):
     q.awaitTermination(120)
     stream_kept = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
     assert stream_kept == batch_kept and len(batch_kept) >= 2
+
+
+def test_funnel_stream_matches_python_mirror(spark, tmp_path):
+    """Finalized streaming funnel rows (first-touch attempt anchored at
+    the user's earliest step-1 event, sequential chain within the window,
+    emitted when the watermark passes t1 + W) must equal an exact python
+    mirror of the batch semantics over the same log; exactly one row per
+    finalized user."""
+    from osmgraphing_spark.streaming.windows import funnel_stream
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    in_dir = str(tmp_path / "fn_stream")
+    _write_event_halves(spark, src, in_dir)
+    steps = ["view", "click", "purchase"]
+    W = 5 * 24 * 3600  # 5 days
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    got = _run_available_now(
+        spark, funnel_stream(stream, steps, W, "0 seconds"), "funnel_s"
+    ).collect()
+    assert len(got) > 0
+    assert len({r["user_id"] for r in got}) == len(got)  # exactly once
+
+    # python mirror over the full log
+    rows = (
+        spark.read.parquet(src)
+        .where(F.col("event_type").isin(steps))
+        .select("user_id", "ts", "event_type")
+        .collect()
+    )
+    per_user: dict = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(
+            (int(r["ts"].timestamp() * 1e6), r["event_type"])
+        )
+    max_ts = max(t for evs in per_user.values() for t, _ in evs)
+    w_us = W * 1_000_000
+    expect = {}
+    for uid, evs in per_user.items():
+        s1 = [t for t, s in evs if s == steps[0]]
+        if not s1:
+            continue
+        t1 = min(s1)
+        if t1 + w_us >= max_ts:  # not finalized by the last watermark
+            continue
+        cur, done = t1, 1
+        for name in steps[1:]:
+            nxt = [t for t, s in evs if s == name and cur < t <= t1 + w_us]
+            if not nxt:
+                break
+            cur = min(nxt)
+            done += 1
+        expect[uid] = (t1, done, done == len(steps))
+    got_map = {
+        r["user_id"]: (
+            int(r["t1"].timestamp() * 1e6), r["steps_completed"], r["converted"]
+        )
+        for r in got
+    }
+    # every emitted row must match the mirror exactly
+    for uid, v in got_map.items():
+        assert uid in expect, f"user {uid} emitted but mirror says not final"
+        assert v == expect[uid], (uid, v, expect[uid])
+    # and every mirror-final user whose window closed strictly before the
+    # LAST batch's watermark must have been emitted
+    for uid, v in expect.items():
+        assert uid in got_map, f"user {uid} final but not emitted"
