@@ -80,8 +80,36 @@ def upward_edges(
     )
 
 
+def _seed_state(spark, sources, with_pred: bool) -> DataFrame:
+    """Sources (python list OR single-column DataFrame) → initial BSP
+    state. The DataFrame path never materializes the batch on the driver
+    — a million-pair query workload seeds distributedly."""
+    if isinstance(sources, DataFrame):
+        c = sources.columns[0]
+        base = sources.select(
+            F.col(c).cast("long").alias("source")
+        ).distinct().select(
+            "source", F.col("source").alias("vid"), F.lit(0.0).alias("dist")
+        )
+        return (
+            base.withColumn("pred", F.lit(-1).cast("long"))
+            if with_pred
+            else base
+        )
+    rows = [
+        ((int(v), int(v), 0.0, -1) if with_pred else (int(v), int(v), 0.0))
+        for v in sources
+    ]
+    schema = (
+        "source long, vid long, dist double, pred long"
+        if with_pred
+        else "source long, vid long, dist double"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def _upward_sssp(
-    spark, up_edges: DataFrame, sources: list[int], max_iter: int
+    spark, up_edges: DataFrame, sources, max_iter: int
 ) -> DataFrame:
     """Delta-frontier min-relaxation over an upward DAG, all sources
     simultaneously → (source, vid, dist). Same loop discipline as
@@ -89,10 +117,7 @@ def _upward_sssp(
     empty frontier) minus path tracking."""
     trunc = EphemeralTruncator(spark, "ch-up")
     scope = BlockScope(spark)
-    state = spark.createDataFrame(
-        [(int(s), int(s), 0.0) for s in sources],
-        "source long, vid long, dist double",
-    )
+    state = _seed_state(spark, sources, with_pred=False)
     frontier = state
     with iterative_conf(spark):
         for it in range(max_iter):
@@ -145,11 +170,14 @@ def ch_route_costs(
     CONTRACTED graph (original + shortcut edges); ``levels`` = (vid,
     level) contraction levels."""
     spark = edges.sparkSession
-    sources = [r["src"] for r in pairs.select("src").distinct().collect()]
-    targets = [r["dst"] for r in pairs.select("dst").distinct().collect()]
-    fwd = _upward_sssp(spark, upward_edges(edges, levels), sources, max_iter)
+    fwd = _upward_sssp(
+        spark, upward_edges(edges, levels), pairs.select("src"), max_iter
+    )
     bwd = _upward_sssp(
-        spark, upward_edges(edges, levels, reverse=True), targets, max_iter
+        spark,
+        upward_edges(edges, levels, reverse=True),
+        pairs.select("dst"),
+        max_iter,
     )
     cand = (
         fwd.select(F.col("source").alias("src"), "vid", F.col("dist").alias("_df"))
@@ -386,7 +414,7 @@ def contract_graph(
 
 
 def _upward_sssp_pred(
-    spark, up_edges: DataFrame, sources: list[int], max_iter: int
+    spark, up_edges: DataFrame, sources, max_iter: int
 ) -> DataFrame:
     """`_upward_sssp` with predecessor tracking → (source, vid, dist,
     pred); pred = -1 on the source row, min-(dist, pred) tie-break (every
@@ -394,10 +422,7 @@ def _upward_sssp_pred(
     a valid tree parent — the sssp.run discipline)."""
     trunc = EphemeralTruncator(spark, "ch-up-p")
     scope = BlockScope(spark)
-    state = spark.createDataFrame(
-        [(int(s), int(s), 0.0, -1) for s in sources],
-        "source long, vid long, dist double, pred long",
-    )
+    state = _seed_state(spark, sources, with_pred=True)
 
     def _merge(df):
         return (
@@ -496,13 +521,14 @@ def ch_shortest_paths(
        doubles, nesting ≤ one split per round, far inside double
        precision."""
     spark = edges.sparkSession
-    sources = [r["src"] for r in pairs.select("src").distinct().collect()]
-    targets = [r["dst"] for r in pairs.select("dst").distinct().collect()]
     fwd = _upward_sssp_pred(
-        spark, upward_edges(edges, levels), sources, max_iter
+        spark, upward_edges(edges, levels), pairs.select("src"), max_iter
     )
     bwd = _upward_sssp_pred(
-        spark, upward_edges(edges, levels, reverse=True), targets, max_iter
+        spark,
+        upward_edges(edges, levels, reverse=True),
+        pairs.select("dst"),
+        max_iter,
     )
     trunc = EphemeralTruncator(spark, "ch-paths")
 
