@@ -274,3 +274,43 @@ def test_cli_new_algorithms(spark, tmp_path):
     }
     for path in summary["outputs"].values():
         assert os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def test_linkgraph_ch_facade(spark):
+    """contract() + ch_route_costs + ch_shortest_paths through the
+    facade: costs equal the plain BSP route_costs on the same graph, and
+    paths expand to original-graph hops."""
+    from osmgraphing_spark.api import LinkGraph
+    from pyspark.sql import functions as F
+
+    raw = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 3.0), ("c", "a", 1.0),
+         ("b", "d", 2.0), ("d", "c", 1.0)],
+        "src_key string, dst_key string, weight double",
+    )
+    lg = LinkGraph.from_edges(raw, num_blocks=4)
+    ch_e, lv = lg.contract()
+    vid = {r["key"]: r["vid"] for r in lg.graph.vertices.collect()}
+    pairs = spark.createDataFrame(
+        [(vid["a"], vid["c"]), (vid["b"], vid["a"]), (vid["a"], vid["d"])],
+        "src long, dst long",
+    )
+    plain = {
+        (r["src"], r["dst"]): r["cost"]
+        for r in lg.route_costs(pairs, weighted=True).collect()
+    }
+    chq = {
+        (r["src"], r["dst"]): r["cost"]
+        for r in lg.ch_route_costs(ch_e, lv, pairs).collect()
+    }
+    assert chq == pytest.approx(plain)
+    ew = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in lg.graph.edges.select("src", "dst", "weight").collect()
+    }
+    for r in lg.ch_shortest_paths(ch_e, lv, pairs).collect():
+        nodes = list(r["nodes"])
+        assert nodes[0] == r["src"] and nodes[-1] == r["dst"]
+        assert sum(
+            ew[(x, y)] for x, y in zip(nodes, nodes[1:])
+        ) == pytest.approx(r["cost"])
