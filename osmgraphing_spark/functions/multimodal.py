@@ -934,3 +934,63 @@ def synth_mp4_from_ids(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         ]
     )
     return ids_df.select(id_col).mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing (dHash) + near-dup blocking
+# ---------------------------------------------------------------------------
+
+
+def _dhash_bits(img: np.ndarray) -> tuple[int, int]:
+    """(h, w[, c]) uint8 → 64-bit dHash as (sig_hi, sig_lo) signed-long
+    halves. Deterministic integer pipeline: channel mean → 8×9
+    nearest-neighbor downsample (index floor, no interpolation dialects)
+    → row-wise gradient sign bits, row-major."""
+    g = img.astype(np.float64)
+    if g.ndim == 3:
+        g = g.mean(axis=2)
+    h, w = g.shape
+    ridx = (np.arange(8) * h) // 8
+    cidx = (np.arange(9) * w) // 9
+    small = g[np.ix_(ridx, cidx)]
+    bits = (small[:, 1:] > small[:, :-1]).flatten()
+    hi = int(sum(int(b) << (31 - i) for i, b in enumerate(bits[:32])))
+    lo = int(sum(int(b) << (31 - i) for i, b in enumerate(bits[32:])))
+    # match the simhash signature convention: signed 32-bit halves in longs
+    return hi - (1 << 32) if hi >= (1 << 31) else hi, \
+        lo - (1 << 32) if lo >= (1 << 31) else lo
+
+
+def image_dhash(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """REAL decode (PPM/PNG/GIF/JPEG) → 64-bit perceptual dHash per image
+    → (id, sig_hi, sig_lo), the standard near-dup signature for image
+    corpora (gradient sign survives re-encoding and mild resizing, unlike
+    the content digest). Same (id, sig_hi, sig_lo) shape as
+    `operators.dedup.simhash64`, so the text machinery applies as-is."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for row in pdf.itertuples(index=False):
+                hi, lo = _dhash_bits(_decode_image_real(bytes(row.data)))
+                ids.append(getattr(row, id_col))
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame({"id": ids, "sig_hi": his, "sig_lo": los})
+
+    return media.select(id_col, "data").mapInPandas(
+        run, schema="id long, sig_hi long, sig_lo long"
+    )
+
+
+def image_near_dups(
+    media: DataFrame, max_hamming: int = 6, id_col: str = "media_id"
+) -> DataFrame:
+    """Near-duplicate image pairs → (id_a, id_b, hamming): dHash
+    signatures fed through the SAME pigeonhole chunk blocking + exact
+    Hamming verify as text SimHash (`operators.dedup
+    .signature_near_pairs`) — never an all-pairs join, hot-bucket
+    behavior identical to the text path's documented trade."""
+    from ..operators.dedup import signature_near_pairs
+
+    return signature_near_pairs(image_dhash(media, id_col), max_hamming)

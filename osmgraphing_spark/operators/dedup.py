@@ -516,6 +516,17 @@ def simhash_near_pairs(
     exact either way."""
     n_chunks = max_hamming + 1
     sig = _materialize(simhash64(docs, id_col, text_col), "simhash")
+    return signature_near_pairs(sig, max_hamming)
+
+
+def signature_near_pairs(sig: DataFrame, max_hamming: int) -> DataFrame:
+    """Generic 64-bit-signature near-pair search over (id, sig_hi,
+    sig_lo) rows — the pigeonhole chunk blocking + exact-Hamming verify
+    that backs `simhash_near_pairs`, factored out so OTHER signature
+    families (e.g. perceptual image dHash, functions/multimodal
+    .image_near_dups) reuse the identical scale machinery.
+    → (id_a, id_b, hamming)."""
+    n_chunks = max_hamming + 1
     chunk_structs = [
         F.struct(
             F.lit(c).alias("chunk"),

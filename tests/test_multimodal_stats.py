@@ -293,3 +293,53 @@ def test_mp4_rejects_non_mp4_and_fragmented():
     ftyp = (16).to_bytes(4, "big") + b"ftyp" + b"isom" + b"\x00" * 4
     with pytest.raises(ValueError, match="moov"):
         mm.mp4_metadata(ftyp)
+
+
+# ---------------------------------------------------------------------------
+# perceptual dHash + near-dup blocking
+# ---------------------------------------------------------------------------
+
+
+def test_image_dhash_matches_numpy_mirror(spark):
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(mm.encode_ppm(img)),
+          {"width": 32, "height": 24, "channels": 3, "sample_rate": None,
+           "n_frames": None, "format": "ppm"})],
+        mm.MEDIA_SCHEMA,
+    )
+    row = mm.image_dhash(df).collect()[0]
+    hi, lo = mm._dhash_bits(img)
+    assert (row["sig_hi"], row["sig_lo"]) == (hi, lo)
+
+
+def test_image_near_dups_blocking(spark):
+    """A re-encoded copy (PPM→PNG, lossless) hashes identically
+    (hamming 0); a mildly brightness-shifted copy of a smooth image stays
+    within the threshold; an unrelated random image does not pair."""
+    xx, yy = np.meshgrid(np.arange(48), np.arange(32))
+    smooth = np.stack(
+        [(xx * 4) % 256, (yy * 5) % 256, (xx + yy) % 256], axis=-1
+    ).astype(np.uint8)
+    shifted = np.clip(smooth.astype(int) + 3, 0, 255).astype(np.uint8)
+    rng = np.random.default_rng(4)
+    noise = rng.integers(0, 256, size=(32, 48, 3), dtype=np.uint8)
+    meta = {"width": 48, "height": 32, "channels": 3, "sample_rate": None,
+            "n_frames": None, "format": "x"}
+    df = spark.createDataFrame(
+        [
+            (1, "image", bytearray(mm.encode_ppm(smooth)), meta),
+            (2, "image", bytearray(mm.encode_png(smooth)), meta),  # re-encode
+            (3, "image", bytearray(mm.encode_ppm(shifted)), meta),
+            (4, "image", bytearray(mm.encode_ppm(noise)), meta),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.image_near_dups(df, max_hamming=6).collect()
+    }
+    assert pairs.get((1, 2)) == 0  # lossless re-encode: identical hash
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 6
+    assert not any(4 in p for p in pairs)
