@@ -1167,6 +1167,23 @@ def q_media_video_stats(spark, sf_dir):
     return mm.video_stats(media, id_col="doc_id")
 
 
+def q_media_image_dhash(spark, sf_dir):
+    """Perceptual dHash, value-checked end to end: the deterministic
+    gradient images (same closed forms as media_image_stats) are decoded
+    through the REAL PPM parser and hashed by functions/multimodal
+    .image_dhash; the oracle recomputes the 8×9 nearest-neighbor
+    downsample, the row-gradient sign bits and the signed 32-bit packing
+    arithmetically — comparing channel SUMS instead of means (division by
+    3 is order-preserving), so the hash is bit-exact across engines."""
+    from osmgraphing_spark.functions import multimodal as mm
+
+    d = _t(spark, sf_dir, "documents")
+    media = mm.synth_images_from_ids(d, id_col="doc_id")
+    return mm.image_dhash(media, id_col="doc_id").select(
+        F.col("id").alias("doc_id"), "sig_hi", "sig_lo"
+    )
+
+
 def q_doc_exact_dups(spark, sf_dir):
     return dd.exact_duplicates(_t(spark, sf_dir, "documents"))
 
@@ -2756,6 +2773,7 @@ _DRIVER_WINDOW_ORDER = [
     "event_props_k", "doc_repetition", "doc_filter_funnel",
     "doc_source_stats", "doc_pii", "media_image_stats", "media_audio_stats",
     "media_video_stats",  # new in round 3 — real MP4 container parse
+    "media_image_dhash",  # new in round 3 — decode → perceptual hash, bit-exact
     "doc_prefix_jaccard", "doc_dsir_sample", "doc_bm25_topk", "doc_nb_lang",
     "doc_hybrid_topk", "doc_chunks", "doc_scrub_spans", "doc_winnow",
     "doc_incremental_dups", "doc_dup_clusters", "doc_keep_best",
@@ -2856,6 +2874,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii": q_doc_pii,
         "media_image_stats": q_media_image_stats,
         "media_video_stats": q_media_video_stats,
+        "media_image_dhash": q_media_image_dhash,
         "media_audio_stats": q_media_audio_stats,
         "doc_exact_dups": q_doc_exact_dups,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
@@ -5170,6 +5189,50 @@ def oracle_sql() -> dict[str, str]:
                         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'))
                        AS redacted_fp
             FROM aug
+        """,
+        "media_image_dhash": """
+            WITH dims AS (
+                SELECT doc_id,
+                       CAST(8 + (doc_id % 5) * 4 AS BIGINT) AS w,
+                       CAST(8 + (doc_id % 3) * 4 AS BIGINT) AS h,
+                       doc_id % 7 + 1 AS kr,
+                       doc_id % 11 + 2 AS kg
+                FROM documents
+            ),
+            grid AS (
+                SELECT d.doc_id, i.i AS gi, j.j AS gj,
+                       ((((j.j * d.w) // 9) * d.kr) % 256)
+                     + ((((i.i * d.h) // 8) * d.kg) % 256)
+                     + ((d.doc_id + ((i.i * d.h) // 8) * d.w
+                         + ((j.j * d.w) // 9)) % 256) AS s
+                FROM dims d
+                CROSS JOIN (SELECT unnest(range(8)) AS i) i
+                CROSS JOIN (SELECT unnest(range(9)) AS j) j
+            ),
+            bits AS (
+                SELECT a.doc_id, a.gi * 8 + a.gj AS idx,
+                       CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS bit
+                FROM grid a
+                JOIN grid b ON a.doc_id = b.doc_id AND a.gi = b.gi
+                           AND b.gj = a.gj + 1
+                WHERE a.gj < 8
+            ),
+            packed AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN idx < 32
+                                THEN bit * (CAST(1 AS BIGINT) << (31 - idx))
+                                ELSE 0 END) AS BIGINT) AS uhi,
+                       CAST(SUM(CASE WHEN idx >= 32
+                                THEN bit * (CAST(1 AS BIGINT) << (63 - idx))
+                                ELSE 0 END) AS BIGINT) AS ulo
+                FROM bits GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   CAST(CASE WHEN uhi >= 2147483648
+                        THEN uhi - 4294967296 ELSE uhi END AS BIGINT) AS sig_hi,
+                   CAST(CASE WHEN ulo >= 2147483648
+                        THEN ulo - 4294967296 ELSE ulo END AS BIGINT) AS sig_lo
+            FROM packed
         """,
         "media_video_stats": """
             SELECT doc_id,
