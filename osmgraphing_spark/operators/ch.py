@@ -253,6 +253,7 @@ def contract_graph(
     edges: DataFrame,
     max_rounds: int = 200,
     seed: int = 42,
+    max_wedge_degree: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build a contraction hierarchy → (ch_edges (src, dst, w, via),
     levels (vid, level)): original edges + witness-free shortcuts (via =
@@ -349,8 +350,20 @@ def contract_graph(
             s_set = (
                 pri.join(nbr_min.withColumnRenamed("src", "vid"), "vid")
                 .where(F.col("p") < F.col("np"))
-                .select("vid")
+                .select("vid", F.col("p._d").alias("_d"))
             )
+            if max_wedge_degree is not None:
+                # hard skew guard on top of degree-FIRST priority: a hub
+                # surrounded by even heavier neighbors can still be a
+                # local minimum, and contracting it fans deg² shortcuts in
+                # one round. Defer such nodes — with a progress fallback:
+                # if EVERY selected node exceeds the cap (a hub clique is
+                # all that remains), contract the unfiltered minima anyway
+                # rather than stall.
+                capped = s_set.where(F.col("_d") <= max_wedge_degree)
+                if capped.limit(1).count() > 0:
+                    s_set = capped
+            s_set = s_set.select("vid")
             levels = trunc_l.truncate(
                 levels.unionByName(
                     s_set.select("vid", F.lit(rnd).cast("long").alias("level"))

@@ -334,3 +334,37 @@ def test_ch_distances_cap_refuses_large_graphs(spark):
     )
     with pytest.raises(ValueError, match="ch_route_costs"):
         ch.ch_distances(edges, levels, [0], max_vertices=3)
+
+
+def test_contract_graph_wedge_degree_cap(spark):
+    """A star hub that is the priority minimum (all leaves have higher
+    salted-hash priority at equal degree... forced here by making the
+    hub's neighbors heavier) is DEFERRED under max_wedge_degree, the
+    contraction still completes via the fallback, and queries stay
+    exact."""
+    import random
+
+    rng = random.Random(3)
+    # hub 0 with 12 spokes + a ring among spokes making spoke degrees high
+    raw = []
+    for i in range(1, 13):
+        raw.append((0, i, 1.0))
+        raw.append((i, 0, 1.0))
+        raw.append((i, i % 12 + 1, 2.0))
+    e = spark.createDataFrame(raw, "src long, dst long, w double")
+    ch_e, lv = ch.contract_graph(e, max_wedge_degree=6)
+    vids, truth = _python_dijkstra_all_pairs(raw)
+    pairs = spark.createDataFrame(
+        [(a, b) for a in vids[:4] for b in vids if a != b],
+        "src long, dst long",
+    )
+    got = {
+        (r["src"], r["dst"]): r["cost"]
+        for r in ch.ch_route_costs(ch_e, lv, pairs).collect()
+    }
+    INF = float("inf")
+    for a in vids[:4]:
+        for b in vids:
+            if a == b or truth[(a, b)] == INF:
+                continue
+            assert got[(a, b)] == pytest.approx(truth[(a, b)]), (a, b)
