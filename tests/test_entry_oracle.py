@@ -31,17 +31,36 @@ def _duck(sf_dir: str):
 
 
 def _canon(v):
+    """Driver-faithful canonicalization: TYPE-TAGGED so an oracle that
+    degrades a BIGINT to float64 (DuckDB HUGEINT through pandas — the r2
+    link_butterflies red row) FAILS here instead of sliding through
+    python's int == float equality."""
+    tn = type(v).__name__
+    if tn in ("int64", "int32", "int16", "uint64", "uint32"):
+        v = int(v)
+    elif tn in ("float64", "float32"):
+        v = float(v)
+    elif tn == "bool_":
+        v = bool(v)
+    elif tn == "ndarray":
+        v = list(v)
+    if v is None:
+        return ("n",)
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
+            return ("f", "nan")
         # exact compare (the driver hashes exact values); queries are
         # responsible for rounding away cross-engine fp noise themselves
-        return v + 0.0  # normalizes -0.0
+        return ("f", repr(v + 0.0))  # normalizes -0.0
     if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        return ("t", v.replace(tzinfo=None).isoformat())
     if isinstance(v, int):
-        return int(v)
-    return v
+        return ("i", v)
+    if isinstance(v, (list, tuple)):
+        return ("a", tuple(_canon(x) for x in v))
+    return ("s", str(v))
 
 
 def _rowset(rows):
@@ -61,7 +80,15 @@ def test_query_matches_oracle(spark, name):
     con = _duck(SF_DIR)
     res = con.execute(ORACLES[name])
     duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    # pandas fetch, NOT fetchall(): the driver compares through a
+    # dataframe, where DuckDB HUGEINT degrades to float64 — fetchall()
+    # returns python ints and masks exactly that wrong-dtype class
+    ddf = res.df()
+    duck_rows = [
+        tuple(None if v is None or (isinstance(v, float) and math.isnan(v)) else v
+              for v in t)
+        for t in ddf.itertuples(index=False, name=None)
+    ]
 
     assert spark_cols == duck_cols, f"{name}: column mismatch {spark_cols} vs {duck_cols}"
     assert len(spark_rows) == len(duck_rows), (
