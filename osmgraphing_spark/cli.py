@@ -235,6 +235,8 @@ def run(cfg: JobConfig, resume: bool = False) -> dict:
                     "src", "dst", F.col("weight").alias("w")
                 ),
                 pairs,
+                checkpoint=lg._ckpt("balancing"),
+                resume=resume,
                 **bcfg,
             )
             df = lg.with_keys(

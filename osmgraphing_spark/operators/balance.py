@@ -88,6 +88,8 @@ def balance_loop(
     rule: str = "averaging",
     correction: float = 0.1,
     min_metric: float = F64_ABS,
+    checkpoint=None,
+    resume: bool = False,
 ) -> tuple[DataFrame, list[dict]]:
     """The reference's flagship ``osmgraphing balancing`` binary, composed
     in-engine (/root/reference/src/bin/osmgraphing/balancing/mod.rs:34-71):
@@ -128,7 +130,19 @@ def balance_loop(
     p = trunc.truncate(p, reap=False)
 
     history: list[dict] = []
-    for it in range(num_iter):
+    start_iter = 0
+    if checkpoint is not None and resume:
+        # the same resumability discipline as the PageRank loop: each
+        # completed iteration's metric state is durably committed, so a
+        # killed run restarts AFTER the last expensive contraction+route
+        # batch instead of repeating it
+        latest = checkpoint.latest()
+        if latest is not None:
+            cur = checkpoint.read(latest)
+            m = checkpoint.read_metrics(latest)
+            history = list(m.get("history", []))
+            start_iter = latest + 1
+    for it in range(start_iter, num_iter):
         ch_e, lv = ch_op.contract_graph(cur)
         routes = ch_op.ch_shortest_paths(
             ch_e, lv, p.select("src", "dst")
@@ -187,4 +201,18 @@ def balance_loop(
                 "mean_w": float(row["m"]),
             }
         )
+        if checkpoint is not None:
+            from ..plans.checkpoint import SuperstepMetrics
+
+            cur = checkpoint.write(
+                it,
+                cur,
+                SuperstepMetrics(
+                    step=it,
+                    delta=0.0,
+                    rows=cur.count(),
+                    wall_ms=0.0,
+                    extra={"history": history},
+                ),
+            )
     return cur, history

@@ -177,3 +177,35 @@ def test_balance_loop_matches_python_mirror(spark):
         w = {e: new[e] / m for e in w}
     for e, v in w.items():
         assert got[e] == pytest.approx(v, abs=1e-6), e
+
+
+def test_balance_loop_resume_identical(spark, tmp_path):
+    """Kill-and-resume drill for the balancing loop: a run checkpointed
+    after iteration 0 and RESUMED for iteration 1 must produce exactly
+    the weights of an uninterrupted 2-iteration run (the PageRank
+    resumability discipline applied to the flagship workflow)."""
+    from osmgraphing_spark.operators import balance
+    from osmgraphing_spark.plans.checkpoint import CheckpointManager
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (1, 4, 5.0), (4, 3, 5.0)],
+        "src long, dst long, w double",
+    )
+    pairs = spark.createDataFrame([(1, 3, 2)], "src long, dst long, count int")
+
+    full, _ = balance.balance_loop(edges, pairs, num_iter=2)
+    want = {(r["src"], r["dst"]): r["w"] for r in full.collect()}
+
+    root = str(tmp_path / "ckpt")
+    ck1 = CheckpointManager(spark, root, "balance")
+    balance.balance_loop(edges, pairs, num_iter=1, checkpoint=ck1)
+    assert ck1.latest() == 0  # iteration 0 durably committed
+
+    ck2 = CheckpointManager(spark, root, "balance")
+    resumed, hist = balance.balance_loop(
+        edges, pairs, num_iter=2, checkpoint=ck2, resume=True
+    )
+    got = {(r["src"], r["dst"]): r["w"] for r in resumed.collect()}
+    assert [h["iteration"] for h in hist] == [0, 1]  # history carried over
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v), k
