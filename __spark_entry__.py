@@ -2758,37 +2758,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The external driver value-checks the FIRST 50 keys of queries() each
-# round. Rounds 1+2 covered 70 distinct keys (CORRECTNESS_r01 ∪ _r02);
-# this list front-loads the keys that have NEVER been driver-checked —
-# plus link_butterflies, whose r2 red row (DuckDB HUGEINT SUM degrading
-# to float64 in the driver's dataframe compare) is fixed and must be
-# re-proven — so the round-3 window maximizes NEW external coverage.
-# Keys past position 50 queue for the round-4 window; the registry
+# round. Cumulative hard-signal coverage after round 3 is 119/132
+# (CORRECTNESS_r01 ∪ _r02 ∪ _r03); this round-4 window front-loads the
+# 13 keys that have NEVER been driver-checked so cumulative coverage
+# closes at 132/132, then re-checks the queries whose implementation
+# changed this round (scc fast path, CH ordering, LSH candidate path),
+# then backfills with the round-1 window — the keys whose code has
+# churned most since they were last externally checked. The registry
 # content is unchanged, only the iteration order.
 _DRIVER_WINDOW_ORDER = [
-    "link_butterflies",
-    "ch_routes_nations",  # new in round 3 — CH construction + query stack
-    # never driver-checked (r1 ∪ r2), oldest families first
-    "event_funnel", "event_cohort_retention", "event_value_quantiles",
-    "event_props_k", "doc_repetition", "doc_filter_funnel",
-    "doc_source_stats", "doc_pii", "media_image_stats", "media_audio_stats",
-    "media_video_stats",  # new in round 3 — real MP4 container parse
-    "media_image_dhash",  # new in round 3 — decode → perceptual hash, bit-exact
-    "doc_prefix_jaccard", "doc_dsir_sample", "doc_bm25_topk", "doc_nb_lang",
-    "doc_hybrid_topk", "doc_chunks", "doc_scrub_spans", "doc_winnow",
-    "doc_incremental_dups", "doc_dup_clusters", "doc_keep_best",
-    "doc_dup_spans", "doc_containment_pairs", "embed_ivf", "embed_kmeans",
-    "embed_semdedup", "embed_triplets", "embed_pq", "embed_pq_topk",
-    "embed_near_dups", "sssp_nations", "link_diameter", "link_landmark_est",
-    "link_partition_stats", "link_ego_net", "link_bowtie", "doc_train_split",
-    "doc_temp_mixture", "doc_rake_weights", "doc_lr_quality",
-    "multi_metric_edges", "normalize_metrics", "harmonic_nations",
-    "doc_decontaminate", "doc_bloom_decon", "doc_unigram_nll",
-    "doc_tfidf_terms", "doc_bigram_nll", "doc_bpe_tokens",
-    # ---- driver window boundary (position 50) — the rest queue for r4
-    "doc_bpe_merges", "doc_top_terms", "doc_heavy_bigrams", "doc_cms_sketch",
+    # -- 13 never driver-checked (closes cumulative coverage) --
+    "doc_tfidf_terms", "doc_bigram_nll", "doc_bpe_merges", "doc_bpe_tokens",
+    "doc_top_terms", "doc_heavy_bigrams", "doc_cms_sketch",
     "doc_stratified_sample", "doc_distinct_tokens", "doc_weighted_sample",
     "doc_epoch_shuffle", "doc_pack_sequences", "doc_mixture_sample",
+    # -- implementation changed in round 4: re-prove externally --
+    "scc_nations", "scc_build_order", "link_bowtie", "ch_routes_nations",
+    "doc_lsh_candidates", "betweenness_nations",
+    # -- round-1 window backfill (last externally checked in r1) --
+    "link_edges", "link_degrees", "pagerank5", "cc_nations", "lpa_nations",
+    "triangles_nations", "pagerank5_weighted",
+    "triangles_per_vertex_nations", "pricing_summary", "top_orders",
+    "normalize_qty", "semi_join_customers", "anti_join_customers",
+    "dedup_pairs", "clamped_discount", "order_ranks", "sessionize_events",
+    "hourly_events", "doc_tokens", "doc_quality", "doc_langid",
+    "doc_fingerprint", "doc_exact_dups", "doc_jaccard_pairs", "doc_minhash",
+    "doc_simhash_pairs", "embed_topk", "embed_ann",
+    # -- remaining slots: r2-checked keys touched by round-4 perf work --
+    "sssp_nations", "link_diameter", "link_spam_mass",
 ]
 
 
