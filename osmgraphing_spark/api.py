@@ -253,16 +253,24 @@ class LinkGraph:
         return _truss.truss_edges(self.graph.edges, k, **kw)
 
     def betweenness(
-        self, sources: list[int] | None = None, scale: bool = True, **kw
+        self,
+        sources: list[int] | None = None,
+        scale: bool = True,
+        max_exact_sources: int | None = None,
+        **kw,
     ) -> DataFrame:
         """Brandes betweenness → (vid, betweenness); ``sources=None`` uses
-        every vertex as a pivot (exact — only sane on small graphs; at
+        every vertex as a pivot (exact — only sane on small graphs, so it
+        refuses past ``max_exact_sources`` (default
+        sssp.EXACT_SOURCE_CAP) like the other exact centralities; at
         scale pass a deterministic landmark sample and the n/k estimator
         normalization applies when ``scale``)."""
         from .operators import betweenness as _bt
+        from .operators.sssp import EXACT_SOURCE_CAP, _exact_sources
 
         if sources is None:
-            sources = [r["vid"] for r in self.graph.vertices.select("vid").collect()]
+            cap = EXACT_SOURCE_CAP if max_exact_sources is None else max_exact_sources
+            sources = _exact_sources(self.graph, cap, "betweenness")
             scale = False
         return _bt.betweenness(
             self.graph.edges,

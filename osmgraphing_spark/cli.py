@@ -239,11 +239,25 @@ def run(cfg: JobConfig, resume: bool = False) -> dict:
                 resume=resume,
                 **bcfg,
             )
-            df = lg.with_keys(
-                balanced.select(
-                    F.col("src").alias("vid"), "dst", F.col("w").alias("balanced_w")
+            # map BOTH endpoints back to external keys — consumers of the
+            # written edge table must be able to relate src AND dst to
+            # the original node ids, not just src
+            df = (
+                balanced.select("src", "dst", F.col("w").alias("balanced_w"))
+                .join(
+                    vk.select(
+                        F.col("vid").alias("src"), F.col("key").alias("src_key")
+                    ),
+                    "src",
                 )
-            ).withColumnRenamed("vid", "src").withColumnRenamed("key", "src_key")
+                .join(
+                    vk.select(
+                        F.col("vid").alias("dst"), F.col("key").alias("dst_key")
+                    ),
+                    "dst",
+                )
+                .select("src", "dst", "src_key", "dst_key", "balanced_w")
+            )
             summary.setdefault("balancing_history", hist)
         elif algo == "sssp":
             opts = dict(cfg.sssp)

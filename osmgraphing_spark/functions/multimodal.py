@@ -486,6 +486,12 @@ def image_features(
                 small = _resize_impl(img, out_w, out_h)
                 feats.append(small.mean(axis=2).astype(np.float32).ravel())
                 ids.append(row.media_id)
+            if not ids:
+                # a batch with no image rows must yield NOTHING: an empty
+                # pandas frame defaults its columns to float64, which Arrow
+                # cannot convert to the declared array<float> (seen when a
+                # wide-parallelism session leaves one row per partition)
+                continue
             yield pd.DataFrame({"media_id": ids, "feature": [f.tolist() for f in feats]})
 
     return media.select("media_id", "kind", "data", "meta").mapInPandas(
@@ -514,6 +520,8 @@ def audio_features(media: DataFrame, frame: int = 512) -> DataFrame:
                     if len(mono) > 1 else 0.0
                 )
                 dur.append(len(mono) / float(rate))
+            if not ids:
+                continue  # no audio rows in this batch — see image_features
             yield pd.DataFrame(
                 {"media_id": ids, "rms": rms, "zcr": zcr, "duration_s": dur}
             )

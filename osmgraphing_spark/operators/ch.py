@@ -108,13 +108,28 @@ def _seed_state(spark, sources, with_pred: bool) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def _sweep_depth(levels: DataFrame, floor: int) -> int:
+    """Hop bound for an upward sweep, derived from the level table:
+    same-round vertices are never adjacent when contracted
+    (contract_graph's independent-set invariant), so every upward hop
+    strictly increases the contraction level and a sweep settles in at
+    most (max level + 2) rounds. Returns max(floor, that bound) so an
+    explicitly larger caller-supplied max_iter still wins."""
+    row = levels.agg(F.max("level").alias("m")).collect()[0]
+    depth = int(row["m"]) + 2 if row["m"] is not None else floor
+    return max(floor, depth)
+
+
 def _upward_sssp(
     spark, up_edges: DataFrame, sources, max_iter: int
 ) -> DataFrame:
     """Delta-frontier min-relaxation over an upward DAG, all sources
     simultaneously → (source, vid, dist). Same loop discipline as
     operators/sssp (min-merge, lazy truncation, batched convergence on an
-    empty frontier) minus path tracking."""
+    empty frontier) minus path tracking. Raises if the frontier is still
+    non-empty after ``max_iter`` rounds — a deep hierarchy must fail
+    loudly, not return silently overestimated costs (callers derive
+    max_iter from the level table via ``_sweep_depth``)."""
     trunc = EphemeralTruncator(spark, "ch-up")
     scope = BlockScope(spark)
     state = _seed_state(spark, sources, with_pred=False)
@@ -154,6 +169,16 @@ def _upward_sssp(
             frontier = new_frontier
             if frontier.limit(1).count() == 0:
                 break
+        else:
+            # the per-round check above just saw a NON-empty frontier, so
+            # exhausting the loop means unsettled state: raise instead of
+            # returning silently overestimated/missing costs
+            raise RuntimeError(
+                f"CH upward sweep still had an active frontier after "
+                f"{max_iter} rounds — the hierarchy is deeper than "
+                f"max_iter; pass the level table so the bound can be "
+                f"derived (_sweep_depth), or raise max_iter."
+            )
         scope.release_new()
         return state
 
@@ -168,8 +193,12 @@ def ch_route_costs(
     keeping only pairs with a real path (the reference generator's
     contract, random_or_all.rs:32-158). ``edges`` = (src, dst, w) of the
     CONTRACTED graph (original + shortcut edges); ``levels`` = (vid,
-    level) contraction levels."""
+    level) contraction levels. ``max_iter`` is a floor: the real bound is
+    derived from the level table (one scalar aggregate), so a deep
+    hierarchy converges instead of tripping the sweep's unsettled-state
+    guard."""
     spark = edges.sparkSession
+    max_iter = _sweep_depth(levels, max_iter)
     fwd = _upward_sssp(
         spark, upward_edges(edges, levels), pairs.select("src"), max_iter
     )
@@ -209,13 +238,16 @@ def ch_distances(
     max_vertices: int = ONE_TO_ALL_CAP,
 ) -> DataFrame:
     """One-to-all distances via CH: forward upward sweep from ``sources``
-    + backward upward sweep from ALL vertices is pointless at that width,
-    so this runs forward-up from the sources and backward-up from every
-    vertex the forward sweep settled — correct but only sane on small
-    graphs, so it REFUSES past ``max_vertices`` (pass explicit pairs to
-    ``ch_route_costs`` instead, whose cost is independent of pair
-    count)."""
+    + backward upward sweep seeded from EVERY graph vertex. The backward
+    seeds cannot be narrowed to the forward-settled set — a target t is
+    generally reached up-then-DOWN, so t itself is usually NOT
+    forward-settled and must still launch its own backward frontier for
+    the meet-join to find it. That makes this mode O(V·V) frontier state
+    by construction, so it REFUSES past ``max_vertices`` (pass explicit
+    pairs to ``ch_route_costs`` instead, whose cost is independent of
+    pair count)."""
     spark = edges.sparkSession
+    max_iter = _sweep_depth(levels, max_iter)
     fwd = _upward_sssp(spark, upward_edges(edges, levels), sources, max_iter)
     vdf = (
         edges.select(F.col("src").alias("vid"))
@@ -473,6 +505,16 @@ def _upward_sssp_pred(
             frontier = new_frontier
             if frontier.limit(1).count() == 0:
                 break
+        else:
+            # the per-round check above just saw a NON-empty frontier, so
+            # exhausting the loop means unsettled state: raise instead of
+            # returning silently overestimated/missing costs
+            raise RuntimeError(
+                f"CH upward sweep still had an active frontier after "
+                f"{max_iter} rounds — the hierarchy is deeper than "
+                f"max_iter; pass the level table so the bound can be "
+                f"derived (_sweep_depth), or raise max_iter."
+            )
         scope.release_new()
         return state
 
@@ -508,6 +550,12 @@ def _walk_tree(trunc, pairs_with_meet, tree, append: bool, max_hops: int):
         )
         if walk.where(F.col("cur") != F.col("root")).limit(1).count() == 0:
             break
+    else:
+        raise RuntimeError(
+            f"CH pred-chain walk still had unfinished rows after "
+            f"{max_hops} hops — tree deeper than max_hops; derive the "
+            f"bound from the level table (_sweep_depth) or raise it."
+        )
     return walk
 
 
@@ -532,8 +580,12 @@ def ch_shortest_paths(
        (a, via, b) at the midpoint position — repeated until no hop is a
        shortcut (≤ contraction depth rounds). Positions are dyadic
        doubles, nesting ≤ one split per round, far inside double
-       precision."""
+       precision.
+
+    ``max_iter`` is a floor — the sweep/walk bound is derived from the
+    level table (``_sweep_depth``) so deep hierarchies converge."""
     spark = edges.sparkSession
+    max_iter = _sweep_depth(levels, max_iter)
     fwd = _upward_sssp_pred(
         spark, upward_edges(edges, levels), pairs.select("src"), max_iter
     )

@@ -514,7 +514,6 @@ def simhash_near_pairs(
     narrower chunks ⇒ exponentially bigger buckets. Keep max_hamming ≤ 3
     (16-bit chunks) on web-scale corpora; the verify step keeps precision
     exact either way."""
-    n_chunks = max_hamming + 1
     sig = _materialize(simhash64(docs, id_col, text_col), "simhash")
     return signature_near_pairs(sig, max_hamming)
 

@@ -280,3 +280,7 @@ num_blocks: 4
     ).df()
     assert len(df) == 10
     assert df["balanced_w"].min() >= 0.1 - 1e-9  # the floor binds
+    # BOTH endpoints map back to external node ids — a consumer of the
+    # written edge table must never be stuck with internal dense vids
+    assert {"src_key", "dst_key"} <= set(df.columns)
+    assert df["src_key"].notna().all() and df["dst_key"].notna().all()
