@@ -327,7 +327,9 @@ def partition_stats(edges: DataFrame, num_partitions: int = 32) -> DataFrame:
 BOWTIE_REGIONS = ("CORE", "IN", "OUT", "TUBE", "TENDRIL", "OTHER", "DISC")
 
 
-def bowtie(edges: DataFrame, max_iter: int = 200) -> DataFrame:
+def bowtie(
+    edges: DataFrame, max_iter: int = 200, local_cap: int | None = None
+) -> DataFrame:
     """Broder bowtie decomposition of a digraph (Broder et al., "Graph
     structure in the Web", WWW'00) → (vid, region):
 
@@ -366,6 +368,14 @@ def bowtie(edges: DataFrame, max_iter: int = 200) -> DataFrame:
         edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
     )
     n_e = e.limit(8_000_000).count()
+    # single-task fast path (operators/localgraph): the composition below
+    # is ~7 BSP fixpoints whose per-action fixed cost dominates on a tiny
+    # graph; one executor-side task runs the identical set algebra
+    from .localgraph import LOCAL_EDGE_CAP, local_bowtie
+
+    e_cap = LOCAL_EDGE_CAP if local_cap is None else local_cap
+    if e_cap > 0 and n_e <= e_cap:
+        return t_out.truncate(local_bowtie(e))
     conf_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     p_state = max(1, min(conf_p, (n_e + 249_999) // 250_000))
     spark.conf.set("spark.sql.shuffle.partitions", str(p_state))

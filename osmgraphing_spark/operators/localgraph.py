@@ -1,0 +1,237 @@
+"""Single-task fast paths for TINY graphs.
+
+The BSP fixpoints (scc trim/color/mark, toposort relaxation, the bowtie
+composition of SCC + 4 BFS + WCC) pay a fixed per-ACTION job cost (~0.3 s
+on the bench box) regardless of data size: a 25-vertex SCC run is ~100
+actions of pure scheduling overhead (BENCH_r03: scc_nations 33.6 s).
+
+When the graph fits one shuffle partition (≤ LOCAL_VERTEX_CAP vertices
+and ≤ LOCAL_EDGE_CAP edges — a few MB of longs), these helpers compute
+the same answers in ONE Spark task: the edge list is coalesced to a
+single partition and a mapInPandas task runs the textbook sequential
+algorithm EXECUTOR-side (never on the driver — the binary rows stay in
+the worker, and on a real cluster the task schedules like any other).
+Labels match the BSP operators exactly (scc/component = min member vid,
+layer = longest root path, identical bowtie set algebra), so the
+DuckDB-oracle gates are unchanged; tests run both paths against each
+other on random digraphs.
+
+At scale nothing changes: callers take this path only below the caps,
+which are sized so the one task's footprint stays a few MB; everything
+above runs the distributed BSP loops.
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict, deque
+from typing import Callable, Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: one-partition rule of thumb (matches scc._scc's 250k rows/partition);
+#: the edge cap bounds the single task's python adjacency footprint
+LOCAL_VERTEX_CAP = 250_000
+LOCAL_EDGE_CAP = 1_000_000
+
+
+def _single_task(
+    edges: DataFrame,
+    vertices: DataFrame | None,
+    fn: Callable[[set, list], pd.DataFrame],
+    schema: str,
+) -> DataFrame:
+    """Run ``fn(vids, edge_pairs)`` in one executor task over the whole
+    (tiny) graph: vertex-universe rows ride along as (vid, NULL)
+    sentinels so the task sees isolated vertices too."""
+    rows = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+    if vertices is not None:
+        rows = rows.unionByName(
+            vertices.select(
+                F.col(vertices.columns[0]).cast("long").alias("src"),
+                F.lit(None).cast("long").alias("dst"),
+            )
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        srcs, dsts = [], []
+        for pdf in batches:
+            srcs.append(pdf["src"])
+            dsts.append(pdf["dst"])
+        if not srcs:
+            return
+        s, d = pd.concat(srcs), pd.concat(dsts)
+        sentinel = d.isna()
+        vids = set(s[sentinel].astype("int64").tolist())
+        ea = s[~sentinel].astype("int64").tolist()
+        eb = d[~sentinel].astype("int64").tolist()
+        vids.update(ea)
+        vids.update(eb)
+        out = fn(vids, list(zip(ea, eb)))
+        if len(out):
+            yield out
+
+    return rows.coalesce(1).mapInPandas(run, schema)
+
+
+def _tarjan_min_labels(vids: Iterable[int], edges: list) -> dict:
+    """Iterative Tarjan SCC; label = min vid of the component (the same
+    deterministic labeling as the BSP scc operator)."""
+    adj: dict = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, []).append(b)
+    index: dict = {}
+    low: dict = {}
+    on: set = set()
+    stack: list = []
+    comp: dict = {}
+    counter = 0
+    for root in vids:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                on.add(v)
+            recurse = False
+            nbrs = adj.get(v, ())
+            while pi < len(nbrs):
+                w = nbrs[pi]
+                pi += 1
+                work[-1] = (v, pi)
+                if w not in index:
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                m = min(members)
+                for w in members:
+                    comp[w] = m
+            work.pop()
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[v])
+    return comp
+
+
+def local_scc(edges: DataFrame, vertices: DataFrame | None) -> DataFrame:
+    """→ (vid long, scc long), scc = min vid of the component."""
+
+    def fn(vids: set, epairs: list) -> pd.DataFrame:
+        comp = _tarjan_min_labels(sorted(vids), epairs)
+        ks = sorted(comp)
+        return pd.DataFrame({"vid": ks, "scc": [comp[v] for v in ks]})
+
+    return _single_task(edges, vertices, fn, "vid long, scc long")
+
+
+def local_toposort(edges: DataFrame, vertices: DataFrame | None) -> DataFrame:
+    """→ (id long, layer long): longest path from any in-degree-0 root
+    (Kahn order + max-relaxation). Vertices stuck on or behind a cycle
+    come back with layer = -1 — the CALLER must raise on those (the BSP
+    path's cycle detection contract)."""
+
+    def fn(vids: set, epairs: list) -> pd.DataFrame:
+        adj: dict = {}
+        indeg = {v: 0 for v in vids}
+        for a, b in epairs:
+            if a != b:
+                adj.setdefault(a, []).append(b)
+                indeg[b] += 1
+        layer = {v: 0 for v in vids}
+        q = deque(sorted(v for v in vids if indeg[v] == 0))
+        while q:
+            v = q.popleft()
+            for w in adj.get(v, ()):
+                if layer[v] + 1 > layer[w]:
+                    layer[w] = layer[v] + 1
+                indeg[w] -= 1
+                if indeg[w] == 0:
+                    q.append(w)
+        for v in vids:
+            if indeg[v] > 0:  # on, or strictly behind, a cycle
+                layer[v] = -1
+        ks = sorted(layer)
+        return pd.DataFrame({"id": ks, "layer": [layer[v] for v in ks]})
+
+    return _single_task(edges, vertices, fn, "id long, layer long")
+
+
+def local_bowtie(edges: DataFrame) -> DataFrame:
+    """→ (vid long, region string): the Broder decomposition with exactly
+    graphstats.bowtie's set algebra (CORE / IN / OUT / TUBE / TENDRIL /
+    OTHER / DISC, core = largest SCC with min-label tie-break)."""
+
+    def fn(vids: set, epairs: list) -> pd.DataFrame:
+        comp = _tarjan_min_labels(sorted(vids), epairs)
+        sizes = Counter(comp.values())
+        core_label = min(sizes, key=lambda c: (-sizes[c], c))
+        core = {v for v, c in comp.items() if c == core_label}
+        fwd: dict = defaultdict(list)
+        bwd: dict = defaultdict(list)
+        und: dict = defaultdict(list)
+        for a, b in epairs:
+            if a != b:
+                fwd[a].append(b)
+                bwd[b].append(a)
+                und[a].append(b)
+                und[b].append(a)
+
+        def reach(seeds: set, adjm: dict) -> set:
+            seen = set(seeds)
+            q = deque(seeds)
+            while q:
+                v = q.popleft()
+                for w in adjm.get(v, ()):
+                    if w not in seen:
+                        seen.add(w)
+                        q.append(w)
+            return seen
+
+        outs = reach(core, fwd) - core
+        ins = reach(core, bwd) - core - outs
+        classified = core | ins | outs
+        t_fwd = reach(ins, fwd) - classified
+        t_bwd = reach(outs, bwd) - classified
+        tube = t_fwd & t_bwd
+        tendril = (t_fwd | t_bwd) - tube
+        same_wcc = reach(core, und)
+        rows = []
+        for v in sorted(vids):
+            if v in core:
+                r = "CORE"
+            elif v in ins:
+                r = "IN"
+            elif v in outs:
+                r = "OUT"
+            elif v in tube:
+                r = "TUBE"
+            elif v in tendril:
+                r = "TENDRIL"
+            elif v in same_wcc:
+                r = "OTHER"
+            else:
+                r = "DISC"
+            rows.append((v, r))
+        return pd.DataFrame(rows, columns=["vid", "region"])
+
+    return _single_task(edges, None, fn, "vid long, region string")

@@ -50,20 +50,33 @@ from .build import Graph
 _STRIDE = 4
 
 
-def run(graph: Graph, max_outer: int = 50, max_inner: int = 200) -> DataFrame:
+def run(
+    graph: Graph,
+    max_outer: int = 50,
+    max_inner: int = 200,
+    local_cap: int | None = None,
+) -> DataFrame:
     """→ (vid long, scc long), scc = min vid of the strongly connected
     component. Raises RuntimeError if not converged in `max_outer` outer
-    rounds (exactness over silent truncation)."""
+    rounds (exactness over silent truncation). ``local_cap`` overrides
+    the single-task fast-path vertex threshold (0 forces the BSP loop —
+    see operators/localgraph)."""
     spark = graph.edges.sparkSession
     edges = (
         graph.edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
     )
     with iterative_conf(spark):
-        return _scc(edges, graph.vertices.select("vid"), spark, max_outer, max_inner)
+        return _scc(
+            edges, graph.vertices.select("vid"), spark, max_outer, max_inner,
+            local_cap=local_cap,
+        )
 
 
 def run_edges(
-    edges: DataFrame, max_outer: int = 50, max_inner: int = 200
+    edges: DataFrame,
+    max_outer: int = 50,
+    max_inner: int = 200,
+    local_cap: int | None = None,
 ) -> DataFrame:
     """Same over a plain directed (src, dst) frame → (id long, scc long);
     the vertex set is the ids appearing in the edges."""
@@ -77,7 +90,7 @@ def run_edges(
         .distinct()
     )
     with iterative_conf(spark):
-        out = _scc(e, verts, spark, max_outer, max_inner)
+        out = _scc(e, verts, spark, max_outer, max_inner, local_cap=local_cap)
     return out.select(F.col("vid").alias("id"), "scc")
 
 
@@ -103,6 +116,7 @@ def toposort_layers(
     vertices: DataFrame | None = None,
     max_iter: int = 200,
     truncate_every: int = _STRIDE,
+    local_cap: int | None = None,
 ) -> DataFrame:
     """Topological LAYERING of a DAG → (id long, layer long): layer(v) =
     length of the longest path from any root (in-degree-0 vertex) to v.
@@ -147,6 +161,28 @@ def toposort_layers(
     # so probing only at stride boundaries is exact
     n_v = verts.limit(250_000).count()
     probe_every = max(truncate_every, 1) if n_v < 250_000 else 1
+
+    # single-task fast path (operators/localgraph): below the caps, one
+    # executor-side Kahn/longest-path task replaces ~depth BSP rounds of
+    # fixed job cost. Cycle contract preserved: stuck vertices come back
+    # layer = -1 and we raise the same RuntimeError the BSP path does.
+    from . import localgraph
+
+    # n_v saturates at its probe limit (250k), so require strictly-below
+    # to avoid reading "exactly at the limit" as "small"
+    v_cap = localgraph.LOCAL_VERTEX_CAP if local_cap is None else local_cap
+    if (
+        v_cap > 0 and n_v <= v_cap and n_v < 250_000
+        and n_e <= localgraph.LOCAL_EDGE_CAP
+    ):
+        out = trunc_state.truncate(localgraph.local_toposort(e, verts))
+        if out.where(F.col("layer") < 0).limit(1).count() > 0:
+            raise RuntimeError(
+                "toposort_layers: input has a cycle (vertices stuck behind "
+                "it cannot be layered)"
+            )
+        scope.release_new()
+        return out
 
     from ..plans.superstep import sized_shuffle
 
@@ -217,7 +253,25 @@ def _scc(
     spark: SparkSession,
     max_outer: int,
     max_inner: int,
+    local_cap: int | None = None,
 ) -> DataFrame:
+    from ..plans.checkpoint import EphemeralTruncator as _ET
+    from . import localgraph
+
+    # Single-task fast path: below the caps the whole graph fits one
+    # partition and the BSP loop's ~100 fixed-cost jobs dominate wall
+    # clock; one executor-side Tarjan task produces identical labels.
+    # Probe order keeps big graphs cheap: the vertex probe (already
+    # needed for the adaptive shuffle width below) gates the edge probe.
+    v_cap = localgraph.LOCAL_VERTEX_CAP if local_cap is None else local_cap
+    if v_cap > 0 and vertices.limit(v_cap + 1).count() <= v_cap:
+        if edges.limit(localgraph.LOCAL_EDGE_CAP + 1).count() <= localgraph.LOCAL_EDGE_CAP:
+            # reliable truncate: downstream consumers (condensation,
+            # bowtie set algebra) read parquet instead of re-running the
+            # map task per action — the BSP path's t_d contract
+            return _ET(spark, "scc-local").truncate(
+                localgraph.local_scc(edges, vertices)
+            )
     scope = BlockScope(spark)
     # Adaptive task granularity: per-round state is vertex-sized, so on a
     # small active graph a 32-partition shuffle per join/agg is pure fixed

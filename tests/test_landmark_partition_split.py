@@ -246,11 +246,18 @@ def test_bowtie_all_regions(spark):
     edges = [(1, 2), (2, 1), (0, 1), (2, 3), (0, 4), (5, 3),
              (0, 6), (6, 3), (7, 8), (9, 4)]
     df = spark.createDataFrame(edges, "src long, dst long")
-    got = {r["vid"]: r["region"] for r in graphstats.bowtie(df).collect()}
-    assert got == {
+    want = {
         1: "CORE", 2: "CORE", 0: "IN", 3: "OUT", 6: "TUBE",
         4: "TENDRIL", 5: "TENDRIL", 9: "OTHER", 7: "DISC", 8: "DISC",
     }
+    # default path (single-task local) and forced BSP composition agree
+    got = {r["vid"]: r["region"] for r in graphstats.bowtie(df).collect()}
+    got_bsp = {
+        r["vid"]: r["region"]
+        for r in graphstats.bowtie(df, local_cap=0).collect()
+    }
+    assert got == want
+    assert got_bsp == want
 
 
 def test_khop_seed_frame_fixpoint(spark):

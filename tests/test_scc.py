@@ -72,11 +72,15 @@ def _check(spark, edges, extra_vertices=()):
     )
     if not edges:
         df = df.limit(0)
+    # default path (single-task local Tarjan below the caps) AND the
+    # forced BSP loop (local_cap=0) must both match the python oracle
     got = {r["id"]: r["scc"] for r in scc.run_edges(df).collect()}
+    got_bsp = {r["id"]: r["scc"] for r in scc.run_edges(df, local_cap=0).collect()}
     want = _tarjan(vertices, [(a, b) for a, b in edges if a != b])
     # run_edges only knows vertices present in edges
     want = {v: c for v, c in want.items() if any(v in e for e in edges)}
     assert got == want
+    assert got_bsp == want
 
 
 def test_scc_two_cycles_and_bridge(spark):
@@ -188,18 +192,24 @@ def test_toposort_layers_diamond_dag(spark):
     assert got[4] == 3  # longest chain 0→1→3→4 wins over the direct 0→4
 
 
-def test_toposort_layers_deep_chain_crosses_stride(spark):
-    """A 11-deep chain forces rounds past the truncation stride."""
+@pytest.mark.parametrize("local_cap", [None, 0])
+def test_toposort_layers_deep_chain_crosses_stride(spark, local_cap):
+    """A 11-deep chain forces rounds past the truncation stride (BSP
+    path), and the single-task local path must layer it identically."""
     edges = [(i, i + 1) for i in range(11)]
     df = spark.createDataFrame(edges, "src long, dst long")
-    got = {r["id"]: r["layer"] for r in scc.toposort_layers(df).collect()}
+    got = {
+        r["id"]: r["layer"]
+        for r in scc.toposort_layers(df, local_cap=local_cap).collect()
+    }
     assert got == {i: i for i in range(12)}
 
 
-def test_toposort_layers_raises_on_cycle(spark):
+@pytest.mark.parametrize("local_cap", [None, 0])
+def test_toposort_layers_raises_on_cycle(spark, local_cap):
     df = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
     with pytest.raises(RuntimeError, match="cycle"):
-        scc.toposort_layers(df, max_iter=10)
+        scc.toposort_layers(df, max_iter=10, local_cap=local_cap)
 
 
 def test_toposort_layers_vertices_universe(spark):
