@@ -451,6 +451,55 @@ def run_operator_leg(spark) -> dict:
     return times
 
 
+#: in-round drift detector (VERDICT r2 #8 / r3 #9): a query slower than
+#: this ratio vs the previous round's BENCH_r{N}.json is flagged loudly
+REGRESSION_GATE = 1.5
+#: sub-second walls are job-overhead noise on this box — don't flag them
+REGRESSION_MIN_SEC = 1.0
+
+
+def query_deltas(queries: dict) -> dict:
+    """Compare per-query wall against the most recent committed
+    BENCH_r{N}.json → {"baseline": file, "deltas": {q: ratio},
+    "regressions": {q: {"prev": s, "now": s, "ratio": r}}}. Regressions
+    (> REGRESSION_GATE× on queries above the noise floor) are also
+    printed to stderr so drifts like r2→r3's doc_lsh_candidates surface
+    IN-round instead of in the next verdict."""
+    import glob
+
+    prev_files = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    if not prev_files:
+        return {}
+    pf = prev_files[-1]
+    try:
+        raw = json.load(open(pf))
+        prev = (raw.get("parsed") or raw).get("queries") or {}
+    except Exception:
+        return {}
+    deltas, regressions = {}, {}
+    for q, now in queries.items():
+        old = prev.get(q)
+        if not isinstance(old, (int, float)) or not isinstance(now, (int, float)):
+            continue
+        if old <= 0:
+            continue
+        r = round(now / old, 2)
+        deltas[q] = r
+        if r > REGRESSION_GATE and max(old, now) >= REGRESSION_MIN_SEC:
+            regressions[q] = {"prev": old, "now": now, "ratio": r}
+    for q, d in sorted(regressions.items(), key=lambda kv: -kv[1]["ratio"]):
+        print(
+            f"PERF REGRESSION: {q} {d['prev']}s -> {d['now']}s "
+            f"({d['ratio']}x vs {os.path.basename(pf)})",
+            file=sys.stderr,
+        )
+    return {
+        "baseline": os.path.basename(pf),
+        "deltas": deltas,
+        "regressions": regressions,
+    }
+
+
 def write_baseline_md(scaling: dict, headline: dict, times: dict, total: float) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
@@ -666,6 +715,21 @@ def main() -> None:
         queries["pagerank_converge_local32"] = headline["pagerank_sec"]
 
     write_baseline_md(scaling, headline, times, total)
+    drift = query_deltas(queries)
+    if drift.get("deltas"):
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+            f.write(
+                f"\n## Drift vs {drift['baseline']}\n\n"
+                f"{len(drift['deltas'])} queries compared; regressions "
+                f"(> {REGRESSION_GATE}x, both walls >= {REGRESSION_MIN_SEC}s): "
+                f"{len(drift.get('regressions') or {})}\n\n"
+            )
+            if drift.get("regressions"):
+                f.write("| query | prev s | now s | ratio |\n|---|---|---|---|\n")
+                for q, d in sorted(
+                    drift["regressions"].items(), key=lambda kv: -kv[1]["ratio"]
+                ):
+                    f.write(f"| {q} | {d['prev']} | {d['now']} | {d['ratio']} |\n")
 
     out = {
         "metric": "pagerank_edges_per_sec_local32_converged",
@@ -679,6 +743,15 @@ def main() -> None:
         "scaling_pairs": scaling.get("pairs"),
         "supersteps_per_hour_local32": headline.get("supersteps_per_hour"),
         "pbf_ingest": ingest or None,
+        "perf_vs_prev_round": (
+            {
+                "baseline": drift.get("baseline"),
+                "regressions": drift.get("regressions"),
+                "n_compared": len(drift.get("deltas", {})),
+            }
+            if drift
+            else None
+        ),
         "total_sec": round(total, 2),
     }
     print(json.dumps(out))
