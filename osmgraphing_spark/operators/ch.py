@@ -183,11 +183,144 @@ def _upward_sssp(
         return state
 
 
+def _ch_query_local(
+    edges: DataFrame, levels: DataFrame, pairs: DataFrame, want_paths: bool
+) -> DataFrame:
+    """Broadcast-CH batched queries: when the CONTRACTED graph fits the
+    localgraph edge cap (the defining property of a CH — even a
+    continent's hierarchy is executor-memory-sized), broadcast its upward
+    adjacency once and distribute the PAIRS table; each task answers its
+    pairs with the textbook bidirectional upward Dijkstra (the reference's
+    own per-query CHDijkstra, src/routing/dijkstra/mod.rs), caching the
+    per-source/per-target sweeps within the task. Batch cost scales with
+    the pair count and parallelism, carries ZERO per-round job overhead,
+    and the big side (pairs) never collects anywhere. Tie-breaks mirror
+    the BSP sweeps exactly: meeting vertex = argmin (cost, vid), pred =
+    min (dist, pred), shortcut expansion through the min-deduped via."""
+    import heapq
+
+    import pandas as pd
+
+    spark = edges.sparkSession
+    has_via = "via" in edges.columns
+    cols = ["src", "dst", "w"] + (["via"] if has_via else [])
+    epd = edges.select(*cols).toPandas()
+    lpd = levels.select("vid", "level").toPandas()
+    lv = dict(
+        zip(lpd["vid"].astype("int64").tolist(), lpd["level"].astype("int64").tolist())
+    )
+    up: dict = {}
+    down: dict = {}
+    via_map: dict = {}
+    srcs = epd["src"].astype("int64").tolist()
+    dsts = epd["dst"].astype("int64").tolist()
+    ws = epd["w"].astype("float64").tolist()
+    vias = epd["via"].tolist() if has_via else [None] * len(srcs)
+    for a, b, w, v in zip(srcs, dsts, ws, vias):
+        la, lb = lv.get(a, 0), lv.get(b, 0)
+        if lb >= la:
+            up.setdefault(a, []).append((b, w))
+        if la >= lb:
+            down.setdefault(b, []).append((a, w))
+        if v is not None and not pd.isna(v):
+            via_map[(a, b)] = int(v)
+    for adj in (up, down):
+        for k in adj:
+            adj[k].sort()
+    bc = spark.sparkContext.broadcast((up, down, via_map))
+    INF = float("inf")
+
+    def run(batches):
+        u, d, vm = bc.value
+        fcache: dict = {}
+        bcache: dict = {}
+
+        def sweep(start, adj):
+            dist = {start: 0.0}
+            pred = {start: -1}
+            pq = [(0.0, start)]
+            while pq:
+                d0, x = heapq.heappop(pq)
+                if d0 > dist.get(x, INF):
+                    continue
+                for y, w in adj.get(x, ()):
+                    nd = d0 + w
+                    dy = dist.get(y, INF)
+                    if nd < dy or (nd == dy and x < pred[y]):
+                        dist[y] = nd
+                        pred[y] = x
+                        heapq.heappush(pq, (nd, y))
+            return dist, pred
+
+        def expand(nodes):
+            res = [nodes[0]]
+            for a, b in zip(nodes, nodes[1:]):
+                seg = [(a, b)]
+                while seg:
+                    x, y = seg.pop()
+                    v = vm.get((x, y))
+                    if v is None:
+                        res.append(y)
+                    else:
+                        seg.append((v, y))
+                        seg.append((x, v))
+            return res
+
+        for pdf in batches:
+            out_s, out_d, out_c, out_n = [], [], [], []
+            for s, t in zip(
+                pdf["src"].astype("int64").tolist(),
+                pdf["dst"].astype("int64").tolist(),
+            ):
+                if s not in fcache:
+                    fcache[s] = sweep(s, u)
+                if t not in bcache:
+                    bcache[t] = sweep(t, d)
+                fd, fp = fcache[s]
+                bd, bp = bcache[t]
+                small, big = (fd, bd) if len(fd) <= len(bd) else (bd, fd)
+                best = (INF, -1)
+                for v, dv in small.items():
+                    ov = big.get(v)
+                    if ov is not None and (dv + ov, v) < best:
+                        best = (dv + ov, v)
+                cost, meet = best
+                if meet < 0:
+                    continue
+                out_s.append(s)
+                out_d.append(t)
+                out_c.append(cost)
+                if want_paths:
+                    chain = [meet]
+                    cur = meet
+                    while cur != s:
+                        cur = fp[cur]
+                        chain.append(cur)
+                    chain.reverse()
+                    cur = meet
+                    while cur != t:
+                        cur = bp[cur]
+                        chain.append(cur)
+                    out_n.append(expand(chain))
+            if not out_s:
+                continue
+            cols = {"src": out_s, "dst": out_d, "cost": out_c}
+            if want_paths:
+                cols["nodes"] = out_n
+            yield pd.DataFrame(cols)
+
+    schema = "src long, dst long, cost double" + (
+        ", nodes array<long>" if want_paths else ""
+    )
+    return pairs.select("src", "dst").distinct().mapInPandas(run, schema)
+
+
 def ch_route_costs(
     edges: DataFrame,
     levels: DataFrame,
     pairs: DataFrame,
     max_iter: int = 64,
+    local_cap: int | None = None,
 ) -> DataFrame:
     """Batched CH point queries: ``pairs`` (src, dst) → (src, dst, cost)
     keeping only pairs with a real path (the reference generator's
@@ -196,8 +329,15 @@ def ch_route_costs(
     level) contraction levels. ``max_iter`` is a floor: the real bound is
     derived from the level table (one scalar aggregate), so a deep
     hierarchy converges instead of tripping the sweep's unsettled-state
-    guard."""
+    guard. Below the localgraph edge cap the batch runs on the
+    broadcast-CH path instead (_ch_query_local; ``local_cap`` overrides,
+    0 forces the BSP sweeps)."""
     spark = edges.sparkSession
+    from .localgraph import LOCAL_EDGE_CAP
+
+    e_cap = LOCAL_EDGE_CAP if local_cap is None else local_cap
+    if e_cap > 0 and edges.limit(e_cap + 1).count() <= e_cap:
+        return _ch_query_local(edges, levels, pairs, want_paths=False)
     max_iter = _sweep_depth(levels, max_iter)
     fwd = _upward_sssp(
         spark, upward_edges(edges, levels), pairs.select("src"), max_iter
@@ -281,11 +421,183 @@ def ch_distances(
     )
 
 
+#: witness-search budget per contracted-vertex in-neighbor: Dijkstra pops
+#: before giving up and inserting the shortcut anyway. Truncation is
+#: correctness-NEUTRAL (an unnecessary shortcut still carries a real path
+#: cost; only a MISSING one would be wrong), so the cap trades CH-edge
+#: count against construction time — the classic bounded-witness trade.
+WITNESS_POPS = 256
+
+
+def _edge_key(w: float, via: int | None) -> tuple:
+    """Min-dedup order for parallel CH edges: cheapest wins; at equal cost
+    an ORIGINAL edge (via=None) beats a shortcut — fewer expansions. The
+    python mirror of _min_edge's nulls-first struct ordering."""
+    return (w, via is not None, -1 if via is None else via)
+
+
+def _contract_sequential(vids, edge_rows):
+    """Single-machine CH construction: lazy edge-difference ordering +
+    bounded witness search — the recipe of the reference's external
+    multi-ch-constructor (/root/reference/src/multi_ch_constructor/
+    mod.rs:11-88, which osmgraphing shells out to), in pure python over a
+    tiny graph. → ({(src, dst): (w, via)}, {vid: level}).
+
+    - priority(v) = #needed shortcuts − #removed edges (edge difference),
+      recomputed lazily on pop (push back if it rose above the new top);
+    - a shortcut u→v→w is SKIPPED when a bounded Dijkstra from u avoiding
+      v finds a witness path with cost ≤ the shortcut within WITNESS_POPS
+      settles — truncation inserts the shortcut (safe direction);
+    - level(v) = dependency depth: 1 + max level over already-contracted
+      vertices that were adjacent to v when contracted. Along any CH edge
+      the earlier-contracted endpoint then has a STRICTLY smaller level
+      (the edge was active at its contraction), so level order refines
+      contraction order exactly as the BSP rounds do and the upward-sweep
+      hop bound stays #levels, not |V|."""
+    import heapq
+
+    INF = float("inf")
+    fwd: dict = {v: {} for v in vids}
+    bwd: dict = {v: {} for v in vids}
+    ch: dict = {}
+
+    def add_edge(a, b, w, via):
+        k = _edge_key(w, via)
+        if (a, b) not in ch or k < _edge_key(*ch[(a, b)]):
+            ch[(a, b)] = (w, via)
+        if b not in fwd[a] or k < _edge_key(*fwd[a][b]):
+            fwd[a][b] = (w, via)
+            bwd[b][a] = (w, via)
+
+    for a, b, w in edge_rows:
+        if a != b:
+            add_edge(a, b, w, None)
+
+    active = set(vids)
+
+    def simulate(v):
+        """→ (edge_difference, needed shortcuts [(u, w, cost)])."""
+        ins = sorted(
+            (u, c) for u, (c, _) in bwd[v].items() if u in active and u != v
+        )
+        outs = sorted(
+            (t, c) for t, (c, _) in fwd[v].items() if t in active and t != v
+        )
+        need = []
+        for u, cu in ins:
+            targets = {t for t, _ in outs if t != u}
+            if not targets:
+                continue
+            budget = cu + max(ct for t, ct in outs if t != u)
+            dist = {u: 0.0}
+            pq = [(0.0, u)]
+            pops = 0
+            found = {}
+            while pq and pops < WITNESS_POPS and targets:
+                d, x = heapq.heappop(pq)
+                if d > dist.get(x, INF) or d > budget:
+                    continue
+                pops += 1
+                if x in targets:
+                    found[x] = d
+                    targets.discard(x)
+                for y, (cy, _) in fwd[x].items():
+                    if y == v or y not in active:
+                        continue
+                    nd = d + cy
+                    if nd <= budget and nd < dist.get(y, INF):
+                        dist[y] = nd
+                        heapq.heappush(pq, (nd, y))
+            for t, ct in outs:
+                if t == u:
+                    continue
+                via_cost = cu + ct
+                wd = found.get(t, dist.get(t, INF))
+                if wd > via_cost:  # no witness (or search truncated)
+                    need.append((u, t, via_cost))
+        return len(need) - len(ins) - len(outs), need
+
+    heap = [(0, v) for v in sorted(vids)]
+    heapq.heapify(heap)
+    pend = {v: 1 for v in vids}
+    levels: dict = {}
+    while heap:
+        _, v = heapq.heappop(heap)
+        if v not in active:
+            continue
+        ed, need = simulate(v)
+        if heap and (ed, v) > heap[0]:
+            heapq.heappush(heap, (ed, v))
+            continue
+        lv = pend[v]
+        levels[v] = lv
+        active.discard(v)
+        for nb in set(bwd[v]) | set(fwd[v]):
+            if nb in active and pend[nb] <= lv:
+                pend[nb] = lv + 1
+        for u, t, cost in need:
+            add_edge(u, t, cost, v)
+    return ch, levels
+
+
+def _contract_local(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """contract_graph's single-task fast path (the localgraph pattern):
+    one mapInPandas task runs _contract_sequential executor-side and emits
+    edge rows and level rows through one combined frame (dst NULL marks a
+    level row), truncated once so both outputs read parquet."""
+    import pandas as pd
+
+    spark = edges.sparkSession
+    rows = edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long"),
+        F.col("w").cast("double"),
+    )
+
+    def run(batches):
+        srcs, dsts, ws = [], [], []
+        for pdf in batches:
+            srcs.append(pdf["src"])
+            dsts.append(pdf["dst"])
+            ws.append(pdf["w"])
+        if not srcs:
+            return
+        s = pd.concat(srcs).astype("int64").tolist()
+        d = pd.concat(dsts).astype("int64").tolist()
+        w = pd.concat(ws).astype("float64").tolist()
+        vids = sorted(set(s) | set(d))
+        ch, levels = _contract_sequential(vids, zip(s, d, w))
+        ks = sorted(ch)
+        out = pd.DataFrame(
+            {
+                "src": [a for a, _ in ks] + sorted(levels),
+                "dst": [b for _, b in ks] + [None] * len(levels),
+                "w": [ch[k][0] for k in ks] + [None] * len(levels),
+                "via": [ch[k][1] for k in ks] + [None] * len(levels),
+                "level": [None] * len(ks) + [levels[v] for v in sorted(levels)],
+            }
+        )
+        yield out
+
+    combined = EphemeralTruncator(spark, "ch-local").truncate(
+        rows.coalesce(1).mapInPandas(
+            run, "src long, dst long, w double, via long, level long"
+        )
+    )
+    ch_edges = combined.where(F.col("dst").isNotNull()).select(
+        "src", "dst", "w", "via"
+    )
+    lv = combined.where(F.col("dst").isNull()).select(
+        F.col("src").alias("vid"), "level"
+    )
+    return ch_edges, lv
+
+
 def contract_graph(
     edges: DataFrame,
     max_rounds: int = 200,
     seed: int = 42,
     max_wedge_degree: int | None = None,
+    local_cap: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build a contraction hierarchy → (ch_edges (src, dst, w, via),
     levels (vid, level)): original edges + witness-free shortcuts (via =
@@ -309,17 +621,32 @@ def contract_graph(
       distance-preservation induction, so d(active graph) is preserved
       round to round and every shortest path has an up-down
       representation (query correctness needs nothing else).
-    - degree-first priority contracts hubs LAST (a hub is never a local
-      minimum while any lower-degree neighbor lives), which bounds the
-      deg² shortcut fan-in the same way the wedge-join caps do elsewhere.
+    - edge-difference-first priority (in·out − in − out, the witness-free
+      fill-in estimate; degree tie-break) contracts low-fill vertices
+      first and hubs LAST (a hub is never a local minimum while any
+      lower-fill neighbor lives), which bounds the deg² shortcut fan-in
+      the same way the wedge-join caps do elsewhere.
     - same-round vertices are never adjacent when contracted, so the
       query's ``level(head) >= level(tail)`` tie handling is safe.
 
     Per round: one degree aggregate, one local-min join, one v-keyed
     wedge self-join for shortcuts, one min-dedup — all map-side-combined
     DataFrame ops; rounds shrink the active graph geometrically on
-    sparse graphs (MIS-style), so ~O(log V) supersteps."""
+    sparse graphs (MIS-style), so ~O(log V) supersteps.
+
+    Below the localgraph edge cap the construction runs instead as ONE
+    executor task with lazy edge-difference ordering AND a real bounded
+    witness search (_contract_sequential) — the same single-machine
+    architecture the reference itself uses for this step (it shells out
+    to the external multi-ch-constructor; README 'CHConstructor'), and
+    strictly fewer shortcuts than the witness-free BSP rounds.
+    ``local_cap`` overrides the threshold (0 forces the BSP path)."""
     spark = edges.sparkSession
+    from .localgraph import LOCAL_EDGE_CAP
+
+    e_cap = LOCAL_EDGE_CAP if local_cap is None else local_cap
+    if e_cap > 0 and edges.limit(e_cap + 1).count() <= e_cap:
+        return _contract_local(edges)
     trunc_a = EphemeralTruncator(spark, "ch-active")
     trunc_l = EphemeralTruncator(spark, "ch-levels")
     trunc_s = EphemeralTruncator(spark, "ch-shortcuts")
@@ -357,21 +684,42 @@ def contract_graph(
                     F.col("dst").alias("src"), F.col("src").alias("dst")
                 )
             ).distinct()
-            deg = und.groupBy("src").agg(F.count("*").alias("d"))
-            if deg.limit(1).count() == 0:
+            if und.limit(1).count() == 0:
                 break
-            # priority = struct(degree, salted hash, vid): EXACT
-            # lexicographic comparison (a packed double would overflow the
-            # 53-bit mantissa and manufacture ties, which can deadlock the
-            # local-min selection); vid makes the order strictly total
-            pri = deg.select(
-                F.col("src").alias("vid"),
+            # priority = struct(edge difference, degree, salted hash, vid):
+            # EXACT lexicographic comparison (a packed double would
+            # overflow the 53-bit mantissa and manufacture ties, which can
+            # deadlock the local-min selection); vid makes the order
+            # strictly total. Edge difference (in·out − in − out = the
+            # witness-free shortcut fill minus removed edges) is the
+            # literature-standard ordering — it contracts low-fill
+            # vertices first and hubs (huge in·out) last, cutting both the
+            # shortcut count and the round count vs degree-only; degree
+            # stays as the first tie-break and still feeds the wedge guard.
+            outd = active.groupBy("src").agg(F.count("*").alias("od"))
+            ind = active.groupBy("dst").agg(F.count("*").alias("idg"))
+            dd = (
+                und.select(F.col("src").alias("vid"))
+                .distinct()
+                .join(outd.withColumnRenamed("src", "vid"), "vid", "left")
+                .join(ind.withColumnRenamed("dst", "vid"), "vid", "left")
+                .select(
+                    "vid",
+                    F.coalesce("od", F.lit(0)).alias("od"),
+                    F.coalesce("idg", F.lit(0)).alias("idg"),
+                )
+            )
+            pri = dd.select(
+                "vid",
                 F.struct(
-                    F.col("d").alias("_d"),
+                    (
+                        F.col("od") * F.col("idg") - F.col("od") - F.col("idg")
+                    ).alias("_ed"),
+                    (F.col("od") + F.col("idg")).alias("_d"),
                     F.pmod(
-                        F.xxhash64(F.col("src"), F.lit(seed)), F.lit(2**61)
+                        F.xxhash64(F.col("vid"), F.lit(seed)), F.lit(2**61)
                     ).alias("_h"),
-                    F.col("src").alias("_v"),
+                    F.col("vid").alias("_v"),
                 ).alias("p"),
             )
             nbr_min = (
@@ -565,6 +913,7 @@ def ch_shortest_paths(
     pairs: DataFrame,
     max_iter: int = 64,
     max_expand: int = 64,
+    local_cap: int | None = None,
 ) -> DataFrame:
     """Batched CH routes: (src, dst) pairs → (src, dst, cost, nodes
     array<long>) — full node sequences in the ORIGINAL graph, path-less
@@ -583,8 +932,16 @@ def ch_shortest_paths(
        precision.
 
     ``max_iter`` is a floor — the sweep/walk bound is derived from the
-    level table (``_sweep_depth``) so deep hierarchies converge."""
+    level table (``_sweep_depth``) so deep hierarchies converge. Below
+    the localgraph edge cap the batch runs on the broadcast-CH path
+    instead (_ch_query_local; ``local_cap`` overrides, 0 forces the BSP
+    sweeps)."""
     spark = edges.sparkSession
+    from .localgraph import LOCAL_EDGE_CAP
+
+    e_cap = LOCAL_EDGE_CAP if local_cap is None else local_cap
+    if e_cap > 0 and edges.limit(e_cap + 1).count() <= e_cap:
+        return _ch_query_local(edges, levels, pairs, want_paths=True)
     max_iter = _sweep_depth(levels, max_iter)
     fwd = _upward_sssp_pred(
         spark, upward_edges(edges, levels), pairs.select("src"), max_iter

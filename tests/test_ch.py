@@ -137,12 +137,14 @@ def test_ch_distances_small_synthetic(spark):
     assert got[(1, 1)] == pytest.approx(0.0)
 
 
-def test_contract_graph_random_matches_floyd_warshall(spark):
-    """Full-stack pin: build the hierarchy with contract_graph (parallel
-    independent-set contraction, witness-free shortcuts) on a random
-    30-vertex digraph, answer 8×29 point queries with ch_route_costs,
-    compare every answer (and every absence, for unreachable pairs)
-    against Floyd-Warshall truth on the ORIGINAL graph."""
+@pytest.mark.parametrize("local_cap", [None, 0])
+def test_contract_graph_random_matches_floyd_warshall(spark, local_cap):
+    """Full-stack pin on BOTH construction paths (single-task witnessed
+    sequential AND the BSP independent-set rounds, local_cap=0): build
+    the hierarchy on a random 30-vertex digraph, answer 8×29 point
+    queries with ch_route_costs, compare every answer (and every absence,
+    for unreachable pairs) against Floyd-Warshall truth on the ORIGINAL
+    graph."""
     import random
 
     rng = random.Random(42)
@@ -153,7 +155,7 @@ def test_contract_graph_random_matches_floyd_warshall(spark):
     ]
     raw = [(s, t, w) for s, t, w in raw if s != t]
     e = spark.createDataFrame(raw, "src long, dst long, w double")
-    ch_e, lv = ch.contract_graph(e)
+    ch_e, lv = ch.contract_graph(e, local_cap=local_cap)
 
     vids, truth = _python_dijkstra_all_pairs(raw)
     INF = float("inf")
@@ -163,7 +165,7 @@ def test_contract_graph_random_matches_floyd_warshall(spark):
     )
     got = {
         (r["src"], r["dst"]): r["cost"]
-        for r in ch.ch_route_costs(ch_e, lv, pairs).collect()
+        for r in ch.ch_route_costs(ch_e, lv, pairs, local_cap=local_cap).collect()
     }
     for a in vids[:8]:
         for b in vids:
@@ -175,12 +177,14 @@ def test_contract_graph_random_matches_floyd_warshall(spark):
                 assert got[(a, b)] == pytest.approx(truth[(a, b)]), (a, b)
 
 
-def test_contract_graph_structure(spark):
+@pytest.mark.parametrize("local_cap", [None, 0])
+def test_contract_graph_structure(spark, local_cap):
     """Levels are a strict hierarchy: every vertex gets exactly one
     level, same-level vertices are never adjacent in the ORIGINAL graph
-    (the independence invariant that makes simultaneous contraction equal
-    sequential contraction), and shortcut costs are sums of real paths
-    (>= the true distance, never below)."""
+    (BSP: the independence invariant that makes simultaneous contraction
+    equal sequential contraction; local: dependency-depth levels are
+    strictly ordered along every CH edge), and shortcut costs are sums of
+    real paths (>= the true distance, never below)."""
     import random
 
     rng = random.Random(7)
@@ -190,7 +194,7 @@ def test_contract_graph_structure(spark):
     ]
     raw = [(s, t, w) for s, t, w in raw if s != t]
     e = spark.createDataFrame(raw, "src long, dst long, w double")
-    ch_e, lv = ch.contract_graph(e)
+    ch_e, lv = ch.contract_graph(e, local_cap=local_cap)
     levels = {r["vid"]: r["level"] for r in lv.collect()}
     vids = {v for ed in raw for v in ed[:2]}
     assert set(levels) == vids  # every vertex leveled exactly once
@@ -205,7 +209,8 @@ def test_contract_graph_structure(spark):
         assert r["w"] >= truth[(r["src"], r["dst"])] - 1e-9
 
 
-def test_ch_shortest_paths_full_routes(spark):
+@pytest.mark.parametrize("local_cap", [None, 0])
+def test_ch_shortest_paths_full_routes(spark, local_cap):
     """ch_shortest_paths returns REAL routes: on a random digraph, every
     returned pair's cost equals Floyd-Warshall truth, the node sequence
     starts/ends correctly, every hop is an ORIGINAL edge (all shortcuts
@@ -220,7 +225,7 @@ def test_ch_shortest_paths_full_routes(spark):
     ]
     raw = [(s, t, w) for s, t, w in raw if s != t]
     e = spark.createDataFrame(raw, "src long, dst long, w double")
-    ch_e, lv = ch.contract_graph(e)
+    ch_e, lv = ch.contract_graph(e, local_cap=local_cap)
 
     vids, truth = _python_dijkstra_all_pairs(raw)
     INF = float("inf")
@@ -234,7 +239,7 @@ def test_ch_shortest_paths_full_routes(spark):
     )
     got = {
         (r["src"], r["dst"]): (r["cost"], list(r["nodes"]))
-        for r in ch.ch_shortest_paths(ch_e, lv, pairs).collect()
+        for r in ch.ch_shortest_paths(ch_e, lv, pairs, local_cap=local_cap).collect()
     }
     for a in vids[:5]:
         for b in vids:
@@ -352,7 +357,8 @@ def test_contract_graph_wedge_degree_cap(spark):
         raw.append((i, 0, 1.0))
         raw.append((i, i % 12 + 1, 2.0))
     e = spark.createDataFrame(raw, "src long, dst long, w double")
-    ch_e, lv = ch.contract_graph(e, max_wedge_degree=6)
+    # the wedge guard is a BSP-rounds mechanism: force that path
+    ch_e, lv = ch.contract_graph(e, max_wedge_degree=6, local_cap=0)
     vids, truth = _python_dijkstra_all_pairs(raw)
     pairs = spark.createDataFrame(
         [(a, b) for a in vids[:4] for b in vids if a != b],
@@ -368,3 +374,28 @@ def test_contract_graph_wedge_degree_cap(spark):
             if a == b or truth[(a, b)] == INF:
                 continue
             assert got[(a, b)] == pytest.approx(truth[(a, b)]), (a, b)
+
+
+def test_local_contraction_fewer_shortcuts_and_deterministic(spark):
+    """The single-task path's witness search must never produce MORE CH
+    edges than the witness-free BSP rounds on the same graph, and two
+    runs must be byte-identical (lazy heap + sorted iteration order)."""
+    import random
+
+    rng = random.Random(9)
+    raw = [
+        (rng.randrange(40), rng.randrange(40), float(rng.randint(1, 9)))
+        for _ in range(120)
+    ]
+    raw = [(s, t, w) for s, t, w in raw if s != t]
+    e = spark.createDataFrame(raw, "src long, dst long, w double")
+    loc_e, loc_lv = ch.contract_graph(e)
+    bsp_e, _ = ch.contract_graph(e, local_cap=0)
+    assert loc_e.count() <= bsp_e.count()
+    again_e, again_lv = ch.contract_graph(e)
+    assert sorted(map(tuple, loc_e.collect())) == sorted(
+        map(tuple, again_e.collect())
+    )
+    assert sorted(map(tuple, loc_lv.collect())) == sorted(
+        map(tuple, again_lv.collect())
+    )
