@@ -311,20 +311,59 @@ def test_contract_to_ch_fmi_roundtrip(spark, tmp_path):
             else:
                 assert got[(a, b)] == pytest.approx(truth[(a, b)]), (a, b)
 
-    # sc-index integrity: file order == eid order by construction
+    # sc-index integrity: file order == eid order by construction. The
+    # witnessed contraction may legitimately need ZERO shortcuts on the
+    # dense 8-node fixture (every wedge has a bypass), so the non-empty
+    # case is pinned below on a chain graph where no witness can exist.
+    def sc_chain_check(rows):
+        n_sc = 0
+        for s, d, w, a, b in rows:
+            if a >= 0:
+                n_sc += 1
+                ea, eb = rows[a], rows[b]
+                assert ea[0] == s and ea[1] == eb[0] and eb[1] == d
+                assert ea[2] + eb[2] == pytest.approx(w)
+        return n_sc
+
     rows = [
         (r["src"], r["dst"], r["meters"], r["sc0"], r["sc1"])
         for r in t.edges.collect()
     ]
     rows.sort()  # eid was assigned by (src, dst) order
-    n_sc = 0
-    for s, d, w, a, b in rows:
-        if a >= 0:
-            n_sc += 1
-            ea, eb = rows[a], rows[b]
-            assert ea[0] == s and ea[1] == eb[0] and eb[1] == d
-            assert ea[2] + eb[2] == pytest.approx(w)
-    assert n_sc > 0  # the fixture graph does produce shortcuts
+    sc_chain_check(rows)
+
+    # a directed 6-ring: a chain peels endpoint-first with NO shortcuts
+    # (topological order keeps every path upward), but contracting any
+    # ring vertex must insert one — the only witness is the long way
+    # around, which always costs more — so sc indices must appear and
+    # resolve
+    chain = tmp_path / "chain.fmi"
+    n = 6
+    lines = ["# node-count", str(n), "", "# edge-count", str(n), ""]
+    lines += [f"{i} 0 0" for i in range(n)]
+    lines += [f"{i} {(i+1) % n} {float(i+1)} 30" for i in range(n)]
+    chain.write_text("\n".join(lines) + "\n")
+    out2 = str(tmp_path / "chain.ch.fmi")
+    writers.contract_to_ch_fmi(
+        spark, str(chain), out2,
+        [("vid", "long"), ("lat", "double"), ("lon", "double")],
+        [("src", "long"), ("dst", "long"),
+         ("meters", "double"), ("kmph", "double")],
+        "src", "dst", "meters", metric_cols=["meters"],
+    )
+    t2 = fmi.read_fmi(
+        spark, out2,
+        [("node_idx", "long"), ("node_id", "long"), ("lat", "double"),
+         ("lon", "double"), ("h", "long"), ("level", "long")],
+        [("src", "long"), ("dst", "long"), ("meters", "double"),
+         ("sc0", "long"), ("sc1", "long")],
+    )
+    rows2 = [
+        (r["src"], r["dst"], r["meters"], r["sc0"], r["sc1"])
+        for r in t2.edges.collect()
+    ]
+    rows2.sort()
+    assert sc_chain_check(rows2) > 0
 
 
 def test_ch_distances_cap_refuses_large_graphs(spark):
