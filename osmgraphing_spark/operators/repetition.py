@@ -29,17 +29,10 @@ def _ngram_array(text: Column, n: int) -> Column:
     """Lower-cased whitespace-token n-grams as an array<string>; documents
     with fewer than ``n`` tokens yield an empty array (never a reversed
     ``sequence``, which Spark would happily produce for start > stop)."""
+    from ..functions.text import sliding_ngrams
+
     toks = F.split(F.lower(F.trim(text)), r"\s+")
-    k = F.size(toks) - (n - 1)
-    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
-    )
+    return sliding_ngrams(toks, n)
 
 
 def top_ngram_stats(
