@@ -683,6 +683,38 @@ def run_ingest_leg(spark) -> dict:
     }
 
 
+#: synthetic ingest leg size: 2100² grid ≈ 16.8 M directed edges — the
+#: Baden-Württemberg scale the reference benches its parser at (~18 M
+#: edges < ~30 s), which the 2.4 MB isle_of_man fixture cannot probe
+SYNTH_GRID_N = int(os.environ.get("SPARK_GRAFT_BENCH_GRID_N", "2100"))
+
+
+def run_synth_ingest_leg(spark) -> dict:
+    """Reference-format ingest at reference-bench scale: write (once,
+    cached) a SYNTH_GRID_N² synthetic .osm.pbf road grid and measure the
+    full parse → street filter → build_graph pipeline on it."""
+    if os.environ.get("SPARK_GRAFT_BENCH_NO_PBF") == "1":
+        return {}
+    from osmgraphing_spark.sources import pbf as _pbf
+    from osmgraphing_spark.sources import pbf_synth
+
+    path = os.path.join(BENCH_DATA, f"grid{SYNTH_GRID_N}.osm.pbf")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        pbf_synth.write_grid_pbf(tmp, SYNTH_GRID_N, SYNTH_GRID_N, tile=256)
+        os.rename(tmp, path)
+    t0 = time.time()
+    g = _pbf.pbf_graph(spark, path, num_blocks=min(CPUS, 32))
+    wall = round(time.time() - t0, 2)
+    return {
+        "wall_sec": wall,
+        "grid_n": SYNTH_GRID_N,
+        "vertices": g.num_vertices,
+        "edges": g.num_edges,
+        "edges_per_sec": round(g.num_edges / wall, 1),
+    }
+
+
 def main() -> None:
     t_start = time.time()
     from osmgraphing_spark.session import get_spark
@@ -696,6 +728,9 @@ def main() -> None:
     if ingest:
         # rides the operator table + queries dict (driver-recorded)
         times["pbf_parse_build_isle_of_man"] = ingest["wall_sec"]
+    synth_ingest = run_synth_ingest_leg(spark)
+    if synth_ingest:
+        times[f"pbf_parse_build_grid{SYNTH_GRID_N}"] = synth_ingest["wall_sec"]
     spark.stop()
 
     scaling, headline = {}, {}
@@ -743,6 +778,7 @@ def main() -> None:
         "scaling_pairs": scaling.get("pairs"),
         "supersteps_per_hour_local32": headline.get("supersteps_per_hour"),
         "pbf_ingest": ingest or None,
+        "pbf_ingest_synth": synth_ingest or None,
         "perf_vs_prev_round": (
             {
                 "baseline": drift.get("baseline"),

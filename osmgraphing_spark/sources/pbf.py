@@ -87,12 +87,43 @@ def _fields(buf: bytes) -> Iterator[tuple[int, int, object]]:
 
 
 def _packed_varints(buf: bytes, signed: bool = False) -> np.ndarray:
-    out = []
-    pos, n = 0, len(buf)
-    while pos < n:
-        v, pos = _varint(buf, pos)
-        out.append(_zigzag(v) if signed else v)
-    return np.array(out, dtype=np.int64)
+    """Packed-varint decode, size-adaptive:
+
+    - SHORT buffers (a way's ~16 refs, its handful of key/val ids) decode
+      with the plain python loop — the vectorized path's fixed numpy
+      overhead (~30 µs/call across frombuffer/cumsum/flatnonzero) loses
+      badly at 620k calls × 16 values (measured: it DOUBLED the warm
+      edge-scan wall when applied unconditionally);
+    - LONG buffers (DenseNodes id/lat/lon streams, ~8k entries each)
+      decode vectorized: terminator bytes (high bit clear) split the
+      buffer into groups, each group's value is Σ (byte & 0x7F) << 7·pos
+      accumulated one byte-position at a time (≤ 10 vectorized passes)
+      in uint64 so 10-byte varints can't overflow."""
+    if len(buf) < 256:
+        out = []
+        pos, n = 0, len(buf)
+        while pos < n:
+            v, pos = _varint(buf, pos)
+            out.append(_zigzag(v) if signed else v)
+        return np.array(out, dtype=np.int64)
+    b = np.frombuffer(bytes(buf), dtype=np.uint8)
+    if b.size == 0:
+        return np.zeros(0, np.int64)
+    term = (b & 0x80) == 0
+    if not term[-1]:
+        raise ValueError("truncated varint in packed field")
+    low = (b & 0x7F).astype(np.uint64)
+    gid = np.zeros(b.size, np.int64)
+    gid[1:] = np.cumsum(term[:-1])
+    starts = np.flatnonzero(np.concatenate(([True], term[:-1])))
+    pos_in = np.arange(b.size, dtype=np.int64) - starts[gid]
+    vals = np.zeros(starts.size, np.uint64)
+    for k in range(int(pos_in.max()) + 1):
+        m = pos_in == k
+        vals[gid[m]] += low[m] << np.uint64(7 * k)
+    if signed:
+        vals = (vals >> np.uint64(1)) ^ (np.uint64(0) - (vals & np.uint64(1)))
+    return vals.view(np.int64)
 
 
 # ---------------------------------------------------------------------------
@@ -373,18 +404,18 @@ def parse_oneway(tags: dict) -> tuple[bool, bool]:
     return False, False
 
 
-def way_to_edges(tags: dict, refs: np.ndarray, vehicle: str, picky: bool):
-    """One way → proto-edge (src, dst, kmph, lanecount) tuples under the
-    reference's lowering (pbf.rs:89-165): street filter, oneway handling,
-    consecutive-pair explosion, both directions for two-way streets."""
+def _way_seq(tags: dict, refs: np.ndarray, vehicle: str, picky: bool):
+    """One way → (node sequence, kmph, lanecount) under the reference's
+    lowering (pbf.rs:89-165): street filter, oneway handling, two-way
+    expansion; None when the way is filtered out."""
     if len(refs) < 2:
-        return
+        return None
     hv = tags.get("highway")
     if hv is None:
-        return
+        return None
     category = HIGHWAY_CATEGORY.get(hv.strip().lower())
     if category is None or not is_admitted(category, vehicle, picky):
-        return
+        return None
     kmph = parse_maxspeed(tags, category)
     lanes = float(CATEGORY_DEFAULTS[category][1])
     is_oneway, is_reverse = parse_oneway(tags)
@@ -392,8 +423,46 @@ def way_to_edges(tags: dict, refs: np.ndarray, vehicle: str, picky: bool):
     if not is_oneway:
         # a->b->c->c->b->a minus the duplicated pivot (pbf.rs:108-121)
         seq = np.concatenate([seq, seq[:-1][::-1]])
+    return seq, kmph, lanes
+
+
+def way_to_edges(tags: dict, refs: np.ndarray, vehicle: str, picky: bool):
+    """One way → proto-edge (src, dst, kmph, lanecount) tuples — the
+    row-at-a-time view of _way_seq (tests and callers that want tuples;
+    the reader's hot path uses the vectorized _group_edge_arrays)."""
+    r = _way_seq(tags, refs, vehicle, picky)
+    if r is None:
+        return
+    seq, kmph, lanes = r
     for i in range(len(seq) - 1):
         yield int(seq[i]), int(seq[i + 1]), kmph, lanes
+
+
+def _group_edge_arrays(group: bytes, strings, vehicle: str, picky: bool):
+    """All ways of one PrimitiveGroup → (src, dst, kmph, lanes) numpy
+    column arrays. The pair explosion is numpy slices per way instead of
+    a per-edge python loop (the other decode hot path: one python
+    iteration per EDGE is ~17 M iterations on a Baden-Württemberg-sized
+    extract)."""
+    srcs, dsts, kmphs, lanes = [], [], [], []
+    for _wid, tags, refs in _ways(group, strings):
+        r = _way_seq(tags, refs, vehicle, picky)
+        if r is None:
+            continue
+        seq, kmph, lane = r
+        m = len(seq) - 1
+        srcs.append(seq[:-1])
+        dsts.append(seq[1:])
+        kmphs.append(np.full(m, kmph))
+        lanes.append(np.full(m, lane))
+    if not srcs:
+        return None
+    return (
+        np.concatenate(srcs),
+        np.concatenate(dsts),
+        np.concatenate(kmphs),
+        np.concatenate(lanes),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -448,13 +517,18 @@ def read_pbf_edges(
             for r in pdf.itertuples(index=False):
                 data = _read_blob(r.path, r.offset, r.size)
                 strings, groups, gran, _lo, _lo2 = _decode_block(data)
-                rows = []
                 for g in groups:
-                    for _wid, tags, refs in _ways(g, strings):
-                        rows.extend(way_to_edges(tags, refs, vehicle, picky))
-                if rows:
+                    arrs = _group_edge_arrays(g, strings, vehicle, picky)
+                    if arrs is None:
+                        continue
+                    src, dst, kmph, lanes = arrs
                     yield pd.DataFrame(
-                        rows, columns=["src_id", "dst_id", "kmph", "lanecount"]
+                        {
+                            "src_id": src,
+                            "dst_id": dst,
+                            "kmph": kmph,
+                            "lanecount": lanes,
+                        }
                     )
 
     return _blob_df(spark, path).mapInPandas(

@@ -146,8 +146,13 @@ def write_grid_pbf(
                 for y in range(ty, ye):
                     for x in range(tx, xe):
                         ids.append(node_id(x, y))
-                        lats.append(lat0 + y * gran_units)
-                        lons.append(lon0 + x * gran_units)
+                        # deterministic coordinate jitter: a perfectly
+                        # regular grid delta-compresses to ~nothing, which
+                        # would make decode throughput look free per byte;
+                        # real OSM deltas are irregular
+                        h = (x * 2654435761 ^ y * 40503) & 0xFFFF
+                        lats.append(lat0 + y * gran_units + (h % 181) - 90)
+                        lons.append(lon0 + x * gran_units + (h // 181) % 181 - 90)
                 groups = [_field_len(2, _dense_nodes_msg(ids, lats, lons))]
                 ways = bytearray()
 
