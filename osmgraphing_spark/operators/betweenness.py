@@ -51,18 +51,35 @@ def betweenness(
     sources: list[int],
     max_iter: int = 64,
     scale_to_n: int | None = None,
+    local_cap: int | None = None,
 ) -> DataFrame:
     """→ (vid, betweenness double): Σ over pivots of Brandes δ. Pivots'
     own endpoint terms are excluded per the standard definition (source
     and target vertices of a path don't count as 'between').
 
     ``scale_to_n``: if set, multiply by n/k (the Brandes-Pich estimator
-    normalization for a k-pivot sample of an n-vertex graph)."""
+    normalization for a k-pivot sample of an n-vertex graph).
+    ``local_cap`` overrides the single-task fast-path edge threshold
+    (operators/localgraph; 0 forces the BSP sweeps)."""
     if not sources:
         raise ValueError("betweenness requires at least one pivot source")
     spark = edges.sparkSession
-    with iterative_conf(spark):
-        res = _brandes(edges, [int(s) for s in sources], max_iter)
+    from ..plans.checkpoint import EphemeralTruncator as _ET
+    from . import localgraph
+
+    e_cap = localgraph.LOCAL_EDGE_CAP if local_cap is None else local_cap
+    n_e = edges.limit(e_cap + 1).count() if e_cap > 0 else 0
+    if (
+        e_cap > 0
+        and n_e <= e_cap
+        and n_e * max(1, len(sources)) <= localgraph.LOCAL_WORK_CAP
+    ):
+        res = _ET(spark, "btw-local").truncate(
+            localgraph.local_betweenness(edges, [int(s) for s in sources])
+        )
+    else:
+        with iterative_conf(spark):
+            res = _brandes(edges, [int(s) for s in sources], max_iter)
     if scale_to_n is not None:
         res = res.select(
             "vid",

@@ -235,3 +235,120 @@ def local_bowtie(edges: DataFrame) -> DataFrame:
         return pd.DataFrame(rows, columns=["vid", "region"])
 
     return _single_task(edges, None, fn, "vid long, region string")
+
+
+#: multi-source sweeps do |sources| × |E| python work in the single task;
+#: bound the PRODUCT, not just the edge count (4096 exact-mode pivots on
+#: a 1M-edge graph is 4G python ops — that belongs to the BSP loops)
+LOCAL_WORK_CAP = 8_000_000
+
+
+def local_sssp(
+    edges_w: DataFrame, sources, with_pred: bool = False
+) -> DataFrame:
+    """(src, dst, w) + pivot list → (source, vid, dist[, pred]) via ONE
+    executor task of multi-source Dijkstra (nonnegative weights — the
+    caller guards). Semantics mirror sssp.run exactly: unreachable pairs
+    absent, pred = -1 on source rows, ties broken min-(dist, pred) — at
+    equal dist every candidate parent u with dist(u)+w(u,v) == dist(v)
+    competes and the smallest wins, the same winner as the BSP min-merge
+    over all relaxation candidates."""
+    import heapq
+
+    srcs = list(dict.fromkeys(int(s) for s in sources))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        frames = list(batches)
+        if not frames:
+            return
+        pdf = pd.concat(frames)
+        adj: dict = {}
+        for a, b, w in zip(
+            pdf["src"].astype("int64").tolist(),
+            pdf["dst"].astype("int64").tolist(),
+            pdf["w"].astype("float64").tolist(),
+        ):
+            adj.setdefault(a, []).append((b, w))
+        INF = float("inf")
+        out_s, out_v, out_d, out_p = [], [], [], []
+        for s in srcs:
+            dist = {s: 0.0}
+            pred = {s: -1}
+            pq = [(0.0, s)]
+            while pq:
+                d0, x = heapq.heappop(pq)
+                if d0 > dist.get(x, INF):
+                    continue
+                for y, w in adj.get(x, ()):
+                    nd = d0 + w
+                    dy = dist.get(y, INF)
+                    if nd < dy or (nd == dy and x < pred[y]):
+                        dist[y] = nd
+                        pred[y] = x
+                        heapq.heappush(pq, (nd, y))
+            for v in sorted(dist):
+                out_s.append(s)
+                out_v.append(v)
+                out_d.append(dist[v])
+                out_p.append(pred[v])
+        yield pd.DataFrame(
+            {"source": out_s, "vid": out_v, "dist": out_d, "pred": out_p}
+        )
+
+    out = (
+        edges_w.select(
+            F.col("src").cast("long"),
+            F.col("dst").cast("long"),
+            F.col("w").cast("double"),
+        )
+        .coalesce(1)
+        .mapInPandas(run, "source long, vid long, dist double, pred long")
+    )
+    return out if with_pred else out.select("source", "vid", "dist")
+
+
+def local_betweenness(edges: DataFrame, sources) -> DataFrame:
+    """(src, dst) digraph + pivots → (vid, betweenness) raw scores via
+    ONE executor task of textbook Brandes (forward BFS σ counting +
+    descending-level δ accumulation). Mirrors operators/betweenness
+    exactly: self-loops dropped, edges deduped, pivot endpoint terms
+    (vid == source) excluded, only rows with score > 0 emitted."""
+    srcs = sorted(dict.fromkeys(int(s) for s in sources))
+
+    def fn(vids: set, epairs: list) -> pd.DataFrame:
+        adj: dict = {}
+        for a, b in sorted(set(epairs)):
+            if a != b:
+                adj.setdefault(a, []).append(b)
+        score: dict = {}
+        for s in srcs:
+            preds: dict = {}
+            sigma = {s: 1.0}
+            dist = {s: 0}
+            order = []
+            q = deque([s])
+            while q:
+                v = q.popleft()
+                order.append(v)
+                for w in adj.get(v, ()):
+                    if w not in dist:
+                        dist[w] = dist[v] + 1
+                        q.append(w)
+                    if dist[w] == dist[v] + 1:
+                        sigma[w] = sigma.get(w, 0.0) + sigma[v]
+                        preds.setdefault(w, []).append(v)
+            delta: dict = {}
+            for w in reversed(order):
+                for v in preds.get(w, ()):
+                    delta[v] = delta.get(v, 0.0) + sigma[v] / sigma[w] * (
+                        1.0 + delta.get(w, 0.0)
+                    )
+            for v, d in delta.items():
+                if v != s:
+                    score[v] = score.get(v, 0.0) + d
+        ks = sorted(v for v, d in score.items() if d > 0)
+        return pd.DataFrame(
+            {"vid": ks, "betweenness": [score[v] for v in ks]}
+        )
+
+    return _single_task(edges, None, fn, "vid long, betweenness double")

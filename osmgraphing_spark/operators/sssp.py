@@ -74,6 +74,7 @@ def run(
     resume: bool = False,
     track_paths: bool = False,
     truncate_every: int = 4,
+    local_cap: int | None = None,
 ) -> DataFrame:
     """→ (source long, vid long, dist double[, pred long]): shortest-path
     cost from each source to every REACHABLE vertex (unreachable pairs are
@@ -90,6 +91,33 @@ def run(
     lazy ``localCheckpoint`` of both loop frames, cutting lineage at the
     RDD level; the parquet roundtrip — two writes + reads per boundary —
     only pays once per stride instead of every round)."""
+    # Single-task fast path (operators/localgraph): below the caps, one
+    # executor-side multi-source Dijkstra replaces ~diameter BSP rounds of
+    # fixed job cost with IDENTICAL output (min-float dist, min-pred
+    # ties). Guards: no checkpoint/resume contract to honor, nonnegative
+    # weights (Dijkstra's requirement; the BSP loop is Bellman-Ford and
+    # keeps covering negative metrics), and |sources|·|E| work bound.
+    if checkpoint is None and not resume:
+        from ..plans.checkpoint import EphemeralTruncator as _ET
+        from . import localgraph
+
+        spark = graph.edges.sparkSession
+        v_cap = localgraph.LOCAL_VERTEX_CAP if local_cap is None else local_cap
+        if v_cap > 0 and graph.vertices.limit(v_cap + 1).count() <= v_cap:
+            w_col = F.col("weight") if weighted else F.lit(1.0)
+            e = graph.edges.select("src", "dst", w_col.alias("w"))
+            probe = e.agg(
+                F.count("*").alias("n"), F.min("w").alias("mn")
+            ).collect()[0]
+            work = int(probe["n"]) * max(1, len(sources))
+            if (
+                int(probe["n"]) <= localgraph.LOCAL_EDGE_CAP
+                and work <= localgraph.LOCAL_WORK_CAP
+                and (probe["mn"] is None or float(probe["mn"]) >= 0.0)
+            ):
+                return _ET(spark, "sssp-local").truncate(
+                    localgraph.local_sssp(e, sources, with_pred=track_paths)
+                )
     with iterative_conf(graph.edges.sparkSession):
         return _run_loop(
             graph, sources, weighted, max_iter, checkpoint, resume,

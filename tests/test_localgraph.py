@@ -80,3 +80,63 @@ def test_local_path_plan_is_one_task(spark):
     )
     df = local_scc(edges, None)
     assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("seed,n,m,weighted", [(8, 25, 60, True), (9, 35, 90, False)])
+def test_local_vs_bsp_sssp(spark, seed, n, m, weighted):
+    """local_sssp must equal the BSP loop bit-for-bit: same reached set,
+    same float dists (both are min over identical prefix-sum floats),
+    same min-pred tie-breaks."""
+    from osmgraphing_spark.operators import sssp
+    from osmgraphing_spark.operators.build import build_graph
+
+    rng = random.Random(seed)
+    raw = [
+        (f"v{rng.randrange(n)}", f"v{rng.randrange(n)}",
+         round(rng.uniform(0.5, 5.0), 3))
+        for _ in range(m)
+    ]
+    g = build_graph(
+        spark.createDataFrame(raw, "src_key string, dst_key string, weight double"),
+        num_blocks=2,
+    )
+    srcs = [r["vid"] for r in g.vertices.limit(3).collect()]
+    local = sorted(map(tuple, sssp.run(g, srcs, weighted=weighted,
+                                       track_paths=True).collect()))
+    bsp = sorted(map(tuple, sssp.run(g, srcs, weighted=weighted,
+                                     track_paths=True, local_cap=0).collect()))
+    assert local == bsp
+
+
+@pytest.mark.parametrize("seed,n,m", [(10, 25, 70), (11, 40, 100)])
+def test_local_vs_bsp_betweenness(spark, seed, n, m):
+    """local_betweenness matches the two-sweep BSP Brandes at the 1e-6
+    rounding the operator publishes."""
+    from osmgraphing_spark.operators import betweenness as bt
+
+    df = spark.createDataFrame(_rand_digraph(seed, n, m), "src long, dst long")
+    pivots = sorted({a for a, _ in _rand_digraph(seed, n, m)})[:8]
+    local = {r["vid"]: r["betweenness"]
+             for r in bt.betweenness(df, pivots).collect()}
+    bsp = {r["vid"]: r["betweenness"]
+           for r in bt.betweenness(df, pivots, local_cap=0).collect()}
+    assert local == bsp
+
+
+def test_local_sssp_negative_weights_fall_back(spark):
+    """A negative metric must bypass Dijkstra: the BSP loop is
+    Bellman-Ford and stays the path for it (same final dists here)."""
+    from osmgraphing_spark.operators import sssp
+    from osmgraphing_spark.operators.build import build_graph
+
+    raw = [("a", "b", 2.0), ("b", "c", -1.0), ("a", "c", 3.0)]
+    g = build_graph(
+        spark.createDataFrame(raw, "src_key string, dst_key string, weight double"),
+        num_blocks=2,
+    )
+    got = sorted(map(tuple, sssp.run(g, [r["vid"] for r in
+                 g.vertices.limit(1).collect()], weighted=True).collect()))
+    bsp = sorted(map(tuple, sssp.run(g, [r["vid"] for r in
+                 g.vertices.limit(1).collect()], weighted=True,
+                 local_cap=0).collect()))
+    assert got == bsp
