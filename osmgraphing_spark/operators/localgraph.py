@@ -352,3 +352,94 @@ def local_betweenness(edges: DataFrame, sources) -> DataFrame:
         )
 
     return _single_task(edges, None, fn, "vid long, betweenness double")
+
+
+def local_truss(edges: DataFrame, k: int, rounds: int | None) -> DataFrame:
+    """→ (a, b, support): k-truss triangle-support peeling in ONE task,
+    mirroring operators/truss exactly — canonical (a<b) simple view, per
+    round drop edges with support < k−2, stop at the fixpoint or after
+    ``rounds`` filter steps (peeling is idempotent at the fixpoint, so
+    early convergence under a larger budget is identical), and the
+    reported support is recomputed INSIDE the surviving subgraph."""
+
+    def support(live: set) -> dict:
+        adj: dict = defaultdict(set)
+        for a, b in live:
+            adj[a].add(b)
+            adj[b].add(a)
+        sup = {e: 0 for e in live}
+        for a, b in live:
+            for c in adj[a] & adj[b]:
+                sup[(a, b)] += 1
+        return sup
+
+    def fn(vids: set, epairs: list) -> pd.DataFrame:
+        live = {(min(a, b), max(a, b)) for a, b in epairs if a != b}
+        r = 0
+        while live and (rounds is None or r < rounds):
+            sup = support(live)
+            new = {e for e in live if sup[e] >= k - 2}
+            r += 1
+            if new == live:
+                break
+            live = new
+        sup = support(live)
+        ks = sorted(live)
+        return pd.DataFrame(
+            {
+                "a": [a for a, _ in ks],
+                "b": [b for _, b in ks],
+                "support": [sup[e] for e in ks],
+            }
+        )
+
+    return _single_task(edges, None, fn, "a long, b long, support long")
+
+
+def local_msf(canon: DataFrame) -> DataFrame:
+    """→ (u, v, w): the minimum spanning forest of a CANONICAL (u < v,
+    min-w-deduped) undirected edge frame in ONE task — Kruskal under the
+    same total order (w, u, v) that makes Borůvka's output unique, so
+    both algorithms produce the identical forest."""
+    import pandas as pd  # noqa: F811 (closure clarity)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        frames = list(batches)
+        if not frames:
+            return
+        pdf = pd.concat(frames)
+        rows = sorted(
+            zip(
+                pdf["w"].astype("float64").tolist(),
+                pdf["u"].astype("int64").tolist(),
+                pdf["v"].astype("int64").tolist(),
+            )
+        )
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        out_u, out_v, out_w = [], [], []
+        for w, u, v in rows:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+                out_u.append(u)
+                out_v.append(v)
+                out_w.append(w)
+        yield pd.DataFrame({"u": out_u, "v": out_v, "w": out_w})
+
+    return (
+        canon.select(
+            F.col("u").cast("long"), F.col("v").cast("long"),
+            F.col("w").cast("double"),
+        )
+        .coalesce(1)
+        .mapInPandas(run, "u long, v long, w double")
+    )

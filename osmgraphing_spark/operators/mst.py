@@ -50,14 +50,25 @@ def boruvka_msf(
     edges: DataFrame,
     max_rounds: int = 50,
     truncate_every: int = 2,
+    local_cap: int | None = None,
 ) -> DataFrame:
     """→ (u long, v long, w double): the minimum spanning forest of the
     undirected view of ``edges`` (src, dst, weight), unique under the
     total edge order (w, u, v). ``max_rounds`` is a safety valve only —
-    Borůvka needs ≤ log₂|V| rounds to the fixpoint."""
+    Borůvka needs ≤ log₂|V| rounds to the fixpoint. Below the localgraph
+    edge cap the forest is computed in ONE task by Kruskal under the same
+    total order — the uniqueness argument makes the two algorithms'
+    outputs identical (``local_cap`` overrides; 0 forces Borůvka)."""
     spark = edges.sparkSession
+    from ..plans.checkpoint import EphemeralTruncator as _ET
+    from . import localgraph
+
+    ce = canonical_edges(edges)
+    e_cap = localgraph.LOCAL_EDGE_CAP if local_cap is None else local_cap
+    if e_cap > 0 and ce.limit(e_cap + 1).count() <= e_cap:
+        return _ET(spark, "msf-local").truncate(localgraph.local_msf(ce))
     with iterative_conf(spark):
-        return _boruvka_loop(canonical_edges(edges), max_rounds, max(truncate_every, 1))
+        return _boruvka_loop(ce, max_rounds, max(truncate_every, 1))
 
 
 def _boruvka_loop(ce, max_rounds, truncate_every):

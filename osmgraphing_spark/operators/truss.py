@@ -117,13 +117,25 @@ def truss_edges(
     k: int,
     rounds: int | None = None,
     truncate_every: int = 4,
+    local_cap: int | None = None,
 ) -> DataFrame:
     """→ (a long, b long, support long): the canonical edges surviving
     ``rounds`` peel rounds at truss level ``k`` (``rounds=None`` = run to
     the fixpoint = the k-truss), each with its triangle support INSIDE
-    the surviving subgraph."""
+    the surviving subgraph. ``local_cap`` overrides the single-task
+    fast-path threshold (operators/localgraph; 0 forces the BSP peel)."""
     if k < 2:
         raise ValueError("k-truss is defined for k >= 2")
+    from ..plans.checkpoint import EphemeralTruncator as _ET
+    from . import localgraph
+
+    # tighter default than the generic edge cap: support recomputes every
+    # peel round (rounds × per-edge set intersections of python work)
+    e_cap = localgraph.LOCAL_EDGE_CAP // 10 if local_cap is None else local_cap
+    if e_cap > 0 and edges.limit(e_cap + 1).count() <= e_cap:
+        return _ET(edges.sparkSession, "truss-local").truncate(
+            localgraph.local_truss(edges, int(k), rounds)
+        )
     with iterative_conf(edges.sparkSession):
         return _peel_loop(edges, int(k), rounds, max(truncate_every, 1))
 

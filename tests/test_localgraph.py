@@ -140,3 +140,28 @@ def test_local_sssp_negative_weights_fall_back(spark):
                  g.vertices.limit(1).collect()], weighted=True,
                  local_cap=0).collect()))
     assert got == bsp
+
+
+@pytest.mark.parametrize("seed,n,m", [(12, 20, 80), (13, 35, 140)])
+def test_local_vs_bsp_truss_and_msf(spark, seed, n, m):
+    from osmgraphing_spark.operators import mst, truss
+
+    rng = random.Random(seed)
+    raw = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    df = spark.createDataFrame(raw, "src long, dst long")
+    for k in (3, 4):
+        local = sorted(map(tuple, truss.truss_edges(df, k=k).collect()))
+        bsp = sorted(map(tuple, truss.truss_edges(df, k=k, local_cap=0).collect()))
+        assert local == bsp, f"k={k}"
+    # bounded-rounds variant must mirror too (the driver oracle's shape)
+    local_r = sorted(map(tuple, truss.truss_edges(df, k=4, rounds=2).collect()))
+    bsp_r = sorted(map(tuple, truss.truss_edges(df, k=4, rounds=2, local_cap=0).collect()))
+    assert local_r == bsp_r
+
+    wdf = spark.createDataFrame(
+        [(a, b, round(rng.uniform(1, 9), 3)) for a, b in raw],
+        "src long, dst long, weight double",
+    )
+    local_f = sorted(map(tuple, mst.boruvka_msf(wdf).collect()))
+    bsp_f = sorted(map(tuple, mst.boruvka_msf(wdf, local_cap=0).collect()))
+    assert local_f == bsp_f
