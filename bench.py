@@ -186,6 +186,7 @@ OPERATOR_QUERIES = [
     "link_bowtie",
     "link_spam_mass",
     "simrank_nations",
+    "ch_routes_nations",
 ]
 
 
