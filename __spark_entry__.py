@@ -66,9 +66,20 @@ def _cached_graph(spark, sf_dir, kind, builder, num_blocks):
 SUPP_OFFSET = 10_000_000_000
 
 
+_RAW_EDGE_CACHE: dict = {}
+
+
 def _bipartite_raw_edges(spark, sf_dir) -> DataFrame:
     """customer → supplier reference edges (distinct), as engine raw edges
-    with zero-padded string keys so vertex-id assignment order is numeric."""
+    with zero-padded string keys so vertex-id assignment order is numeric.
+
+    Materialized (parquet) and memoized per session: seven bench/driver
+    queries start from this orders⨝lineitem distinct — one truncation
+    replaces one corpus join per consumer, same values by construction."""
+    key = (spark.sparkContext.applicationId, sf_dir, "bipartite_raw")
+    cached = _RAW_EDGE_CACHE.get(key)
+    if cached is not None:
+        return cached
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
@@ -76,11 +87,16 @@ def _bipartite_raw_edges(spark, sf_dir) -> DataFrame:
         .select("o_custkey", "l_suppkey")
         .distinct()
     )
-    return pairs.select(
+    out = pairs.select(
         F.format_string("c%09d", F.col("o_custkey")).alias("src_key"),
         F.format_string("s%09d", F.col("l_suppkey")).alias("dst_key"),
         F.lit(1.0).alias("weight"),
     )
+    from osmgraphing_spark.plans.checkpoint import EphemeralTruncator
+
+    out = EphemeralTruncator(spark, "entry-rawbip").truncate(out)
+    _RAW_EDGE_CACHE[key] = out
+    return out
 
 
 def _key_to_node_id(col):
