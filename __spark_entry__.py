@@ -2774,34 +2774,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The external driver value-checks the FIRST 50 keys of queries() each
-# round. Cumulative hard-signal coverage after round 3 is 119/132
-# (CORRECTNESS_r01 ∪ _r02 ∪ _r03); this round-4 window front-loads the
-# 13 keys that have NEVER been driver-checked so cumulative coverage
-# closes at 132/132, then re-checks the queries whose implementation
-# changed this round (scc fast path, CH ordering, LSH candidate path),
-# then backfills with the round-1 window — the keys whose code has
-# churned most since they were last externally checked. The registry
-# content is unchanged, only the iteration order.
+# round. Cumulative hard-signal coverage closed at 132/132 in round 4,
+# so rotation is now a standing regression guard (VERDICT r4 item 6):
+# every round leads with the keys that have gone longest without a
+# driver check. This round-5 window = the 36 keys last driver-checked
+# in round 2 plus the 14 alphabetically-first round-3 keys; with it, no
+# registry key is ever more than 2 rounds stale. The registry content
+# is unchanged, only the iteration order.
 _DRIVER_WINDOW_ORDER = [
-    # -- 13 never driver-checked (closes cumulative coverage) --
-    "doc_tfidf_terms", "doc_bigram_nll", "doc_bpe_merges", "doc_bpe_tokens",
-    "doc_top_terms", "doc_heavy_bigrams", "doc_cms_sketch",
-    "doc_stratified_sample", "doc_distinct_tokens", "doc_weighted_sample",
-    "doc_epoch_shuffle", "doc_pack_sequences", "doc_mixture_sample",
-    # -- implementation changed in round 4: re-prove externally --
-    "scc_nations", "scc_build_order", "link_bowtie", "ch_routes_nations",
-    "doc_lsh_candidates", "betweenness_nations",
-    # -- round-1 window backfill (last externally checked in r1) --
-    "link_edges", "link_degrees", "pagerank5", "cc_nations", "lpa_nations",
-    "triangles_nations", "pagerank5_weighted",
-    "triangles_per_vertex_nations", "pricing_summary", "top_orders",
-    "normalize_qty", "semi_join_customers", "anti_join_customers",
-    "dedup_pairs", "clamped_discount", "order_ranks", "sessionize_events",
-    "hourly_events", "doc_tokens", "doc_quality", "doc_langid",
-    "doc_fingerprint", "doc_exact_dups", "doc_jaccard_pairs", "doc_minhash",
-    "doc_simhash_pairs", "embed_topk", "embed_ann",
-    # -- remaining slots: r2-checked keys touched by round-4 perf work --
-    "sssp_nations", "link_diameter", "link_spam_mass",
+    # -- 36 keys last driver-checked in round 2 (stalest) --
+    "closeness_nations", "coloring_nations", "eigen_links", "hits8",
+    "katz_nations", "kcore_links", "link_adamic_adar", "link_assortativity",
+    "link_attr_assort", "link_clustering", "link_copurchase", "link_degree_hist",
+    "link_densest", "link_dist_hist", "link_edge_sample", "link_featprop",
+    "link_host_graph", "link_n2v_walks", "link_powerlaw", "link_predictors",
+    "link_reciprocity", "link_rich_club", "link_snapshot_diff", "link_walks",
+    "link_wl_roles", "matching_nations", "mis_nations", "modularity_nations",
+    "mst_nations", "part_type_revenue", "ppr5", "salsa8",
+    "simrank_nations", "supplier_region_stats", "triangles_doulion", "truss_nations",
+    # -- 14 oldest round-3 keys (next-stalest tier) --
+    "doc_bloom_decon", "doc_bm25_topk", "doc_chunks", "doc_containment_pairs",
+    "doc_decontaminate", "doc_dsir_sample", "doc_dup_clusters", "doc_dup_spans",
+    "doc_filter_funnel", "doc_hybrid_topk", "doc_incremental_dups", "doc_keep_best",
+    "doc_lr_quality", "doc_nb_lang",
 ]
 
 
