@@ -190,6 +190,72 @@ OPERATOR_QUERIES = [
 ]
 
 
+#: skew leg input: ONE hub source owns 80% of 20M edges over a 2M-vertex
+#: space (distinct-weight parallel edges survive dedup, so the hub block
+#: stays at raw scale) — the unsplittable-block shape the north rule's
+#: explicit skew handling exists for: hash(src) puts 16M edge rows in one
+#: task while the other 31 average ~600k, so every superstep barrier waits
+#: on the hub. (Out-degree skew; in-degree skew is already absorbed by
+#: map-side partial aggregation and doesn't need salting. A first cut with
+#: 2 hubs at 3.4× the partition target measured 0.94× — a hub must
+#: DOMINATE the per-superstep work, not merely exceed the target, before
+#: splitting it pays; _auto_salt_plan's k still derives from the measured
+#: layout either way.)
+SKEW_VERTICES = int(os.environ.get("SPARK_GRAFT_SKEW_VERTICES", "2000000"))
+SKEW_EDGES = int(os.environ.get("SPARK_GRAFT_SKEW_EDGES", "20000000"))
+SKEW_HUB_SHARE = float(os.environ.get("SPARK_GRAFT_SKEW_HUB_SHARE", "0.8"))
+
+
+def ensure_skewed_prebuilt(spark) -> str:
+    """Build (once, cached) the hub-source skewed graph for the salt leg."""
+    graph_dir = os.path.join(
+        BENCH_DATA, f"skew_{SKEW_VERTICES}_{SKEW_EDGES}_{SKEW_HUB_SHARE}"
+    )
+    if os.path.exists(os.path.join(graph_dir, "manifest.json")):
+        return graph_dir
+    from osmgraphing_spark.operators.build import build_graph
+    from osmgraphing_spark.sources.synth import skewed_raw_edges
+    from osmgraphing_spark.sources.writers import write_graph_tables
+
+    g = build_graph(
+        skewed_raw_edges(
+            spark, SKEW_VERTICES, SKEW_EDGES, hub_share=SKEW_HUB_SHARE,
+            n_hubs=1, distinct_weights=True,
+        ),
+        num_blocks=CPUS,
+    )
+    write_graph_tables(g, graph_dir)
+    return graph_dir
+
+
+def run_salt_leg(skew_dir: str) -> dict:
+    """Salted-vs-unsalted pair on the skewed graph (VERDICT r4 item 2):
+    the identical fixed-superstep job back-to-back at local[CPUS], once with
+    the plain hash(src) layout (the hub block stragglers every barrier) and
+    once with salt='auto' (layout-measured (src, hash(dst) % k) split).
+    Back-to-back so slowly-varying host noise cancels in the ratio, like
+    the scaling leg's pair protocol. Besides wall, the event log yields the
+    wall-noise-immune evidence: max_task_sec vs the median superstep task —
+    the straggler the salt exists to remove."""
+    common = dict(
+        tol=0.0, max_iter=SCALE_ITERS, check_every=4, warmup_iters=4,
+        partitions=CPUS,
+        event_log_dir=os.path.join(BENCH_DATA, "eventlogs"),
+    )
+    plain = _bench_job(f"local[{CPUS}]", CPUS, skew_dir, salt="0", **common)
+    auto = _bench_job(f"local[{CPUS}]", CPUS, skew_dir, salt="auto", **common)
+    return {
+        "salt_k": auto.get("salt_k"),
+        "hot_srcs": auto.get("hot_srcs"),
+        "edges": auto.get("edges"),
+        "unsalted_sec": plain["pagerank_sec"],
+        "salted_sec": auto["pagerank_sec"],
+        "speedup": round(plain["pagerank_sec"] / max(auto["pagerank_sec"], 1e-9), 3),
+        "unsalted_max_task_sec": plain.get("max_task_sec"),
+        "salted_max_task_sec": auto.get("max_task_sec"),
+    }
+
+
 def ensure_prebuilt(spark) -> str:
     """Generate corpus → extract edges → build graph, once; cache on disk."""
     graph_dir = os.path.join(BENCH_DATA, "graph")
@@ -281,6 +347,7 @@ def _bench_job(
     driver_mem: str | None = None,
     local_dir: str | None = None,
     event_log_dir: str | None = None,
+    salt: str = "0",
 ) -> dict:
     cmd = [
         sys.executable, "-m", "osmgraphing_spark.bench_job",
@@ -293,6 +360,7 @@ def _bench_job(
         "--warmup-iters", str(warmup_iters),
         "--shuffle-partitions", str(partitions or max(cores, 8)),
         "--num-blocks", str(partitions or max(cores, 8)),
+        "--salt", salt,
     ]
     if driver_mem:
         cmd += ["--driver-mem", driver_mem]
@@ -444,6 +512,13 @@ def run_operator_leg(spark) -> dict:
 
     qs = entry.queries()
     times = {}
+    # the one-time bipartite graph build, timed as its OWN leg so algorithm
+    # drift can't hide inside build drift (VERDICT r4 item 5); every
+    # link-analysis query below then amortizes this via the session cache,
+    # and pagerank5's wall measures only the 5-superstep run
+    t0 = time.time()
+    entry.warm_link_graph(spark, SF_DIR)
+    times["graph_build"] = round(time.time() - t0, 2)
     for name in OPERATOR_QUERIES:
         t0 = time.time()
         df = qs[name](spark, SF_DIR)
@@ -501,7 +576,10 @@ def query_deltas(queries: dict) -> dict:
     }
 
 
-def write_baseline_md(scaling: dict, headline: dict, times: dict, total: float) -> None:
+def write_baseline_md(
+    scaling: dict, headline: dict, times: dict, total: float,
+    salt_leg: dict | None = None,
+) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     if not scaling and not headline:
@@ -641,6 +719,33 @@ def write_baseline_md(scaling: dict, headline: dict, times: dict, total: float) 
             f"{headline['supersteps_per_hour']:,} supersteps/h",
             f"- graph load (prebuilt): {headline['build_sec']} s",
         ]
+    if salt_leg:
+        lines += [
+            "",
+            "## Skew leg — salted vs unsalted PageRank on a hub-source graph",
+            "",
+            f"Input: {SKEW_EDGES} raw edges over {SKEW_VERTICES} vertices, one "
+            f"hub source owning {SKEW_HUB_SHARE:.0%} of them "
+            "(synth.skewed_raw_edges, distinct-weight parallel edges) — "
+            f"{salt_leg.get('edges')} edges after dedup; the hub's out-block "
+            "dominates per-superstep work and hash(src) cannot split it. "
+            f"Identical fixed-{SCALE_ITERS}-superstep job back-to-back:",
+            "",
+            f"- plain hash(src) layout: {salt_leg['unsalted_sec']} s, largest "
+            f"task {salt_leg.get('unsalted_max_task_sec')} s "
+            "(the hub block straggles every superstep barrier)",
+            f"- salt='auto' ((src, hash(dst) % k) split via "
+            f"pagerank._auto_salt_plan, k = {salt_leg.get('salt_k')}, "
+            f"{salt_leg.get('hot_srcs')} hub sources): {salt_leg['salted_sec']} s, "
+            f"largest task {salt_leg.get('salted_max_task_sec')} s",
+            f"- **speedup {salt_leg['speedup']}×**; the max-task drop is the "
+            "wall-noise-immune evidence the unsplittable block got split — "
+            "the north rule's explicit skew handling, measured. The decision "
+            "threshold is partition_stats' max_src_deg vs E/P (read off the "
+            "resting out_deg column); balanced layouts resolve to the exact "
+            "unsalted plan "
+            "(test_pagerank.py::test_auto_salt_noop_on_balanced_graph).",
+        ]
     lines += [
         "",
         f"## Operator leg ({SF_DIR}, local[{CPUS}])",
@@ -732,15 +837,18 @@ def main() -> None:
     synth_ingest = run_synth_ingest_leg(spark)
     if synth_ingest:
         times[f"pbf_parse_build_grid{SYNTH_GRID_N}"] = synth_ingest["wall_sec"]
+    skew_dir = None if SKIP_SCALING else ensure_skewed_prebuilt(spark)
     spark.stop()
 
-    scaling, headline = {}, {}
+    scaling, headline, salt_leg = {}, {}, {}
     if not SKIP_SCALING:
         scaling = run_scaling_leg(graph_dir)
         headline = _bench_job(
             f"local[{CPUS}]", CPUS, graph_dir, tol=1e-6, max_iter=60,
             check_every=SCALE_STRIDE, warmup_iters=2,
         )
+        if skew_dir:
+            salt_leg = run_salt_leg(skew_dir)
 
     total = time.time() - t_start
     queries = dict(times)
@@ -749,8 +857,11 @@ def main() -> None:
             queries[f"pagerank_{SCALE_ITERS}steps_{m}"] = scaling[m]["pagerank_sec"]
     if headline:
         queries["pagerank_converge_local32"] = headline["pagerank_sec"]
+    if salt_leg:
+        queries["pagerank8_skew_salt0"] = salt_leg["unsalted_sec"]
+        queries["pagerank8_skew_auto"] = salt_leg["salted_sec"]
 
-    write_baseline_md(scaling, headline, times, total)
+    write_baseline_md(scaling, headline, times, total, salt_leg)
     drift = query_deltas(queries)
     if drift.get("deltas"):
         with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
@@ -780,6 +891,7 @@ def main() -> None:
         "supersteps_per_hour_local32": headline.get("supersteps_per_hour"),
         "pbf_ingest": ingest or None,
         "pbf_ingest_synth": synth_ingest or None,
+        "skew_salt_leg": salt_leg or None,
         "perf_vs_prev_round": (
             {
                 "baseline": drift.get("baseline"),

@@ -25,6 +25,12 @@ def main() -> None:
     ap.add_argument("--edges", help="raw_edges parquet dir (runs the full build)")
     ap.add_argument("--prebuilt", help="prebuilt graph dir (skips the build)")
     ap.add_argument("--mode", default="dataframe", choices=["dataframe", "csr"])
+    ap.add_argument(
+        "--salt", default="0",
+        help="PageRank skew handling: an int for the fixed two-stage gather "
+        "salt, or 'auto' to measure the resting layout and split hub-source "
+        "edge blocks (pagerank._auto_salt_plan)",
+    )
     ap.add_argument("--max-iter", type=int, default=50)
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--check-every", type=int, default=10)
@@ -119,6 +125,8 @@ def main() -> None:
                         acc["total"] += sum(v)
         return acc
 
+    salt: int | str = args.salt if args.salt == "auto" else int(args.salt)
+
     if args.warmup_iters > 0:
         pagerank.run(
             g,
@@ -126,6 +134,7 @@ def main() -> None:
             tol=0.0,
             max_iter=args.warmup_iters,
             check_every=args.warmup_iters,
+            salt=salt,
         )
 
     def membw_probe() -> float:
@@ -156,6 +165,7 @@ def main() -> None:
         tol=args.tol,
         max_iter=args.max_iter,
         check_every=args.check_every,
+        salt=salt,
     )
     cpu1 = read_pinned_cores()
     steal_pct = busy_pct = None
@@ -176,6 +186,8 @@ def main() -> None:
         "edges": g.num_edges,
         "edges_per_sec": round(res.edges_processed / max(res.wall_sec, 1e-9), 1),
         "supersteps_per_hour": round(3600.0 * iters / max(res.wall_sec, 1e-9), 1),
+        "salt_k": res.salt_k,
+        "hot_srcs": res.hot_srcs,
         "steal_pct": steal_pct,
         "busy_pct": busy_pct,
         "membw_gbps": membw,
@@ -220,6 +232,9 @@ def _parse_event_log(log_dir: str, app_id: str, since_ms: int) -> dict:
         "shuffle_read_gb": 0.0,
         "spill_gb": 0.0,
         "n_tasks": 0,
+        # straggler evidence: the single largest task of the timed section
+        # (an unsplittable skewed block shows up here, not in the sums)
+        "max_task_sec": 0.0,
     }
     for path in paths:
         with open(path) as fh:
@@ -237,7 +252,9 @@ def _agg_task_lines(fh, since_ms: int, agg: dict) -> None:
                 continue
             tm = ev.get("Task Metrics") or {}
             agg["n_tasks"] += 1
-            agg["task_run_sec"] += (tm.get("Executor Run Time") or 0) / 1e3
+            rt = (tm.get("Executor Run Time") or 0) / 1e3
+            agg["task_run_sec"] += rt
+            agg["max_task_sec"] = max(agg["max_task_sec"], rt)
             agg["task_cpu_sec"] += (tm.get("Executor CPU Time") or 0) / 1e9
             agg["gc_sec"] += (tm.get("JVM GC Time") or 0) / 1e3
             sw = tm.get("Shuffle Write Metrics") or {}

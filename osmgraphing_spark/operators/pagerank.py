@@ -26,10 +26,23 @@ supersteps compose lazily into ONE Spark action — per-superstep driver
 round-trips were the dominant cost at small scale, and at cluster scale
 this halves job-scheduling overhead without changing semantics.
 
-Skew (north rule: explicit handling, not AQE-only): contributions into
-power-law hub dsts pre-combine in two stages when ``salt > 1``
-(groupBy(dst, salt) then groupBy(dst)), bounding any reducer's fan-in at
-E/salt on top of map-side partial aggregation.
+Skew (north rule: explicit handling, not AQE-only), two independent knobs:
+
+- ``salt > 1`` (gather side): contributions into power-law hub dsts
+  pre-combine in two stages (groupBy(dst, salt) then groupBy(dst)),
+  bounding any reducer's fan-in at E/salt on top of map-side partial
+  aggregation.
+- ``salt="auto"`` (scatter side — the one that actually bites): a hub
+  SOURCE's edge block is unsplittable in the hash(src) resting layout
+  (hashing keeps a key together), so one task carries the whole block and
+  every superstep barrier waits on it. ``_auto_salt_plan`` measures the
+  layout with ``graphstats.partition_stats``; when the largest
+  single-source block exceeds the partition target E/num_blocks, the
+  resting layout is re-keyed to (src, _ssalt = hash(dst) % k) — splitting
+  each hub block k ways — and the (small) rank side replicates k× for hub
+  sources only. At most num_blocks sources can exceed the target (their
+  degrees sum to E), so the hot list is always tiny and plan-literal.
+  Balanced layouts resolve to k = 0 and run the exact unsalted plan.
 
 Durable checkpoints (state + convergence metrics + per-partition lineage)
 go through ``plans.checkpoint`` every ``checkpoint_every`` supersteps;
@@ -73,6 +86,8 @@ class PageRankResult:
     deltas: list[float]  # delta at each convergence check
     edges_processed: int  # num_edges * iterations
     wall_sec: float
+    salt_k: int = 0  # src-salt replication applied (0 = unsalted plan)
+    hot_srcs: int = 0  # hub sources whose edge blocks were split salt_k ways
 
 
 def _contrib_edges(graph: Graph, weighted: bool) -> DataFrame:
@@ -93,7 +108,7 @@ def run(
     max_iter: int = 200,
     weighted: bool = False,
     mode: str = "dataframe",
-    salt: int = 0,
+    salt: int | str = 0,
     check_every: int = 1,
     checkpoint: CheckpointManager | None = None,
     checkpoint_every: int = 1,
@@ -154,6 +169,18 @@ def _run_loop(
         F.lit(1.0).alias("cfac"),
     )
 
+    # salt="auto": measure the resting layout and engage src-side salting
+    # only when a hub source's unsplittable edge block exceeds the partition
+    # target (see module docstring). CSR mode packs blocks by src-hash with
+    # its own per-block cap, so auto resolves to the plain plan there.
+    src_salt_k, hot_src_ids = 0, []
+    if isinstance(salt, str):
+        if salt != "auto":
+            raise ValueError(f"salt must be an int or 'auto', got {salt!r}")
+        if mode != "csr":
+            src_salt_k, hot_src_ids = _auto_salt_plan(graph)
+        salt = 0
+
     csr = None
     cedges = None
     if mode == "csr":
@@ -161,13 +188,23 @@ def _run_loop(
         csr.persist()
         csr.count()
     else:
-        cedges = (
-            _contrib_edges(graph, weighted)
-            .unionByName(sink_edges)
-            .repartition(graph.num_blocks, F.col("src"))
-            .sortWithinPartitions("src", "dst")
-            .persist()
-        )
+        cedges = _contrib_edges(graph, weighted).unionByName(sink_edges)
+        if src_salt_k:
+            # split each hub source's block across k sub-partitions keyed by
+            # hash(dst); cold sources keep _ssalt = 0 so their layout (and
+            # the join fan-out) is unchanged
+            cedges = cedges.withColumn(
+                "_ssalt",
+                F.when(
+                    F.col("src").isin(hot_src_ids),
+                    F.pmod(F.hash(F.col("dst")), F.lit(src_salt_k)),
+                )
+                .otherwise(F.lit(0))
+                .cast("int"),
+            ).repartition(graph.num_blocks, F.col("src"), F.col("_ssalt"))
+        else:
+            cedges = cedges.repartition(graph.num_blocks, F.col("src"))
+        cedges = cedges.sortWithinPartitions("src", "dst").persist()
         cedges.count()
 
     # static vertex dimension, pre-shuffled into the loop's hash(vid) layout
@@ -199,11 +236,27 @@ def _run_loop(
         if mode == "csr":
             contribs = _spmv_superstep(state, csr, graph.num_blocks)
         else:
-            contribs = cedges.join(
-                maybe_broadcast(state.select(F.col("vid").alias("src"), "rank"), n),
-                "src",
-                "inner",
-            ).select("dst", (F.col("rank") * F.col("cfac")).alias("c"))
+            rank_side = state.select(F.col("vid").alias("src"), "rank")
+            if src_salt_k:
+                # replicate the rank row k× for hub sources only (O(V +
+                # k·|hot|) rows, |hot| < num_blocks) so each salted edge
+                # sub-partition finds its rank under the (src, _ssalt) key
+                rank_side = rank_side.withColumn(
+                    "_ssalt",
+                    F.explode(
+                        F.when(
+                            F.col("src").isin(hot_src_ids),
+                            F.sequence(F.lit(0), F.lit(src_salt_k - 1)),
+                        ).otherwise(F.array(F.lit(0)))
+                    ),
+                ).withColumn("_ssalt", F.col("_ssalt").cast("int"))
+                contribs = cedges.join(
+                    maybe_broadcast(rank_side, n), ["src", "_ssalt"], "inner"
+                ).select("dst", (F.col("rank") * F.col("cfac")).alias("c"))
+            else:
+                contribs = cedges.join(
+                    maybe_broadcast(rank_side, n), "src", "inner"
+                ).select("dst", (F.col("rank") * F.col("cfac")).alias("c"))
         if salt and salt > 1:
             summed = _salted_sum(contribs, salt)
         else:
@@ -281,6 +334,7 @@ def _run_loop(
                 return PageRankResult(
                     state.select("vid", "rank"), latest + 1, True, deltas,
                     graph.num_edges * (latest + 1), 0.0,
+                    salt_k=src_salt_k, hot_srcs=len(hot_src_ids),
                 )
 
     t_start = time.time()
@@ -352,7 +406,55 @@ def _run_loop(
         deltas=deltas,
         edges_processed=graph.num_edges * max(it - start_step, 0),
         wall_sec=wall,
+        salt_k=src_salt_k,
+        hot_srcs=len(hot_src_ids),
     )
+
+
+#: absolute engagement floor for salt="auto": a single-source block below
+#: this many edge rows is milliseconds of task work and cannot straggle a
+#: superstep barrier, whatever the relative skew says — tiny fixture graphs
+#: (where E/num_blocks ~ 1) must not pay the replicated-join plan.
+AUTO_SALT_MIN_BLOCK = 65_536
+
+
+def _auto_salt_plan(graph: Graph) -> tuple[int, list[int]]:
+    """Measure the resting hash(src) layout and derive the src-salt plan.
+
+    The decision quantities are exactly what ``graphstats.partition_stats``
+    reports for capacity planning — ``max_src_deg``, the largest
+    single-source edge block (the thing adding partitions cannot split),
+    against the partition target E/num_blocks — but read straight off the
+    resting ``out_deg`` column: out_deg is constant per src by
+    construction, so max(out_deg) IS max_src_deg, and one codegen scan of
+    the persisted layout replaces partition_stats' per-src groupBy (the
+    plan probe must cost a fraction of the supersteps it speeds up).
+    When the max block exceeds the target, return (k, hot_src_ids) with
+    k = ceil(max_block / target) capped at num_blocks; the hot list is
+    every source whose block exceeds the gate — provably fewer than
+    num_blocks of them (their degrees sum to E).
+
+    Balanced layouts return (0, []) and the caller runs the plain plan.
+    """
+    row = graph.edges.agg(
+        F.max("out_deg").alias("hot"), F.count("*").alias("e")
+    ).collect()[0]
+    hot_deg, n_edges = int(row["hot"] or 0), int(row["e"] or 0)
+    target = max(n_edges / max(graph.num_blocks, 1), 1.0)
+    gate = max(target, float(AUTO_SALT_MIN_BLOCK))
+    if hot_deg <= gate:
+        return 0, []
+    k = int(min(graph.num_blocks, -(-hot_deg // int(target))))
+    if k < 2:
+        return 0, []
+    hot = [
+        r["src"]
+        for r in graph.edges.where(F.col("out_deg") > F.lit(gate))
+        .select("src")
+        .distinct()
+        .collect()
+    ]
+    return (k, sorted(hot)) if hot else (0, [])
 
 
 def _salted_sum(contribs: DataFrame, salt: int) -> DataFrame:

@@ -218,3 +218,62 @@ def powerlaw_corpus(
         )
     )
     return corpus
+
+
+# ---------------------------------------------------------------------------
+# skewed — hub-SOURCE edge table (the salting path's target shape)
+# ---------------------------------------------------------------------------
+
+def skewed_raw_edges(
+    spark: SparkSession,
+    n_vertices: int,
+    n_edges: int,
+    hub_share: float = 0.25,
+    n_hubs: int = 2,
+    seed: int = SEED,
+    distinct_weights: bool = False,
+) -> DataFrame:
+    """Deterministic raw edge table with hub SOURCES → (src_key, dst_key,
+    weight).
+
+    ``n_hubs`` sources own ``hub_share`` of all raw edges — OUT-degree skew,
+    the shape that defeats a hash(src) resting layout (a single source's
+    block cannot be split by adding partitions; the hub task stragglers
+    every superstep barrier until the salted (src, hash(dst) % k) layout
+    splits it). In-degree skew, by contrast, is already absorbed by
+    map-side partial aggregation.
+
+    Pure column expressions over ``spark.range`` (xxhash64-derived
+    uniforms): identical output at any parallelism, like powerlaw_corpus.
+    Duplicate (src, dst, weight) triples collapse in build_graph's dedup,
+    so with the default constant weight a hub's out-degree saturates near
+    n_vertices — size n_vertices accordingly. ``distinct_weights=True``
+    spreads weights over a 10^6-value 1e-6 grid instead, so parallel
+    (src, dst) edges survive dedup as legitimate distinct-weight
+    multigraph edges and the hub block stays at RAW scale — the shape for
+    demonstrating straggler mitigation, where the hub block must dominate
+    total edge work, not merely exceed the partition target.
+    """
+    e = spark.range(0, n_edges).withColumnRenamed("id", "eid")
+    u = (
+        F.abs(F.xxhash64(F.col("eid"), F.lit(seed))) % F.lit(1 << 30)
+    ) / F.lit(float(1 << 30))
+    hub_src = F.pmod(F.xxhash64(F.col("eid"), F.lit(seed + 1)), F.lit(n_hubs))
+    cold_src = F.pmod(
+        F.xxhash64(F.col("eid"), F.lit(seed + 2)), F.lit(n_vertices)
+    )
+    dst = F.pmod(F.xxhash64(F.col("eid"), F.lit(seed + 3)), F.lit(n_vertices))
+    if distinct_weights:
+        weight = F.lit(1.0) + F.pmod(
+            F.xxhash64(F.col("eid"), F.lit(seed + 4)), F.lit(1_000_000)
+        ).cast("double") * F.lit(1e-6)
+    else:
+        weight = F.lit(1.0)
+    return e.select(
+        F.format_string(
+            "v%010d",
+            F.when(u < F.lit(float(hub_share)), hub_src).otherwise(cold_src),
+        ).alias("src_key"),
+        F.format_string("v%010d", dst).alias("dst_key"),
+        weight.alias("weight"),
+    )

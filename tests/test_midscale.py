@@ -78,3 +78,28 @@ def test_powerlaw_cc_vs_oracle(spark, powerlaw_graph):
     np.testing.assert_array_equal(
         got, oracle.connected_components(g.num_vertices, edges)
     )
+
+
+def test_skewed_autosalt_pagerank_vs_oracle(spark, monkeypatch):
+    """salt='auto' against the independent numpy power-iteration oracle on a
+    hub-SOURCE graph (out-degree skew — the shape hash(src) cannot balance
+    and the shape that actually engages the auto plan; the powerlaw corpus
+    above is in-degree-skewed, which map-side partial aggregation already
+    absorbs, so auto correctly stays off there)."""
+    monkeypatch.setattr(pagerank, "AUTO_SALT_MIN_BLOCK", 256)
+    raw = synth.skewed_raw_edges(
+        spark, n_vertices=20_000, n_edges=40_000, hub_share=0.5, n_hubs=1
+    )
+    g = build_graph(raw, num_blocks=8)
+    # tol=1e-8: the oracle iterates to its 1e-12 fixed point, and this
+    # graph's slow-mixing hub leaves a >1e-6 geometric tail at the default
+    # stopping delta (remaining distance ≈ delta/(1-d) ≈ 6.7×delta)
+    res = pagerank.run(g, check_every=10, salt="auto", tol=1e-8)
+    assert res.converged and res.salt_k >= 2
+    edges = [(r["src"], r["dst"]) for r in g.edges.select("src", "dst").collect()]
+    got = np.zeros(g.num_vertices)
+    for r in res.ranks.collect():
+        got[r["vid"]] = r["rank"]
+    np.testing.assert_allclose(
+        got, oracle.pagerank(g.num_vertices, edges), atol=1e-6
+    )

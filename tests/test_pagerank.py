@@ -169,3 +169,37 @@ def test_warm_start_converges_faster(spark):
     assert set(got) == set(want)
     for v in want:
         assert abs(got[v] - want[v]) < 1e-6
+
+
+def test_auto_salt_engages_and_matches_on_skewed_graph(spark, monkeypatch):
+    """salt='auto' on a hub-source graph: the plan must ENGAGE (salt_k >= 2,
+    hub blocks split) and the ranks must equal the unsalted plan to 1e-9 —
+    the north rule's explicit-skew-handling path, end to end. The absolute
+    engagement floor is lowered so a pytest-sized graph exercises the real
+    plan (the bench salt leg engages it at the true floor)."""
+    from osmgraphing_spark.operators.build import build_graph
+    from osmgraphing_spark.sources.synth import skewed_raw_edges
+
+    monkeypatch.setattr(pagerank, "AUTO_SALT_MIN_BLOCK", 256)
+    # one hub firing half the raw edges into a 20k dst space: after dedup
+    # the hub keeps ~12.6k unique out-edges vs a ~4k partition target — the
+    # unsplittable-block shape (a 2k dst space would collapse the hub to
+    # under the target and the plan would, correctly, not engage)
+    raw = skewed_raw_edges(spark, n_vertices=20_000, n_edges=40_000,
+                           hub_share=0.5, n_hubs=1)
+    g = build_graph(raw, num_blocks=8)
+    auto = pagerank.run(g, salt="auto", check_every=8, max_iter=24)
+    plain = pagerank.run(g, salt=0, check_every=8, max_iter=24)
+    assert auto.salt_k >= 2, "skewed layout must trigger the salted plan"
+    assert 1 <= auto.hot_srcs < g.num_blocks
+    a = _rank_vec(auto, g.num_vertices)
+    b = _rank_vec(plain, g.num_vertices)
+    np.testing.assert_allclose(a, b, atol=1e-9)
+
+
+def test_auto_salt_noop_on_balanced_graph(spark):
+    """salt='auto' on a balanced fixture resolves to the plain plan."""
+    g, _, _ = build_fixture(spark, ("small",))
+    res = pagerank.run(g, salt="auto", check_every=8)
+    assert res.salt_k == 0 and res.hot_srcs == 0
+    assert res.converged
