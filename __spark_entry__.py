@@ -1193,6 +1193,22 @@ def q_media_video_stats(spark, sf_dir):
     return mm.video_stats(media, id_col="doc_id")
 
 
+def q_media_video_frames(spark, sf_dir):
+    """Multimodal video FRAME path (the round-4 stub, closed): per doc_id
+    a real MJPEG-in-MP4 is encoded executor-side (baseline-JPEG frames +
+    actual stsz/stco sample tables), then video_frame_stats walks the
+    container, slices each sample, and decodes it with the in-repo JPEG
+    decoder — height/width/mean of every decoded frame hash-verified
+    against the SQL oracle's closed forms (solid even-gray frames at
+    quant=1 roundtrip exactly). H.264/AV1 remain the typed lib-bound
+    refusal; the Spark plumbing is codec-independent."""
+    from osmgraphing_spark.functions import multimodal as mm
+
+    d = _t(spark, sf_dir, "documents")
+    media = mm.synth_mjpeg_from_ids(d, id_col="doc_id")
+    return mm.video_frame_stats(media, id_col="doc_id")
+
+
 def q_media_image_dhash(spark, sf_dir):
     """Perceptual dHash, value-checked end to end: the deterministic
     gradient images (same closed forms as media_image_stats) are decoded
@@ -2892,6 +2908,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii": q_doc_pii,
         "media_image_stats": q_media_image_stats,
         "media_video_stats": q_media_video_stats,
+        "media_video_frames": q_media_video_frames,
         "media_image_dhash": q_media_image_dhash,
         "media_audio_stats": q_media_audio_stats,
         "doc_exact_dups": q_doc_exact_dups,
@@ -5261,6 +5278,17 @@ def oracle_sql() -> dict[str, str]:
                    CASE doc_id % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1'
                         ELSE 'av01' END AS codec
             FROM documents
+        """,
+        "media_video_frames": """
+            SELECT d.doc_id,
+                   CAST(t.f AS INT) AS frame_idx,
+                   CAST(16 AS INT) AS height,
+                   CAST(16 AS INT) AS width,
+                   CAST(2 * ((d.doc_id * 31 + t.f * 17) % 120) + 8 AS DOUBLE)
+                       AS mean_px
+            FROM documents d
+            JOIN (SELECT unnest(generate_series(0, 6)) AS f) t
+              ON t.f < 3 + d.doc_id % 4
         """,
         "media_image_stats": """
             WITH dims AS (

@@ -128,6 +128,7 @@ OPERATOR_QUERIES = [
     "doc_source_stats",
     "doc_pii",
     "media_image_stats",
+    "media_video_frames",
     "scc_nations",
     "doc_decontaminate",
     "doc_bloom_decon",
@@ -789,6 +790,58 @@ def run_ingest_leg(spark) -> dict:
     }
 
 
+ROUTE_PAIRS = "/root/reference/resources/isle_of_man_2020-03-14/10_000.route-pairs"
+
+
+def run_balance_leg(spark) -> dict:
+    """The reference's CI flagship (rust.yml: `--balancing` on isle_of_man,
+    balancing/config.yaml): 2 metric updates, averaging rule,
+    min_new_metric 0.1, the real 10,000-route workload file. Each
+    iteration = in-engine CH contraction + one batched route job + the
+    workload blend — wall and per-iteration history reported; the blended
+    metric means are the golden the test suite pins."""
+    if (
+        os.environ.get("SPARK_GRAFT_BENCH_NO_PBF") == "1"
+        or not os.path.exists(PBF_FIXTURE)
+        or not os.path.exists(ROUTE_PAIRS)
+    ):
+        return {}
+    from pyspark.sql import functions as F
+
+    from osmgraphing_spark.operators.balance import balance_loop
+    from osmgraphing_spark.sources import pbf as _pbf
+    from osmgraphing_spark.sources.readers import read_route_pairs
+
+    t0 = time.time()
+    g = _pbf.pbf_graph(spark, PBF_FIXTURE, num_blocks=min(CPUS, 32))
+    rp = read_route_pairs(spark, ROUTE_PAIRS)
+    vk = g.vertices.select("key", "vid")
+    pairs = (
+        rp.join(
+            vk.select(F.col("key").alias("_sk"), F.col("vid").alias("src")),
+            F.col("src_id").cast("string") == F.col("_sk"),
+        )
+        .join(
+            vk.select(F.col("key").alias("_dk"), F.col("vid").alias("dst")),
+            F.col("dst_id").cast("string") == F.col("_dk"),
+        )
+        .select("src", "dst", "count")
+    )
+    balanced, hist = balance_loop(
+        g.edges.select("src", "dst", F.col("weight").alias("w")),
+        pairs,
+        num_iter=2,
+        rule="averaging",
+        min_metric=0.1,
+    )
+    n_out = balanced.count()
+    return {
+        "wall_sec": round(time.time() - t0, 2),
+        "edges": n_out,
+        "history": hist,
+    }
+
+
 #: synthetic ingest leg size: 2100² grid ≈ 16.8 M directed edges — the
 #: Baden-Württemberg scale the reference benches its parser at (~18 M
 #: edges < ~30 s), which the 2.4 MB isle_of_man fixture cannot probe
@@ -837,6 +890,9 @@ def main() -> None:
     synth_ingest = run_synth_ingest_leg(spark)
     if synth_ingest:
         times[f"pbf_parse_build_grid{SYNTH_GRID_N}"] = synth_ingest["wall_sec"]
+    balance = run_balance_leg(spark)
+    if balance:
+        times["balance_isle_of_man_2iter"] = balance["wall_sec"]
     skew_dir = None if SKIP_SCALING else ensure_skewed_prebuilt(spark)
     spark.stop()
 
@@ -892,6 +948,7 @@ def main() -> None:
         "pbf_ingest": ingest or None,
         "pbf_ingest_synth": synth_ingest or None,
         "skew_salt_leg": salt_leg or None,
+        "balance_leg": balance or None,
         "perf_vs_prev_round": (
             {
                 "baseline": drift.get("baseline"),

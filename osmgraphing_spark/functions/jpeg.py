@@ -302,14 +302,17 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart):
         if ry > 1 or rx > 1:
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
         full.append(p[:h, :w])
+    # round-to-nearest per the JPEG sample reconstruction spec — a bare
+    # astype would TRUNCATE, turning an IDCT result of 29.9999 into 29
+    # (measured: off-by-one on exact DC-only blocks)
     if len(full) == 1:
-        y = np.clip(full[0], 0, 255).astype(np.uint8)
+        y = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return np.dstack([y, y, y])
     y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
     r_ = y + 1.402 * cr
     g_ = y - 0.344136 * cb - 0.714136 * cr
     b_ = y + 1.772 * cb
-    return np.clip(np.dstack([r_, g_, b_]), 0, 255).astype(np.uint8)
+    return np.clip(np.round(np.dstack([r_, g_, b_])), 0, 255).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------

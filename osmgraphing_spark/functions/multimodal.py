@@ -8,10 +8,13 @@ header parse, 8-bit PNG (gray/RGB/RGBA/palette, all five scanline filters)
 via stdlib zlib + numpy, single-frame GIF (variable-width LZW, global or
 local palette), baseline JPEG (functions/jpeg.py: Huffman + IDCT +
 4:4:4/4:2:0, pure numpy), and WAV (PCM) audio via the stdlib ``wave``
-module — and STUBBED only for video (MP4 needs ffmpeg, absent in this
-container): a clearly-marked NotImplementedError in strict mode, a
-deterministic content-hash fake in test mode. Swap ``_decode_image_impl``'s
-fallback for a PIL call in production; nothing else changes.
+module. Video: the MP4/ISO-BMFF container parse is real (box walker +
+sample tables), and MJPEG frame decode is real too (``mp4_jpeg_frames``
+slices samples via stsz/stco and reuses the baseline-JPEG decoder) — only
+inter-frame codecs (H.264/AV1, genuinely lib-bound entropy decoding) raise
+the clearly-marked NotImplementedError in strict mode / deterministic
+content-hash fake in test mode. Swap ``_decode_image_impl``'s fallback for
+a PIL call in production; nothing else changes.
 
 Design rules applied:
 - media bytes never hit the driver; every transform is mapInPandas over
@@ -928,6 +931,213 @@ def synth_mp4_from_ids(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 metas.append(
                     {"width": w, "height": h, "channels": None,
                      "sample_rate": None, "n_frames": None, "format": "mp4"}
+                )
+            yield pd.DataFrame(
+                {id_col: ids, "kind": "video", "data": datas, "meta": metas}
+            )
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("kind", StringType()),
+            StructField("data", BinaryType()),
+            StructField("meta", MEDIA_SCHEMA["meta"].dataType),
+        ]
+    )
+    return ids_df.select(id_col).mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# MJPEG video: real frame decode (closes the video-frame stub for the one
+# codec expressible with the in-repo baseline-JPEG machinery; H.264/AV1
+# entropy decoding remains the documented lib-bound refusal)
+# ---------------------------------------------------------------------------
+
+
+def encode_mjpeg_mp4(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    fps: int = 4,
+    timescale: int = 1000,
+) -> bytes:
+    """Baseline-JPEG frames → a real MJPEG-in-MP4: ftyp + mdat holding the
+    frame bytes + moov whose stbl carries the actual sample tables (stsd
+    'jpeg', stts, stsc one-sample-per-chunk, stsz per-frame sizes, stco
+    absolute offsets into mdat). Everything ``mp4_jpeg_frames`` needs to
+    locate and decode frames, with none of the inter-frame machinery this
+    repo deliberately refuses to fake."""
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return (len(body) + 8).to_bytes(4, "big") + typ + body
+
+    ftyp = box(b"ftyp", b"isom" + bytes(4) + b"isomiso2")
+    mdat_body = b"".join(frames)
+    # absolute chunk offsets need the final mdat position: ftyp, then mdat
+    mdat_start = len(ftyp) + 8
+    offs, pos = [], mdat_start
+    for fb in frames:
+        offs.append(pos)
+        pos += len(fb)
+    n = len(frames)
+    dur = int(round(n / fps * timescale))
+    sample_dur = int(round(timescale / fps))
+    mvhd = box(b"mvhd", bytes(12) + timescale.to_bytes(4, "big")
+               + dur.to_bytes(4, "big") + bytes(80))
+    tkhd = box(b"tkhd", bytes(76)
+               + (width << 16).to_bytes(4, "big")
+               + (height << 16).to_bytes(4, "big"))
+    hdlr = box(b"hdlr", bytes(8) + b"vide" + bytes(12))
+    stsd = box(b"stsd", bytes(4) + (1).to_bytes(4, "big")
+               + box(b"jpeg", bytes(8)))
+    stts = box(b"stts", bytes(4) + (1).to_bytes(4, "big")
+               + n.to_bytes(4, "big") + sample_dur.to_bytes(4, "big"))
+    stsc = box(b"stsc", bytes(4) + (1).to_bytes(4, "big")
+               + (1).to_bytes(4, "big") + (1).to_bytes(4, "big")
+               + (1).to_bytes(4, "big"))
+    stsz = box(b"stsz", bytes(4) + (0).to_bytes(4, "big")
+               + n.to_bytes(4, "big")
+               + b"".join(len(fb).to_bytes(4, "big") for fb in frames))
+    stco = box(b"stco", bytes(4) + n.to_bytes(4, "big")
+               + b"".join(o.to_bytes(4, "big") for o in offs))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + box(b"mdat", mdat_body) + moov
+
+
+def mp4_jpeg_frames(data: bytes) -> list[np.ndarray]:
+    """REAL frame decode for MJPEG-in-MP4: walk the video track's stbl,
+    slice each sample out of the file via stsz + stco (one sample per
+    chunk, the layout ``encode_mjpeg_mp4`` writes and the common MJPEG
+    shape), and run each through the in-repo baseline-JPEG decoder.
+    Non-JPEG codecs raise the same typed strict-mode error as before —
+    H.264/AV1 entropy decoding is the one genuinely lib-bound step."""
+    from .jpeg import decode_jpeg
+
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an MP4 (missing ftyp)")
+    for typ, b, e in _mp4_boxes(data):
+        if typ != "moov":
+            continue
+        for t2, b2, e2 in _mp4_boxes(data, b, e):
+            if t2 != "trak":
+                continue
+            handler, codec, sizes, offsets = None, None, None, None
+            for t3, b3, e3 in _mp4_boxes(data, b2, e2):
+                if t3 != "mdia":
+                    continue
+                for t4, b4, e4 in _mp4_boxes(data, b3, e3):
+                    if t4 == "hdlr":
+                        handler = data[b4 + 8:b4 + 12].decode("latin1")
+                    elif t4 == "minf":
+                        for t5, b5, e5 in _mp4_boxes(data, b4, e4):
+                            if t5 != "stbl":
+                                continue
+                            for t6, b6, e6 in _mp4_boxes(data, b5, e5):
+                                if t6 == "stsd":
+                                    if int.from_bytes(
+                                            data[b6 + 4:b6 + 8], "big"):
+                                        codec = data[b6 + 12:b6 + 16].decode(
+                                            "latin1")
+                                elif t6 == "stsz":
+                                    cnt = int.from_bytes(
+                                        data[b6 + 8:b6 + 12], "big")
+                                    fixed = int.from_bytes(
+                                        data[b6 + 4:b6 + 8], "big")
+                                    sizes = (
+                                        [fixed] * cnt if fixed else [
+                                            int.from_bytes(
+                                                data[b6 + 12 + 4 * i:
+                                                     b6 + 16 + 4 * i], "big")
+                                            for i in range(cnt)
+                                        ]
+                                    )
+                                elif t6 == "stco":
+                                    cnt = int.from_bytes(
+                                        data[b6 + 4:b6 + 8], "big")
+                                    offsets = [
+                                        int.from_bytes(
+                                            data[b6 + 8 + 4 * i:
+                                                 b6 + 12 + 4 * i], "big")
+                                        for i in range(cnt)
+                                    ]
+            if handler != "vide":
+                continue
+            if codec != "jpeg":
+                raise NotImplementedError(
+                    f"video frame decode for codec {codec!r} requires a "
+                    "library not present in this container (MJPEG decodes "
+                    "natively via functions/jpeg.py)"
+                )
+            if not sizes or not offsets or len(sizes) != len(offsets):
+                raise ValueError("MJPEG track missing stsz/stco sample tables")
+            return [
+                decode_jpeg(data[o:o + s]) for o, s in zip(offsets, sizes)
+            ]
+    raise ValueError("MP4 has no video track")
+
+
+def video_frame_stats(
+    media: DataFrame, every_n: int = 1, id_col: str = "media_id"
+) -> DataFrame:
+    """Decoded-frame statistics for MJPEG videos → one row per sampled
+    frame: (id_col, frame_idx, height, width, mean_px). Arrow-batched
+    mapInPandas like image_stats; the Spark-side shape (schema,
+    partitioning, batch iteration) is identical for any codec — only the
+    per-sample decode call is codec-bound."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   (id_col, "frame_idx", "height", "width", "mean_px")}
+            for row in pdf.itertuples(index=False):
+                frames = mp4_jpeg_frames(bytes(row.data))
+                for idx in range(0, len(frames), max(every_n, 1)):
+                    img = frames[idx]
+                    out[id_col].append(getattr(row, id_col))
+                    out["frame_idx"].append(idx)
+                    out["height"].append(int(img.shape[0]))
+                    out["width"].append(int(img.shape[1]))
+                    out["mean_px"].append(float(np.mean(img)))
+            yield pd.DataFrame(out)
+
+    return media.select(id_col, "data").mapInPandas(
+        run,
+        schema=(f"{id_col} long, frame_idx int, height int, width int, "
+                "mean_px double"),
+    )
+
+
+def synth_mjpeg_from_ids(
+    ids_df: DataFrame, id_col: str = "doc_id", size: int = 16
+) -> DataFrame:
+    """Deterministic MJPEG-in-MP4 per id: n_frames = 3 + id%4 solid-gray
+    ``size``×``size`` frames with level g(id, f) = 2·((id·31 + f·17) % 120)
+    + 8 — EVEN gray levels make the quant=1 baseline-JPEG roundtrip exact
+    (a constant block has one DC coefficient, 8·(g−128), divisible by the
+    flat quantizer), so decoded frame means are closed forms a SQL oracle
+    reproduces bit-for-bit. → (id_col, kind='video', data, meta)."""
+    from .jpeg import encode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, datas, metas = [], [], []
+            for i in pdf[id_col].astype("int64"):
+                i = int(i)
+                n = 3 + i % 4
+                frames = []
+                for f in range(n):
+                    g = 2 * ((i * 31 + f * 17) % 120) + 8
+                    img = np.full((size, size), g, dtype=np.uint8)
+                    frames.append(encode_jpeg(img, quant=1))
+                ids.append(i)
+                datas.append(encode_mjpeg_mp4(frames, size, size))
+                metas.append(
+                    {"width": size, "height": size, "channels": 1,
+                     "sample_rate": None, "n_frames": n, "format": "mp4"}
                 )
             yield pd.DataFrame(
                 {id_col: ids, "kind": "video", "data": datas, "meta": metas}

@@ -436,6 +436,59 @@ def _edge_key(w: float, via: int | None) -> tuple:
     return (w, via is not None, -1 if via is None else via)
 
 
+def _needed_shortcuts(ins, outs, nbr, pops_budget: int = WITNESS_POPS):
+    """Bounded witness search around ONE contracted vertex v (already
+    excluded from ``nbr``): the recipe of the reference's external
+    constructor's one-to-many searches (/root/reference/src/
+    multi_ch_constructor/mod.rs:11-88).
+
+    ins = [(u, cu)] in-neighbors, outs = [(t, ct)] out-neighbors,
+    nbr(x) → iterable of (y, wy) over the witness subgraph (v excluded;
+    the caller decides how wide that subgraph is — the single-task tier
+    passes the full active graph, the BSP rounds pass the 1-hop induced
+    neighborhood of v, which only UNDERESTIMATES witnesses: a missed one
+    inserts a redundant shortcut, never a wrong distance).
+
+    → [(u, t, cu + ct)] for pairs with NO witness path of cost ≤ cu + ct
+    found within ``pops_budget`` settles per source."""
+    import heapq
+
+    INF = float("inf")
+    ins = sorted(ins)
+    outs = sorted(outs)
+    need = []
+    for u, cu in ins:
+        targets = {t for t, _ in outs if t != u}
+        if not targets:
+            continue
+        budget = cu + max(ct for t, ct in outs if t != u)
+        dist = {u: 0.0}
+        pq = [(0.0, u)]
+        pops = 0
+        found = {}
+        while pq and pops < pops_budget and targets:
+            d, x = heapq.heappop(pq)
+            if d > dist.get(x, INF) or d > budget:
+                continue
+            pops += 1
+            if x in targets:
+                found[x] = d
+                targets.discard(x)
+            for y, cy in nbr(x):
+                nd = d + cy
+                if nd <= budget and nd < dist.get(y, INF):
+                    dist[y] = nd
+                    heapq.heappush(pq, (nd, y))
+        for t, ct in outs:
+            if t == u:
+                continue
+            via_cost = cu + ct
+            wd = found.get(t, dist.get(t, INF))
+            if wd > via_cost:  # no witness (or search truncated)
+                need.append((u, t, via_cost))
+    return need
+
+
 def _contract_sequential(vids, edge_rows):
     """Single-machine CH construction: lazy edge-difference ordering +
     bounded witness search — the recipe of the reference's external
@@ -475,53 +528,36 @@ def _contract_sequential(vids, edge_rows):
             fwd[a][b] = (w, via)
             bwd[b][a] = (w, via)
 
-    for a, b, w in edge_rows:
+    for row in edge_rows:
+        # 3-tuples = original edges; 4-tuples carry prior shortcut
+        # provenance (the BSP → single-task handoff contracts an active
+        # graph whose edges may already be shortcuts)
+        a, b, w = row[0], row[1], row[2]
+        via0 = row[3] if len(row) > 3 else None
         if a != b:
-            add_edge(a, b, w, None)
+            add_edge(a, b, w, via0)
 
     active = set(vids)
 
     def simulate(v):
-        """→ needed shortcuts [(u, w, cost)] under the witness search."""
-        ins = sorted(
+        """→ needed shortcuts [(u, w, cost)] under the witness search
+        (shared bounded-Dijkstra core, full active graph as the witness
+        subgraph)."""
+        ins = [
             (u, c) for u, (c, _) in bwd[v].items() if u in active and u != v
-        )
-        outs = sorted(
+        ]
+        outs = [
             (t, c) for t, (c, _) in fwd[v].items() if t in active and t != v
-        )
-        need = []
-        for u, cu in ins:
-            targets = {t for t, _ in outs if t != u}
-            if not targets:
-                continue
-            budget = cu + max(ct for t, ct in outs if t != u)
-            dist = {u: 0.0}
-            pq = [(0.0, u)]
-            pops = 0
-            found = {}
-            while pq and pops < WITNESS_POPS and targets:
-                d, x = heapq.heappop(pq)
-                if d > dist.get(x, INF) or d > budget:
-                    continue
-                pops += 1
-                if x in targets:
-                    found[x] = d
-                    targets.discard(x)
-                for y, (cy, _) in fwd[x].items():
-                    if y == v or y not in active:
-                        continue
-                    nd = d + cy
-                    if nd <= budget and nd < dist.get(y, INF):
-                        dist[y] = nd
-                        heapq.heappush(pq, (nd, y))
-            for t, ct in outs:
-                if t == u:
-                    continue
-                via_cost = cu + ct
-                wd = found.get(t, dist.get(t, INF))
-                if wd > via_cost:  # no witness (or search truncated)
-                    need.append((u, t, via_cost))
-        return need
+        ]
+
+        def nbr(x):
+            return (
+                (y, cy)
+                for y, (cy, _) in fwd[x].items()
+                if y != v and y in active
+            )
+
+        return _needed_shortcuts(ins, outs, nbr)
 
     heap = [(0, v) for v in sorted(vids)]
     heapq.heapify(heap)
@@ -558,24 +594,36 @@ def _contract_local(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     import pandas as pd
 
     spark = edges.sparkSession
+    has_via = "via" in edges.columns
     rows = edges.select(
         F.col("src").cast("long"), F.col("dst").cast("long"),
         F.col("w").cast("double"),
+        *([F.col("via").cast("double")] if has_via else []),
     )
 
     def run(batches):
-        srcs, dsts, ws = [], [], []
+        srcs, dsts, ws, vias = [], [], [], []
         for pdf in batches:
             srcs.append(pdf["src"])
             dsts.append(pdf["dst"])
             ws.append(pdf["w"])
+            if has_via:
+                vias.append(pdf["via"])
         if not srcs:
             return
         s = pd.concat(srcs).astype("int64").tolist()
         d = pd.concat(dsts).astype("int64").tolist()
         w = pd.concat(ws).astype("float64").tolist()
+        if has_via:
+            vv = [
+                None if pd.isna(x) else int(x)
+                for x in pd.concat(vias).tolist()
+            ]
+            edge_iter = zip(s, d, w, vv)
+        else:
+            edge_iter = zip(s, d, w)
         vids = sorted(set(s) | set(d))
-        ch, levels = _contract_sequential(vids, zip(s, d, w))
+        ch, levels = _contract_sequential(vids, edge_iter)
         ks = sorted(ch)
         out = pd.DataFrame(
             {
@@ -602,12 +650,93 @@ def _contract_local(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     return ch_edges, lv
 
 
+def _witnessed_round_shortcuts(
+    active: DataFrame,
+    und: DataFrame,
+    s_set: DataFrame,
+    ins: DataFrame,
+    outs: DataFrame,
+) -> DataFrame:
+    """One BSP round's shortcut candidates, witness-pruned — → (src, dst,
+    w, via) needing insertion.
+
+    For every v in the independent set S, gather v's star (ins/outs, from
+    the caller's joins) plus the active edges among v's neighbors (the
+    1-hop induced neighborhood: und(v, x) pairs joined onto both endpoints
+    of the active edge table), then ONE ``applyInPandas`` group per v runs
+    the same bounded witness Dijkstra as the single-task tier
+    (``_needed_shortcuts``). Independence guarantees no neighbor is in S,
+    so every witness edge survives the round and the distance-preservation
+    induction is exact; restricting witnesses to N(v) only errs toward
+    inserting a redundant (real-cost) shortcut.
+
+    Shuffle cost per round: Σ_v (deg(v) + |E(N(v))|) rows into the groupBy
+    — bounded-degree graphs keep this linear in the active edge count, and
+    the hub-last edge-difference priority plus ``max_wedge_degree`` guard
+    bound the worst group."""
+    import pandas as pd
+
+    nv = und.join(s_set.withColumnRenamed("vid", "src"), "src").select(
+        F.col("src").alias("v"), F.col("dst").alias("x")
+    )
+    wge = (
+        active.select("src", "dst", "w")
+        .join(nv.select("v", F.col("x").alias("src")), "src")
+        .join(nv.select("v", F.col("x").alias("dst")), ["v", "dst"])
+        .select("v", "src", "dst", "w")
+    )
+    g_in = ins.select(
+        "v", F.col("u").alias("a"), F.lit(-1).cast("long").alias("b"),
+        F.col("w1").alias("w"), F.lit(0).alias("kind"),
+    )
+    g_out = outs.select(
+        "v", F.lit(-1).cast("long").alias("a"), F.col("wv").alias("b"),
+        F.col("w2").alias("w"), F.lit(1).alias("kind"),
+    )
+    g_wit = wge.select(
+        "v", F.col("src").alias("a"), F.col("dst").alias("b"), "w",
+        F.lit(2).alias("kind"),
+    )
+    grp = g_in.unionByName(g_out).unionByName(g_wit)
+
+    def gen(key, pdf: pd.DataFrame):
+        v = int(key[0])
+        k = pdf["kind"].to_numpy()
+        a = pdf["a"].to_numpy()
+        b = pdf["b"].to_numpy()
+        w = pdf["w"].to_numpy()
+        ins_l = list(zip((int(x) for x in a[k == 0]), (float(x) for x in w[k == 0])))
+        outs_l = list(zip((int(x) for x in b[k == 1]), (float(x) for x in w[k == 1])))
+        adj: dict = {}
+        for x, y, wy in zip(a[k == 2], b[k == 2], w[k == 2]):
+            adj.setdefault(int(x), []).append((int(y), float(wy)))
+        need = _needed_shortcuts(ins_l, outs_l, lambda x: adj.get(x, ()))
+        if not need:
+            return pd.DataFrame(
+                {"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64"),
+                 "w": pd.Series(dtype="float64"), "via": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame(
+            {
+                "src": [u for u, _, _ in need],
+                "dst": [t for _, t, _ in need],
+                "w": [c for _, _, c in need],
+                "via": v,
+            }
+        )
+
+    return grp.groupBy("v").applyInPandas(
+        gen, "src long, dst long, w double, via long"
+    )
+
+
 def contract_graph(
     edges: DataFrame,
     max_rounds: int = 200,
     seed: int = 42,
     max_wedge_degree: int | None = None,
     local_cap: int | None = None,
+    witness: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Build a contraction hierarchy → (ch_edges (src, dst, w, via),
     levels (vid, level)): original edges + witness-free shortcuts (via =
@@ -624,13 +753,27 @@ def contract_graph(
       strict local minimum among their active neighbors. S is independent
       by construction, so contracting its members simultaneously equals
       contracting them sequentially — no member touches another's edges.
-    - contracting v inserts ALL (u→v→w) shortcuts (cost = sum). Skipping
-      the witness search is the classic simplicity/query-time trade and
-      CORRECTNESS-NEUTRAL: every shortcut carries a real path cost, and
-      the all-pairs insertion is exactly the step of the textbook
-      distance-preservation induction, so d(active graph) is preserved
-      round to round and every shortest path has an up-down
-      representation (query correctness needs nothing else).
+    - contracting v inserts the (u→v→w) shortcuts that SURVIVE a bounded
+      witness search (``witness=True``, the default): each round gathers
+      v's in/out star plus the active edges among its neighbors (the
+      1-hop induced neighborhood — no member of the independent set can
+      appear in it, so every witness edge survives the round) and one
+      ``applyInPandas`` task per contracted vertex runs the same bounded
+      Dijkstra as the single-task tier (``_needed_shortcuts``). The
+      restricted witness subgraph only UNDERESTIMATES witnesses, which is
+      the safe direction: a missed witness inserts a redundant shortcut
+      carrying a real path cost, never a wrong distance — the textbook
+      distance-preservation induction holds exactly as in the
+      witness-free variant (``witness=False``, which inserts ALL wedge
+      shortcuts via the pure-SQL join).
+    - when the active graph shrinks below the localgraph edge cap
+      mid-rounds, construction HANDS OFF to the single-task witnessed
+      contractor (level-offset by the current round): the late dense core
+      — where witness-free fill explodes and per-round Spark fixed costs
+      dominate — contracts with full-graph witness searches in one task,
+      while the scale-out rounds only ever handle the graph too big for
+      one task. Provenance (``via``) of surviving shortcuts rides through
+      the handoff.
     - edge-difference-first priority (in·out − in − out, the witness-free
       fill-in estimate; degree tie-break) contracts low-fill vertices
       first and hubs LAST (a hub is never a local minimum while any
@@ -687,15 +830,27 @@ def contract_graph(
     levels = spark.createDataFrame([], "vid long, level long")
     rnd = 0  # loop may not run at all (edgeless input)
 
+    handoff_levels = None
     with iterative_conf(spark):
         for rnd in range(1, max_rounds + 1):
+            # handoff probe: one bounded count — empty graph ends the
+            # loop; a graph small enough for one task finishes in the
+            # witnessed single-task tier at a level offset of rnd-1
+            n_act = active.limit(max(e_cap, 0) + 1).count()
+            if n_act == 0:
+                break
+            if 0 < n_act <= e_cap:
+                local_edges, local_lv = _contract_local(active)
+                handoff_levels = local_lv.select(
+                    "vid", (F.col("level") + F.lit(rnd - 1)).alias("level")
+                )
+                all_edges.append(local_edges)
+                break
             und = active.select("src", "dst").unionByName(
                 active.select(
                     F.col("dst").alias("src"), F.col("src").alias("dst")
                 )
             ).distinct()
-            if und.limit(1).count() == 0:
-                break
             # priority = struct(edge difference, degree, salted hash, vid):
             # EXACT lexicographic comparison (a packed double would
             # overflow the 53-bit mantissa and manufacture ties, which can
@@ -765,12 +920,12 @@ def contract_graph(
             outs = active.join(
                 s_set.withColumnRenamed("vid", "src"), "src"
             ).select(F.col("src").alias("v"), F.col("dst").alias("wv"), F.col("w").alias("w2"))
-            # materialize this round's shortcuts to their own parquet step
-            # (reap=False): the final union reads every round's file, and
-            # the active-frame truncations below delete the active parquet
-            # these lazy wedge joins would otherwise still be scanning
-            shortcuts = trunc_s.truncate(
-                _min_edge(
+            if witness:
+                raw_shortcuts = _witnessed_round_shortcuts(
+                    active, und, s_set, ins, outs
+                )
+            else:
+                raw_shortcuts = (
                     ins.join(outs, "v")
                     .where(F.col("u") != F.col("wv"))
                     .select(
@@ -778,9 +933,12 @@ def contract_graph(
                         (F.col("w1") + F.col("w2")).alias("w"),
                         F.col("v").alias("via"),
                     )
-                ),
-                reap=False,
-            )
+                )
+            # materialize this round's shortcuts to their own parquet step
+            # (reap=False): the final union reads every round's file, and
+            # the active-frame truncations below delete the active parquet
+            # these lazy wedge joins would otherwise still be scanning
+            shortcuts = trunc_s.truncate(_min_edge(raw_shortcuts), reap=False)
             survivors = (
                 active.join(s_set.withColumnRenamed("vid", "src"), "src", "left_anti")
                 .join(s_set.withColumnRenamed("vid", "dst"), "dst", "left_anti")
@@ -800,6 +958,8 @@ def contract_graph(
     for sc in all_edges[1:]:
         ch_edges = ch_edges.unionByName(sc)
     ch_edges = trunc_a.truncate(_min_edge(ch_edges))
+    if handoff_levels is not None:
+        levels = trunc_l.truncate(levels.unionByName(handoff_levels))
     # vertices still uncontracted when the edges ran out OUTLIVED every
     # neighbor — in contraction order they come last, so they take the
     # HIGHEST level (a low level here would break the up-down property of
@@ -809,7 +969,14 @@ def contract_graph(
         .unionByName(edges.select(F.col("dst").alias("vid")))
         .distinct()
     )
-    top = rnd + 1
+    if handoff_levels is not None:
+        # the handoff's local levels extend past rnd — the uncontracted
+        # top must clear them too
+        top = int(
+            levels.agg(F.coalesce(F.max("level"), F.lit(0))).collect()[0][0]
+        ) + 1
+    else:
+        top = rnd + 1
     missing = vs.join(levels, "vid", "left_anti").select(
         "vid", F.lit(top).cast("long").alias("level")
     )

@@ -343,3 +343,43 @@ def test_image_near_dups_blocking(spark):
     assert pairs.get((1, 2)) == 0  # lossless re-encode: identical hash
     assert (1, 3) in pairs and pairs[(1, 3)] <= 6
     assert not any(4 in p for p in pairs)
+
+
+def test_mjpeg_mp4_frame_roundtrip_exact():
+    """encode_mjpeg_mp4 → mp4_jpeg_frames: every solid even-gray frame at
+    quant=1 decodes to exactly its level (the closed form the
+    media_video_frames oracle reproduces), and the container's metadata
+    path still parses the same blob."""
+    from osmgraphing_spark.functions.jpeg import encode_jpeg
+
+    gs = [8, 30, 64, 202, 246]
+    frames = [
+        encode_jpeg(np.full((16, 16), g, dtype=np.uint8), quant=1) for g in gs
+    ]
+    blob = mm.encode_mjpeg_mp4(frames, 16, 16)
+    out = mm.mp4_jpeg_frames(blob)
+    assert [float(np.mean(f)) for f in out] == [float(g) for g in gs]
+    assert all(f.shape[:2] == (16, 16) for f in out)
+    meta = mm.mp4_metadata(blob)
+    vid = next(t for t in meta["tracks"] if t["handler"] == "vide")
+    assert vid["codec"] == "jpeg" and meta["n_tracks"] == 1
+
+
+def test_mjpeg_non_jpeg_codec_refused():
+    """The lib-bound refusal is now scoped to inter-frame codecs only."""
+    sk = mm.encode_mp4_skeleton(2.0, 320, 240, "avc1")
+    with pytest.raises(NotImplementedError, match="avc1"):
+        mm.mp4_jpeg_frames(sk)
+
+
+def test_video_frame_stats_spark_path(spark):
+    """The full Spark plumbing: synth MJPEG videos for a handful of ids,
+    decode every frame via mapInPandas, values == closed forms."""
+    ids = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+    media = mm.synth_mjpeg_from_ids(ids, id_col="doc_id")
+    rows = mm.video_frame_stats(media, id_col="doc_id").collect()
+    assert len(rows) == sum(3 + i % 4 for i in range(8))
+    for r in rows:
+        g = 2 * ((r["doc_id"] * 31 + r["frame_idx"] * 17) % 120) + 8
+        assert (r["height"], r["width"]) == (16, 16)
+        assert r["mean_px"] == float(g)
