@@ -257,9 +257,10 @@ def run_salt_leg(skew_dir: str) -> dict:
     }
 
 
-def ensure_prebuilt(spark) -> str:
+def ensure_prebuilt(spark, n_files: int = N_FILES, data_dir: str | None = None) -> str:
     """Generate corpus → extract edges → build graph, once; cache on disk."""
-    graph_dir = os.path.join(BENCH_DATA, "graph")
+    data_dir = data_dir or BENCH_DATA
+    graph_dir = os.path.join(data_dir, "graph")
     if os.path.exists(os.path.join(graph_dir, "manifest.json")):
         return graph_dir
     from osmgraphing_spark.operators.build import build_graph
@@ -267,9 +268,9 @@ def ensure_prebuilt(spark) -> str:
     from osmgraphing_spark.sources.synth import powerlaw_corpus, reference_hashes
     from osmgraphing_spark.sources.writers import write_graph_tables
 
-    edges_path = os.path.join(BENCH_DATA, "raw_edges.parquet")
+    edges_path = os.path.join(data_dir, "raw_edges.parquet")
     if not os.path.exists(os.path.join(edges_path, "_SUCCESS")):
-        corpus = powerlaw_corpus(spark, N_FILES, m=BENCH_M).persist()
+        corpus = powerlaw_corpus(spark, n_files, m=BENCH_M).persist()
         ref = reference_hashes(corpus)
         raw = extract_edges(corpus, ref, verify=True)
         raw.write.mode("overwrite").parquet(edges_path)
@@ -579,7 +580,7 @@ def query_deltas(queries: dict) -> dict:
 
 def write_baseline_md(
     scaling: dict, headline: dict, times: dict, total: float,
-    salt_leg: dict | None = None,
+    salt_leg: dict | None = None, sf1: dict | None = None,
 ) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
@@ -747,6 +748,29 @@ def write_baseline_md(
             "unsalted plan "
             "(test_pagerank.py::test_auto_salt_noop_on_balanced_graph).",
         ]
+    if sf1 and sf1.get("edges"):
+        lines += [
+            "",
+            "## sf1 decade leg — the same jobs one order of magnitude up",
+            "",
+            f"{SF1_FILES:,} files (m={BENCH_M}, ~{sf1.get('edges'):,} deduped "
+            "edges — 10× the sf0.1 bench graph), prebuilt once and cached:",
+            "",
+            f"- PageRank, {SCALE_ITERS} fixed supersteps, local[{CPUS}], 64 "
+            f"partitions, 96 GiB heap: {sf1.get('pagerank24_sec')} s → "
+            f"**{sf1.get('edges_per_sec'):,} edges/s**"
+            + (
+                f" ({sf1['rate_vs_sf01']}× the sf0.1 headline graph's rate — "
+                "the decade-up run must stay within 1.5×, i.e. ratio ≥ 0.67)"
+                if sf1.get("rate_vs_sf01") else ""
+            ),
+            f"- MinHash+LSH candidate pass over all {SF1_FILES:,} docs "
+            f"(16 hashes, 4 bands, 3-shingles, bucket cap "
+            f"{sf1.get('lsh_max_bucket')} — explicitly lossy on "
+            "template-cluster buckets, reported not silent): "
+            f"{sf1.get('lsh_wall_sec')} s, {sf1.get('lsh_candidates'):,} "
+            f"candidate pairs, {sf1.get('lsh_docs_per_sec'):,} docs/s",
+        ]
     lines += [
         "",
         f"## Operator leg ({SF_DIR}, local[{CPUS}])",
@@ -788,6 +812,80 @@ def run_ingest_leg(spark) -> dict:
         "edges": g.num_edges,
         "edges_per_sec": round(g.num_edges / wall, 1),
     }
+
+
+#: sf1 decade leg (VERDICT r4 item 1): one order of magnitude above the
+#: sf0.1 bench corpus — 10M files × m=40 ≈ 400M raw edges. Gate: the
+#: per-edge superstep rate must stay within 1.5× of the sf0.1 graph's.
+SF1_FILES = int(os.environ.get("SPARK_GRAFT_SF1_FILES", "10000000"))
+SF1_DATA = os.path.join(REPO, ".bench_data", f"sf1_n{SF1_FILES}_m{BENCH_M}")
+RUN_SF1 = os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") == "1"
+#: LSH self-join bucket cap for the sf1 corpus (a synthetic powerlaw corpus
+#: has boilerplate-heavy low-index files; real corpora have template
+#: clusters — either way the B² bucket is the skew to guard)
+SF1_LSH_MAX_BUCKET = int(os.environ.get("SPARK_GRAFT_SF1_LSH_MAX_BUCKET", "1000"))
+
+
+def run_sf1_leg(headline: dict) -> dict:
+    """The decade-up evidence: build (cached) the ~400M-edge powerlaw graph
+    and run the identical fixed-24-superstep PageRank job in its own
+    96 GiB-heap JVM, plus the MinHash+LSH candidate pass over the full
+    10M-file corpus. Reports absolute rates and the per-edge superstep
+    rate ratio vs the sf0.1 headline graph."""
+    if not RUN_SF1:
+        return {}
+    import os as _os
+
+    from osmgraphing_spark.session import get_spark
+
+    _os.environ["SPARK_GRAFT_DRIVER_MEM"] = "96g"
+    spark = get_spark(
+        app_name="bench-sf1", master=f"local[{CPUS}]", shuffle_partitions=64
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    graph_dir = ensure_prebuilt(spark, n_files=SF1_FILES, data_dir=SF1_DATA)
+
+    # dedup family at 10M docs: shingle → minhash → banded bucket join
+    # (the linear signature pass dominates; the bucket cap bounds the
+    # self-join's quadratic tail and is reported, never silent)
+    from pyspark.sql import functions as F
+
+    from osmgraphing_spark.operators import dedup
+    from osmgraphing_spark.sources.synth import powerlaw_corpus
+
+    t0 = time.time()
+    docs = powerlaw_corpus(spark, SF1_FILES, m=BENCH_M).select(
+        F.xxhash64("repo", "path").alias("doc_id"),
+        F.col("content").alias("text"),
+    )
+    n_cand = dedup.lsh_candidate_pairs(
+        docs, num_hashes=16, bands=4, n=3, max_bucket=SF1_LSH_MAX_BUCKET
+    ).count()
+    lsh_wall = round(time.time() - t0, 2)
+    spark.stop()
+
+    job = _bench_job(
+        f"local[{CPUS}]", CPUS, graph_dir, tol=0.0, max_iter=SCALE_ITERS,
+        check_every=SCALE_STRIDE, warmup_iters=SCALE_WARMUP, partitions=64,
+        driver_mem="96g",
+    )
+    out = {
+        "files": SF1_FILES,
+        "edges": job.get("edges"),
+        "pagerank24_sec": job.get("pagerank_sec"),
+        "edges_per_sec": job.get("edges_per_sec"),
+        "lsh_wall_sec": lsh_wall,
+        "lsh_candidates": n_cand,
+        "lsh_max_bucket": SF1_LSH_MAX_BUCKET,
+        "lsh_docs_per_sec": round(SF1_FILES / max(lsh_wall, 1e-9), 1),
+    }
+    if headline and headline.get("edges_per_sec"):
+        # per-edge superstep rate ratio vs the sf0.1 headline graph —
+        # > 1.0 means the decade-up graph processes edges FASTER per second
+        out["rate_vs_sf01"] = round(
+            job["edges_per_sec"] / headline["edges_per_sec"], 3
+        )
+    return out
 
 
 ROUTE_PAIRS = "/root/reference/resources/isle_of_man_2020-03-14/10_000.route-pairs"
@@ -905,6 +1003,7 @@ def main() -> None:
         )
         if skew_dir:
             salt_leg = run_salt_leg(skew_dir)
+    sf1 = {} if SKIP_SCALING else run_sf1_leg(headline)
 
     total = time.time() - t_start
     queries = dict(times)
@@ -916,8 +1015,11 @@ def main() -> None:
     if salt_leg:
         queries["pagerank8_skew_salt0"] = salt_leg["unsalted_sec"]
         queries["pagerank8_skew_auto"] = salt_leg["salted_sec"]
+    if sf1:
+        queries[f"pagerank{SCALE_ITERS}steps_sf1"] = sf1["pagerank24_sec"]
+        queries["doc_lsh_candidates_sf1"] = sf1["lsh_wall_sec"]
 
-    write_baseline_md(scaling, headline, times, total, salt_leg)
+    write_baseline_md(scaling, headline, times, total, salt_leg, sf1)
     drift = query_deltas(queries)
     if drift.get("deltas"):
         with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
@@ -949,6 +1051,7 @@ def main() -> None:
         "pbf_ingest_synth": synth_ingest or None,
         "skew_salt_leg": salt_leg or None,
         "balance_leg": balance or None,
+        "sf1_leg": sf1 or None,
         "perf_vs_prev_round": (
             {
                 "baseline": drift.get("baseline"),

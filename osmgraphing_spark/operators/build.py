@@ -291,34 +291,49 @@ def _build_graph_body(
     id_partitions: int,
     metric_names: list[str] | None,
 ) -> Graph:
+    # ONE clustering by src_key feeds the whole src-side pipeline: the
+    # dedup aggregate keys on (src_key, dst_key, grid) — a SUPERSET of the
+    # clustering, so Spark's subset-satisfies rule plans it with no further
+    # exchange — and the per-src degree aggregate, the degree join and the
+    # src-map join (edge side) all reuse the same layout. Catalyst's
+    # runtime exchange reuse then computes the shuffle once per action.
+    # Edge-sized data crosses the wire exactly 3 times in the main build
+    # action (this clustering, the dst-key join, the final resting layout)
+    # vs 6 for the naive dedup→densify→degree ordering — measured as the
+    # dominant constant of the pbf ingest leg (SCALE.md §8.4).
+    clustered = raw_edges.repartition(F.col("src_key"))
     if metric_names:
-        edges_d = dedup_edges_multi(raw_edges).withColumn(
+        edges_d = dedup_edges_multi(clustered).withColumn(
             "weight", F.element_at(F.col("metrics"), 1)
         )
         carry = ["src", "dst", "weight", "metrics"]
     else:
-        edges_d = dedup_edges(raw_edges)
+        edges_d = dedup_edges(clustered)
         carry = ["src", "dst", "weight"]
+
+    # per-src degree + weight sum (for PageRank contributions): keyed on
+    # src_key BEFORE densification (src_key ↔ src vid is a bijection, so
+    # the counts are identical) — zero exchange on the clustered layout
+    deg = edges_d.groupBy("src_key").agg(
+        F.count("*").alias("out_deg"), F.sum("weight").alias("out_wsum")
+    )
+    e = edges_d.join(deg, "src_key", "inner")
+
     vids = assign_vertex_ids(edges_d, num_partitions=id_partitions)
     n_vertices = vids.count()
 
     # endpoint densification: external key → dense vid (the reference's
     # chunked binary-search remap, building.rs:387-452). Broadcast when the
     # vertex map is small; at 10^12 scale these are shuffled equi-joins on
-    # a unique key (no skew).
+    # a unique key (no skew) — and the src-side join re-uses the edge
+    # table's existing src_key clustering (only the vid map shuffles).
     src_map = vids.select(F.col("key").alias("src_key"), F.col("vid").alias("src"))
     dst_map = vids.select(F.col("key").alias("dst_key"), F.col("vid").alias("dst"))
     e = (
-        edges_d.join(src_map, "src_key", "inner")
+        e.join(src_map, "src_key", "inner")
         .join(dst_map, "dst_key", "inner")
-        .select(*carry)
+        .select(*carry, "out_deg", "out_wsum")
     )
-
-    # per-src degree + weight sum (for PageRank contributions), computed once
-    deg = e.groupBy("src").agg(
-        F.count("*").alias("out_deg"), F.sum("weight").alias("out_wsum")
-    )
-    e = e.join(deg, "src", "inner")
 
     # resting layout: co-partitioned by src hash, sorted — every superstep
     # join on src reuses this without reshuffling the (big) edge side

@@ -301,6 +301,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingles_df: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH: docs agreeing on ALL rows of ≥1 band become candidate
     pairs → (id_a, id_b). bands=4 × rows=4 over 16 hashes ⇒ s-curve
@@ -310,12 +311,28 @@ def lsh_candidate_pairs(
     row explodes into its `bands` (band, bucket) keys in a single projection
     — round 1 unioned `bands` re-derivations of the signature plan, which
     re-ran the full corpus scan + shuffle per band (per join side): the
-    dominant cost at 100 TB, and pure waste."""
+    dominant cost at 100 TB, and pure waste.
+
+    ``max_bucket`` is the self-join's skew guard (the `max_df` analogue of
+    the shingle tier): a bucket of B same-signature docs emits B² pairs, so
+    one boilerplate-heavy template cluster can dominate the whole job. With
+    the cap, buckets larger than ``max_bucket`` are DROPPED — explicitly
+    lossy (such clusters are better handled by the exact-duplicate tier,
+    which is linear in B) and NOT applied by default, so the oracle-checked
+    default stays exact."""
     sig = _materialize(
         minhash_signatures(docs, num_hashes, n, id_col, text_col, shingles_df),
         "lsh_sig",
     )
     all_buckets = _band_buckets(sig, num_hashes, bands)
+    if max_bucket is not None:
+        big = (
+            all_buckets.groupBy("band", "bucket")
+            .count()
+            .where(F.col("count") > max_bucket)
+            .select("band", "bucket")
+        )
+        all_buckets = all_buckets.join(big, ["band", "bucket"], "left_anti")
     a = all_buckets.select("band", "bucket", F.col("id").alias("id_a"))
     b_ = all_buckets.select("band", "bucket", F.col("id").alias("id_b"))
     return (

@@ -596,3 +596,29 @@ def test_components_incremental_equals_full_recompute(spark):
         for r in cc.components_of_pairs(ndf).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_lsh_max_bucket_guard(spark):
+    """max_bucket drops only oversize same-signature buckets: a 6-doc
+    identical-text template cluster vanishes under cap 5 (its pairs are the
+    exact-dup tier's job), while a genuine 2-doc near-pair survives; with
+    no cap the default stays exact and includes both."""
+    tmpl = "the same boilerplate template text repeated verbatim here"
+    rows = [(i, tmpl) for i in range(6)]
+    rows += [(10, "a unique document about graph engines and spark plans"),
+             (11, "a unique document about graph engines and spark plan")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in dd.lsh_candidate_pairs(docs, num_hashes=8, bands=4).collect()
+    }
+    assert (10, 11) in uncapped
+    assert sum(1 for a, b in uncapped if a < 6 and b < 6) == 15  # C(6,2)
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dd.lsh_candidate_pairs(
+            docs, num_hashes=8, bands=4, max_bucket=5
+        ).collect()
+    }
+    assert (10, 11) in capped
+    assert not any(a < 6 and b < 6 for a, b in capped)
