@@ -48,6 +48,12 @@ CSR_SCHEMA = (
     "dst_ids array<long>, weights array<double>"
 )
 
+#: vertex maps at or below this many rows broadcast into the densify joins
+#: (a 16M-row (string key, long vid) relation is ~1 GiB hashed — well
+#: inside any executor sized for this engine, and it replaces two full
+#: edge-table shuffles+sorts); bigger maps use the shuffled join path
+VERTEX_MAP_BROADCAST_ROWS = 16_000_000
+
 
 def assign_vertex_ids(raw_edges: DataFrame, num_partitions: int = 32) -> DataFrame:
     """Distinct endpoint keys → (key, vid) with vid contiguous in [0, N).
@@ -62,6 +68,12 @@ def assign_vertex_ids(raw_edges: DataFrame, num_partitions: int = 32) -> DataFra
         .unionAll(raw_edges.select(F.col("dst_key").alias("key")))
         .distinct()
     )
+    # materialize the distinct BEFORE repartitionByRange: the range
+    # partitioner runs a separate SAMPLING job over its child, which would
+    # otherwise re-execute the whole 2×|E|-row distinct a second time —
+    # measured as the single biggest constant of the vertex-id phase
+    keys = keys.persist(StorageLevel.MEMORY_AND_DISK)
+    keys.count()
     parted = keys.repartitionByRange(num_partitions, "key").sortWithinPartitions("key")
     parted.persist(StorageLevel.MEMORY_AND_DISK)
     counts = {
@@ -99,6 +111,7 @@ def assign_vertex_ids(raw_edges: DataFrame, num_partitions: int = 32) -> DataFra
 
     out = EphemeralTruncator(raw_edges.sparkSession, "vids").truncate(out)
     parted.unpersist()
+    keys.unpersist()
     return out
 
 
@@ -323,12 +336,17 @@ def _build_graph_body(
     n_vertices = vids.count()
 
     # endpoint densification: external key → dense vid (the reference's
-    # chunked binary-search remap, building.rs:387-452). Broadcast when the
-    # vertex map is small; at 10^12 scale these are shuffled equi-joins on
-    # a unique key (no skew) — and the src-side join re-uses the edge
-    # table's existing src_key clustering (only the vid map shuffles).
+    # chunked binary-search remap, building.rs:387-452). Up to the row
+    # gate the map is BROADCAST — both densify joins then probe a hash
+    # relation with ZERO edge-table exchanges or sorts (measured: the two
+    # sort-merge joins were the largest constant of the main build
+    # action). Past the gate (10^12-file scale: billions of vertices)
+    # they fall back to shuffled equi-joins on a unique key (no skew),
+    # with the src side reusing the edge table's existing clustering.
     src_map = vids.select(F.col("key").alias("src_key"), F.col("vid").alias("src"))
     dst_map = vids.select(F.col("key").alias("dst_key"), F.col("vid").alias("dst"))
+    if n_vertices <= VERTEX_MAP_BROADCAST_ROWS:
+        src_map, dst_map = F.broadcast(src_map), F.broadcast(dst_map)
     e = (
         e.join(src_map, "src_key", "inner")
         .join(dst_map, "dst_key", "inner")
