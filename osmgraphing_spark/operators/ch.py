@@ -196,9 +196,20 @@ def _ch_query_local(
     the pair count and parallelism, carries ZERO per-round job overhead,
     and the big side (pairs) never collects anywhere. Tie-breaks mirror
     the BSP sweeps exactly: meeting vertex = argmin (cost, vid), pred =
-    min (dist, pred), shortcut expansion through the min-deduped via."""
+    min (dist, pred), shortcut expansion through the min-deduped via.
+
+    The broadcast is a struct-of-arrays CSR (vid table + up/down
+    indptr/indices/weights + a sorted ``src*V+dst -> via`` key array),
+    ~24 bytes/edge shared once per executor — not per-vertex Python
+    dicts — so at the 1M-edge cap the hierarchy costs ~25 MB instead of
+    ~50+ MB and ships/unpickles as flat buffers. Sweeps run in dense
+    index space (vids sorted ascending, so index order == vid order and
+    every vid tie-break is preserved verbatim); per-sweep state stays
+    dict-based because an upward search settles only a few hundred
+    vertices and the per-source cache must stay search-space-sized."""
     import heapq
 
+    import numpy as np
     import pandas as pd
 
     spark = edges.sparkSession
@@ -206,36 +217,58 @@ def _ch_query_local(
     cols = ["src", "dst", "w"] + (["via"] if has_via else [])
     epd = edges.select(*cols).toPandas()
     lpd = levels.select("vid", "level").toPandas()
-    lv = dict(
-        zip(lpd["vid"].astype("int64").tolist(), lpd["level"].astype("int64").tolist())
+    src = epd["src"].to_numpy(np.int64)
+    dst = epd["dst"].to_numpy(np.int64)
+    w = epd["w"].to_numpy(np.float64)
+    lvid = lpd["vid"].to_numpy(np.int64)
+    llev = lpd["level"].to_numpy(np.int64)
+    vids = np.unique(np.concatenate([src, dst, lvid]))
+    V = int(len(vids))
+    lev = np.zeros(V, np.int64)  # vids absent from `levels` default to 0
+    lev[np.searchsorted(vids, lvid)] = llev
+    si = np.searchsorted(vids, src)
+    di = np.searchsorted(vids, dst)
+    la, lb = lev[si], lev[di]
+
+    def _csr(a, b, ww):
+        # neighbor lists ordered by (nbr, weight) like the dict tier's
+        # adj[k].sort(); order only affects heap insertion, not results
+        order = np.lexsort((ww, b, a))
+        a, b, ww = a[order], b[order], ww[order]
+        indptr = np.zeros(V + 1, np.int64)
+        np.cumsum(np.bincount(a, minlength=V), out=indptr[1:])
+        return indptr, b, ww
+
+    um = lb >= la
+    dm = la >= lb
+    up_ptr, up_nbr, up_w = _csr(si[um], di[um], w[um])
+    dn_ptr, dn_nbr, dn_w = _csr(di[dm], si[dm], w[dm])
+    if has_via:
+        vser = pd.to_numeric(epd["via"], errors="coerce")
+        vnn = vser.notna().to_numpy()
+        vkey = si[vnn] * np.int64(V) + di[vnn]
+        vval = np.searchsorted(vids, vser.to_numpy(np.float64)[vnn].astype(np.int64))
+        vorder = np.argsort(vkey)
+        via_keys, via_vals = vkey[vorder], vval[vorder]
+    else:
+        via_keys = np.empty(0, np.int64)
+        via_vals = np.empty(0, np.int64)
+    bc = spark.sparkContext.broadcast(
+        (vids, up_ptr, up_nbr, up_w, dn_ptr, dn_nbr, dn_w, via_keys, via_vals)
     )
-    up: dict = {}
-    down: dict = {}
-    via_map: dict = {}
-    srcs = epd["src"].astype("int64").tolist()
-    dsts = epd["dst"].astype("int64").tolist()
-    ws = epd["w"].astype("float64").tolist()
-    vias = epd["via"].tolist() if has_via else [None] * len(srcs)
-    for a, b, w, v in zip(srcs, dsts, ws, vias):
-        la, lb = lv.get(a, 0), lv.get(b, 0)
-        if lb >= la:
-            up.setdefault(a, []).append((b, w))
-        if la >= lb:
-            down.setdefault(b, []).append((a, w))
-        if v is not None and not pd.isna(v):
-            via_map[(a, b)] = int(v)
-    for adj in (up, down):
-        for k in adj:
-            adj[k].sort()
-    bc = spark.sparkContext.broadcast((up, down, via_map))
     INF = float("inf")
 
     def run(batches):
-        u, d, vm = bc.value
+        vida, uptr, unbr, uw, dptr, dnbr, dw, vkeys, vvals = bc.value
+        nv = len(vida)
         fcache: dict = {}
         bcache: dict = {}
 
-        def sweep(start, adj):
+        def to_idx(v):
+            i = int(np.searchsorted(vida, v))
+            return i if i < nv and vida[i] == v else None
+
+        def sweep(start, indptr, nbr, wt):
             dist = {start: 0.0}
             pred = {start: -1}
             pq = [(0.0, start)]
@@ -243,8 +276,9 @@ def _ch_query_local(
                 d0, x = heapq.heappop(pq)
                 if d0 > dist.get(x, INF):
                     continue
-                for y, w in adj.get(x, ()):
-                    nd = d0 + w
+                lo, hi = int(indptr[x]), int(indptr[x + 1])
+                for y, ew in zip(nbr[lo:hi].tolist(), wt[lo:hi].tolist()):
+                    nd = d0 + ew
                     dy = dist.get(y, INF)
                     if nd < dy or (nd == dy and x < pred[y]):
                         dist[y] = nd
@@ -252,13 +286,18 @@ def _ch_query_local(
                         heapq.heappush(pq, (nd, y))
             return dist, pred
 
+        def via_of(x, y):
+            k = x * nv + y
+            i = int(np.searchsorted(vkeys, k))
+            return int(vvals[i]) if i < len(vkeys) and vkeys[i] == k else None
+
         def expand(nodes):
             res = [nodes[0]]
             for a, b in zip(nodes, nodes[1:]):
                 seg = [(a, b)]
                 while seg:
                     x, y = seg.pop()
-                    v = vm.get((x, y))
+                    v = via_of(x, y)
                     if v is None:
                         res.append(y)
                     else:
@@ -268,14 +307,25 @@ def _ch_query_local(
 
         for pdf in batches:
             out_s, out_d, out_c, out_n = [], [], [], []
-            for s, t in zip(
+            for s0, t0 in zip(
                 pdf["src"].astype("int64").tolist(),
                 pdf["dst"].astype("int64").tolist(),
             ):
+                s, t = to_idx(s0), to_idx(t0)
+                if s is None or t is None:
+                    # vid outside the hierarchy: isolated, reachable only
+                    # from itself (the dict tier's implicit behavior)
+                    if s0 == t0:
+                        out_s.append(s0)
+                        out_d.append(t0)
+                        out_c.append(0.0)
+                        if want_paths:
+                            out_n.append([s0])
+                    continue
                 if s not in fcache:
-                    fcache[s] = sweep(s, u)
+                    fcache[s] = sweep(s, uptr, unbr, uw)
                 if t not in bcache:
-                    bcache[t] = sweep(t, d)
+                    bcache[t] = sweep(t, dptr, dnbr, dw)
                 fd, fp = fcache[s]
                 bd, bp = bcache[t]
                 small, big = (fd, bd) if len(fd) <= len(bd) else (bd, fd)
@@ -287,8 +337,8 @@ def _ch_query_local(
                 cost, meet = best
                 if meet < 0:
                     continue
-                out_s.append(s)
-                out_d.append(t)
+                out_s.append(s0)
+                out_d.append(t0)
                 out_c.append(cost)
                 if want_paths:
                     chain = [meet]
@@ -301,7 +351,7 @@ def _ch_query_local(
                     while cur != t:
                         cur = bp[cur]
                         chain.append(cur)
-                    out_n.append(expand(chain))
+                    out_n.append(vida[expand(chain)].tolist())
             if not out_s:
                 continue
             cols = {"src": out_s, "dst": out_d, "cost": out_c}
