@@ -826,33 +826,31 @@ RUN_SF1 = os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") == "1"
 SF1_LSH_MAX_BUCKET = int(os.environ.get("SPARK_GRAFT_SF1_LSH_MAX_BUCKET", "1000"))
 
 
-def run_sf1_leg(headline: dict) -> dict:
-    """The decade-up evidence: build (cached) the ~400M-edge powerlaw graph
-    and run the identical fixed-24-superstep PageRank job in its own
-    96 GiB-heap JVM, plus the MinHash+LSH candidate pass over the full
-    10M-file corpus. Reports absolute rates and the per-edge superstep
-    rate ratio vs the sf0.1 headline graph."""
-    if not RUN_SF1:
-        return {}
-    import os as _os
+def sf1_prep() -> None:
+    """Subprocess body for the sf1 leg's build + LSH pass (invoked as
+    ``python bench.py --sf1-prep``): a session whose ``spark.driver.memory``
+    REALLY is 96 GiB. In-process it would silently inherit the 8 GiB JVM
+    the operator leg launched — driver memory is a JVM-start option, and
+    ``SparkSession.stop()`` keeps the gateway JVM alive — and in local
+    mode the driver heap IS all executor memory, so the 400M-edge build
+    would run in 8 GiB. Prints ONE JSON line."""
+    from pyspark.sql import functions as F
 
+    from osmgraphing_spark.operators import dedup
     from osmgraphing_spark.session import get_spark
+    from osmgraphing_spark.sources.synth import powerlaw_corpus
 
-    _os.environ["SPARK_GRAFT_DRIVER_MEM"] = "96g"
     spark = get_spark(
-        app_name="bench-sf1", master=f"local[{CPUS}]", shuffle_partitions=64
+        app_name="bench-sf1-prep", master=f"local[{CPUS}]", shuffle_partitions=64
     )
     spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
     graph_dir = ensure_prebuilt(spark, n_files=SF1_FILES, data_dir=SF1_DATA)
+    build_wall = round(time.time() - t0, 2)
 
     # dedup family at 10M docs: shingle → minhash → banded bucket join
     # (the linear signature pass dominates; the bucket cap bounds the
     # self-join's quadratic tail and is reported, never silent)
-    from pyspark.sql import functions as F
-
-    from osmgraphing_spark.operators import dedup
-    from osmgraphing_spark.sources.synth import powerlaw_corpus
-
     t0 = time.time()
     docs = powerlaw_corpus(spark, SF1_FILES, m=BENCH_M).select(
         F.xxhash64("repo", "path").alias("doc_id"),
@@ -863,6 +861,34 @@ def run_sf1_leg(headline: dict) -> dict:
     ).count()
     lsh_wall = round(time.time() - t0, 2)
     spark.stop()
+    print(json.dumps({
+        "graph_dir": graph_dir,
+        "build_wall_sec": build_wall,
+        "lsh_wall_sec": lsh_wall,
+        "lsh_candidates": n_cand,
+    }))
+
+
+def run_sf1_leg(headline: dict) -> dict:
+    """The decade-up evidence: build (cached) the ~400M-edge powerlaw graph
+    and run the identical fixed-24-superstep PageRank job, plus the
+    MinHash+LSH candidate pass over the full 10M-file corpus — both in
+    their own 96 GiB-heap JVMs (see sf1_prep). Reports absolute rates and
+    the per-edge superstep rate ratio vs the sf0.1 headline graph."""
+    if not RUN_SF1:
+        return {}
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="96g")
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--sf1-prep"],
+        capture_output=True, text=True, cwd=REPO, timeout=14400, env=env,
+    )
+    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"sf1 prep failed: {r.stderr[-2000:]}")
+    prep = json.loads(lines[-1])
+    graph_dir = prep["graph_dir"]
+    lsh_wall = prep["lsh_wall_sec"]
+    n_cand = prep["lsh_candidates"]
 
     job = _bench_job(
         f"local[{CPUS}]", CPUS, graph_dir, tol=0.0, max_iter=SCALE_ITERS,
@@ -872,6 +898,7 @@ def run_sf1_leg(headline: dict) -> dict:
     out = {
         "files": SF1_FILES,
         "edges": job.get("edges"),
+        "build_wall_sec": prep.get("build_wall_sec"),
         "pagerank24_sec": job.get("pagerank_sec"),
         "edges_per_sec": job.get("edges_per_sec"),
         "lsh_wall_sec": lsh_wall,
@@ -1067,4 +1094,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--sf1-prep" in sys.argv[1:]:
+        sf1_prep()
+    else:
+        main()
