@@ -721,7 +721,7 @@ def write_baseline_md(
             f"{headline['supersteps_per_hour']:,} supersteps/h",
             f"- graph load (prebuilt): {headline['build_sec']} s",
         ]
-    if salt_leg:
+    if salt_leg and salt_leg.get("unsalted_sec"):
         lines += [
             "",
             "## Skew leg — salted vs unsalted PageRank on a hub-source graph",
@@ -824,6 +824,12 @@ RUN_SF1 = os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") == "1"
 #: has boilerplate-heavy low-index files; real corpora have template
 #: clusters — either way the B² bucket is the skew to guard)
 SF1_LSH_MAX_BUCKET = int(os.environ.get("SPARK_GRAFT_SF1_LSH_MAX_BUCKET", "1000"))
+#: sf1 JVM heap. NOT higher: the box has 125 GiB and the heap shares it
+#: with ~32 Arrow-batched python workers (extract/LSH are pandas UDFs),
+#: the parent bench JVM's retired gateway, and the page cache — a 96g
+#: heap grew to 91 GB RSS and the KERNEL OOM-killed it mid-build.
+#: Spark spills what doesn't fit; the kernel doesn't.
+SF1_DRIVER_MEM = os.environ.get("SPARK_GRAFT_SF1_DRIVER_MEM", "72g")
 
 
 def sf1_prep() -> None:
@@ -873,11 +879,11 @@ def run_sf1_leg(headline: dict) -> dict:
     """The decade-up evidence: build (cached) the ~400M-edge powerlaw graph
     and run the identical fixed-24-superstep PageRank job, plus the
     MinHash+LSH candidate pass over the full 10M-file corpus — both in
-    their own 96 GiB-heap JVMs (see sf1_prep). Reports absolute rates and
-    the per-edge superstep rate ratio vs the sf0.1 headline graph."""
+    their own SF1_DRIVER_MEM-heap JVMs (see sf1_prep). Reports absolute
+    rates and the per-edge superstep rate ratio vs the sf0.1 headline."""
     if not RUN_SF1:
         return {}
-    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="96g")
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM=SF1_DRIVER_MEM)
     r = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--sf1-prep"],
         capture_output=True, text=True, cwd=REPO, timeout=14400, env=env,
@@ -893,7 +899,7 @@ def run_sf1_leg(headline: dict) -> dict:
     job = _bench_job(
         f"local[{CPUS}]", CPUS, graph_dir, tol=0.0, max_iter=SCALE_ITERS,
         check_every=SCALE_STRIDE, warmup_iters=SCALE_WARMUP, partitions=64,
-        driver_mem="96g",
+        driver_mem=SF1_DRIVER_MEM,
     )
     out = {
         "files": SF1_FILES,
@@ -1029,8 +1035,18 @@ def main() -> None:
             check_every=SCALE_STRIDE, warmup_iters=2,
         )
         if skew_dir:
-            salt_leg = run_salt_leg(skew_dir)
-    sf1 = {} if SKIP_SCALING else run_sf1_leg(headline)
+            try:
+                salt_leg = run_salt_leg(skew_dir)
+            except Exception as e:  # report, don't lose the other legs
+                print(f"salt leg failed: {e}", file=sys.stderr)
+                salt_leg = {"error": str(e)[:500]}
+    sf1 = {}
+    if not SKIP_SCALING:
+        try:
+            sf1 = run_sf1_leg(headline)
+        except Exception as e:  # an OOM-killed sf1 JVM must not throw away
+            print(f"sf1 leg failed: {e}", file=sys.stderr)  # the whole run
+            sf1 = {"error": str(e)[:500]}
 
     total = time.time() - t_start
     queries = dict(times)
@@ -1039,10 +1055,10 @@ def main() -> None:
             queries[f"pagerank_{SCALE_ITERS}steps_{m}"] = scaling[m]["pagerank_sec"]
     if headline:
         queries["pagerank_converge_local32"] = headline["pagerank_sec"]
-    if salt_leg:
+    if salt_leg.get("unsalted_sec"):
         queries["pagerank8_skew_salt0"] = salt_leg["unsalted_sec"]
         queries["pagerank8_skew_auto"] = salt_leg["salted_sec"]
-    if sf1:
+    if sf1.get("pagerank24_sec"):
         queries[f"pagerank{SCALE_ITERS}steps_sf1"] = sf1["pagerank24_sec"]
         queries["doc_lsh_candidates_sf1"] = sf1["lsh_wall_sec"]
 
