@@ -754,10 +754,15 @@ def write_baseline_md(
             "## sf1 decade leg — the same jobs one order of magnitude up",
             "",
             f"{SF1_FILES:,} files (m={BENCH_M}, ~{sf1.get('edges'):,} deduped "
-            "edges — 10× the sf0.1 bench graph), prebuilt once and cached:",
+            "edges — 10× the sf0.1 bench graph), prebuilt once and cached"
+            + (
+                f" (cold corpus→extract→build: {sf1['build_wall_sec']} s)"
+                if sf1.get("build_wall_sec") else ""
+            )
+            + ":",
             "",
             f"- PageRank, {SCALE_ITERS} fixed supersteps, local[{CPUS}], 64 "
-            f"partitions, 96 GiB heap: {sf1.get('pagerank24_sec')} s → "
+            f"partitions, {SF1_DRIVER_MEM} heap: {sf1.get('pagerank24_sec')} s → "
             f"**{sf1.get('edges_per_sec'):,} edges/s**"
             + (
                 f" ({sf1['rate_vs_sf01']}× the sf0.1 headline graph's rate — "
